@@ -1,0 +1,139 @@
+"""Dense scan kernel vs NumPy exact-cosine oracle (recall must be 1.0)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voitta_rag_tpu.ops.dense_scan import dense_scan_scores, TILE_N
+from voitta_rag_tpu.ops.filters import (
+    COL_CREATED, COL_FOLDER, COL_INDEX_FOLDER, COL_MODIFIED, COL_VALID,
+    MISSING_TS, NUM_COLS, make_filter_spec,
+)
+from voitta_rag_tpu.ops.topk import masked_topk
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF
+
+N, D, B = TILE_N * 2, 128, 4
+
+
+def make_data(seed=0, n=N):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cols = np.zeros((NUM_COLS, n), dtype=np.int32)
+    cols[COL_VALID] = 1
+    cols[COL_FOLDER] = rng.integers(0, 8, n)
+    cols[COL_INDEX_FOLDER] = rng.integers(0, 4, n)
+    cols[COL_CREATED] = rng.integers(1_000, 2_000, n)
+    cols[COL_MODIFIED] = rng.integers(1_000, 2_000, n)
+    return q, vecs, cols
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_unfiltered_scores_match_numpy(use_pallas):
+    q, vecs, cols = make_data()
+    spec = make_filter_spec()
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs), jnp.asarray(cols),
+                          spec, use_pallas=use_pallas)
+    )
+    expected = q @ vecs.T
+    np.testing.assert_allclose(scores, expected, atol=2e-2)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_exact_top10_recall_is_one(use_pallas):
+    """BASELINE config 1: exact cosine top-10 == brute-force oracle."""
+    q, vecs, cols = make_data(seed=1)
+    spec = make_filter_spec()
+    scores = dense_scan_scores(jnp.asarray(q, jnp.float32), jnp.asarray(vecs),
+                               jnp.asarray(cols), spec, use_pallas=use_pallas)
+    _, ids = masked_topk(scores, 10)
+    oracle = np.argsort(-(q @ vecs.T), axis=1)[:, :10]
+    for b in range(B):
+        assert set(np.asarray(ids)[b].tolist()) == set(oracle[b].tolist())
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_folder_include_filter(use_pallas):
+    q, vecs, cols = make_data(seed=2)
+    spec = make_filter_spec(include_folder_ids=[2, 5])
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs), jnp.asarray(cols),
+                          spec, use_pallas=use_pallas)
+    )
+    in_set = np.isin(cols[COL_FOLDER], [2, 5])
+    assert np.all(scores[:, ~in_set] <= NEG_INF / 2)
+    assert np.all(scores[:, in_set] > NEG_INF / 2)
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_exclude_filters(use_pallas):
+    q, vecs, cols = make_data(seed=3)
+    spec = make_filter_spec(exclude_folder_ids=[1], exclude_index_folder_ids=[3])
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs), jnp.asarray(cols),
+                          spec, use_pallas=use_pallas)
+    )
+    excluded = (cols[COL_FOLDER] == 1) | (cols[COL_INDEX_FOLDER] == 3)
+    assert np.all(scores[:, excluded] <= NEG_INF / 2)
+    assert np.all(scores[:, ~excluded] > NEG_INF / 2)
+
+
+@pytest.mark.parametrize("field,col", [("modified", COL_MODIFIED),
+                                       ("created", COL_CREATED)])
+def test_time_range_filter(field, col):
+    q, vecs, cols = make_data(seed=4)
+    # Some rows have no timestamp: they must be excluded when filter active.
+    cols[col, :100] = MISSING_TS
+    spec = make_filter_spec(date_start=1_200, date_end=1_700, date_field=field)
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs), jnp.asarray(cols),
+                          spec, use_pallas=True)
+    )
+    ok = (cols[col] != MISSING_TS) & (cols[col] >= 1_200) & (cols[col] <= 1_700)
+    assert np.all(scores[:, ~ok] <= NEG_INF / 2)
+    assert np.all(scores[:, ok] > NEG_INF / 2)
+
+
+def test_tombstones_masked():
+    q, vecs, cols = make_data(seed=5)
+    cols[COL_VALID, ::3] = 0
+    spec = make_filter_spec()
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs), jnp.asarray(cols),
+                          spec, use_pallas=True)
+    )
+    assert np.all(scores[:, ::3] <= NEG_INF / 2)
+
+
+def test_int8_segment_close_to_f32():
+    q, vecs, cols = make_data(seed=6)
+    scale = np.abs(vecs).max(axis=1, keepdims=True) / 127.0
+    v8 = np.clip(np.round(vecs / scale), -127, 127).astype(np.int8)
+    spec = make_filter_spec()
+    scores8 = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(v8), jnp.asarray(cols),
+                          spec, scales=jnp.asarray(scale.T), use_pallas=True)
+    )
+    expected = q @ vecs.T
+    np.testing.assert_allclose(scores8, expected, atol=5e-2)
+    # top-10 overlap with exact should be high
+    _, ids8 = masked_topk(jnp.asarray(scores8), 10)
+    oracle = np.argsort(-expected, axis=1)[:, :10]
+    overlap = np.mean([
+        len(set(np.asarray(ids8)[b].tolist()) & set(oracle[b].tolist())) / 10
+        for b in range(B)
+    ])
+    assert overlap >= 0.8
+
+
+def test_bf16_storage():
+    q, vecs, cols = make_data(seed=7)
+    spec = make_filter_spec()
+    scores = np.asarray(
+        dense_scan_scores(jnp.asarray(q), jnp.asarray(vecs, jnp.bfloat16),
+                          jnp.asarray(cols), spec, use_pallas=True)
+    )
+    np.testing.assert_allclose(scores, q @ vecs.T, atol=3e-2)

@@ -1,0 +1,125 @@
+"""Application + engine configuration.
+
+Behavior contract: reference config.py (/root/reference/src/voitta/config.py:12-113)
+— env-var driven ``Settings`` singleton with ``lru_cache`` and
+``get_settings.cache_clear()`` used by tests. The TPU engine adds its own knobs
+(segment capacity, IVF cells, nprobe, sparse slots, mesh axes) that have no
+reference counterpart.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from pathlib import Path
+
+
+def _env_bool(name: str, default: str = "false") -> bool:
+    return os.getenv(name, default).lower() in ("true", "1", "yes")
+
+
+class Settings:
+    """Settings loaded from environment variables (reference config.py:12-107)."""
+
+    def __init__(self) -> None:
+        # Core paths / serving
+        self.root_path: Path = Path(
+            os.getenv("VOITTA_ROOT_PATH", "./voitta-data")
+        ).resolve()
+        self.db_path: Path = Path(os.getenv("VOITTA_DB_PATH", "./voitta.db")).resolve()
+        self.host: str = os.getenv("VOITTA_HOST", "0.0.0.0")
+        self.port: int = int(os.getenv("VOITTA_PORT", "8000"))
+        self.debug: bool = _env_bool("VOITTA_DEBUG")
+        self.base_url: str = os.getenv("VOITTA_BASE_URL", f"http://localhost:{self.port}")
+        self.docker_mode: bool = _env_bool("VOITTA_DOCKER")
+
+        # Collection (replaces reference's Qdrant collection, config.py:28-30)
+        self.collection: str = os.getenv("VOITTA_COLLECTION", "voitta_documents")
+        self.index_dir: Path = Path(
+            os.getenv("VOITTA_INDEX_DIR", str(self.root_path / ".voitta_index"))
+        ).resolve()
+
+        # Embedding settings (reference config.py:32-36)
+        self.embedding_model: str = os.getenv("EMBEDDING_MODEL", "intfloat/e5-base-v2")
+        self.embedding_dimension: int = int(os.getenv("EMBEDDING_DIMENSION", "768"))
+        # jax platform for the engine: "auto" | "tpu" | "cpu"
+        self.engine_platform: str = os.getenv("VOITTA_ENGINE_PLATFORM", "auto")
+        # Local path to a sentence-transformers/HF checkpoint dir (optional; the
+        # encoder falls back to deterministic random init when absent).
+        self.embedding_model_path: str = os.getenv("EMBEDDING_MODEL_PATH", "")
+        self.max_seq_len: int = int(os.getenv("VOITTA_MAX_SEQ_LEN", "192"))
+        self.encode_batch_size: int = int(os.getenv("VOITTA_ENCODE_BATCH", "128"))
+
+        # Chunking settings (reference config.py:38-41)
+        self.chunk_size: int = int(os.getenv("CHUNK_SIZE", "512"))
+        self.chunk_overlap: int = int(os.getenv("CHUNK_OVERLAP", "50"))
+        self.chunking_strategy: str = os.getenv("CHUNKING_STRATEGY", "recursive")
+
+        # Hybrid fusion (reference config.py:43-44)
+        self.sparse_weight: float = float(os.getenv("SPARSE_WEIGHT", "0.1"))
+
+        # PDF bucketing (reference config.py:46-47)
+        self.pdf_pages_per_bucket: int = int(os.getenv("PDF_PAGES_PER_BUCKET", "20"))
+
+        # Indexing worker (reference config.py:49-50)
+        self.indexing_poll_interval: int = int(os.getenv("INDEXING_POLL_INTERVAL", "10"))
+
+        # Auth (reference config.py:52-59); validated lazily by api/auth.
+        self.ms_auth_tenant_id: str = os.getenv("MS_AUTH_TENANT_ID", "")
+        self.ms_auth_client_id: str = os.getenv("MS_AUTH_CLIENT_ID", "")
+        self.ms_auth_client_secret: str = os.getenv("MS_AUTH_CLIENT_SECRET", "")
+        self.google_auth_client_id: str = os.getenv("GOOGLE_AUTH_CLIENT_ID", "")
+        self.google_auth_client_secret: str = os.getenv("GOOGLE_AUTH_CLIENT_SECRET", "")
+
+        # MCP server (reference config.py:68-72)
+        self.mcp_transport: str = os.getenv("MCP_TRANSPORT", "streamable-http")
+        self.mcp_search_limit: int = int(os.getenv("MCP_SEARCH_LIMIT", "20"))
+
+        # ---- TPU engine knobs (no reference counterpart) ----
+        # Capacity of one device segment (rows are padded to this; must be a
+        # multiple of the scan tile).
+        self.segment_capacity: int = int(os.getenv("VOITTA_SEGMENT_CAPACITY", "131072"))
+        # Dense storage dtype on device: "bfloat16" | "float32" | "int8"
+        self.segment_dtype: str = os.getenv("VOITTA_SEGMENT_DTYPE", "bfloat16")
+        # Sparse BM25 slots kept per chunk (top-|S| weighted terms).
+        self.sparse_slots: int = int(os.getenv("VOITTA_SPARSE_SLOTS", "64"))
+        # Max terms of a sparse *query* scored in-kernel.
+        self.sparse_query_terms: int = int(os.getenv("VOITTA_SPARSE_QUERY_TERMS", "32"))
+        # IVF: number of cells (0 = flat scan) and probed cells per query.
+        self.ivf_cells: int = int(os.getenv("VOITTA_IVF_CELLS", "0"))
+        self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
+        # Hybrid over-fetch multiplier (reference limit*3, vector_store.py:636).
+        self.prefetch_multiplier: int = int(os.getenv("VOITTA_PREFETCH_MULT", "3"))
+        # Mesh: number of index shards ("auto" = all local devices).
+        self.index_shards: str = os.getenv("VOITTA_INDEX_SHARDS", "auto")
+        # BM25 parameters (fastembed/Qdrant defaults).
+        self.bm25_k: float = float(os.getenv("VOITTA_BM25_K", "1.2"))
+        self.bm25_b: float = float(os.getenv("VOITTA_BM25_B", "0.75"))
+        self.bm25_avg_len: float = float(os.getenv("VOITTA_BM25_AVG_LEN", "256.0"))
+
+        self.root_path.mkdir(parents=True, exist_ok=True)
+
+    # -- derived properties (reference config.py:77-107) --
+    @property
+    def ms_auth_enabled(self) -> bool:
+        return bool(
+            self.ms_auth_tenant_id and self.ms_auth_client_id and self.ms_auth_client_secret
+        )
+
+    @property
+    def google_auth_enabled(self) -> bool:
+        return bool(self.google_auth_client_id and self.google_auth_client_secret)
+
+    @property
+    def any_auth_enabled(self) -> bool:
+        return self.ms_auth_enabled or self.google_auth_enabled
+
+    @property
+    def database_url(self) -> str:
+        return f"sqlite:///{self.db_path}"
+
+
+@lru_cache
+def get_settings() -> Settings:
+    """Cached settings instance (reference config.py:110-113)."""
+    return Settings()

@@ -1,0 +1,140 @@
+"""Sparse BM25 masked-scoring scan (VPU kernel).
+
+Replaces the reference's Qdrant sparse-vector query with IDF modifier
+(services/vector_store.py:95-99, 647-656; fastembed BM25 in
+services/sparse_embedding.py). TPU-native layout: instead of an inverted
+index (pointer-chasing, dynamic shapes — hostile to XLA), every chunk stores
+its top-``S`` BM25 terms in fixed slots:
+
+    doc_terms   int32 [N, S]  term-hash ids, TERM_PAD in empty slots
+    doc_weights f32   [N, S]  per-term BM25 doc weight
+                              = tf_sat * ... (tf saturation + length norm
+                                baked in at index time)
+
+A query is ``(q_terms [1, Qt], q_weights [1, Qt])`` with IDF baked into the
+weights at query time (Qdrant's ``Modifier.IDF`` applies IDF on the query
+side). The kernel computes, per doc::
+
+    score_i = sum_t q_w[t] * sum_s [doc_terms[i, s] == q_terms[t]] * doc_weights[i, s]
+
+as dense VPU compare-select-reduce over tiles — no gather, no dynamic shapes,
+embarrassingly shardable. Chunks are <= ~100 tokens (512 chars,
+config.py:39), so S=64 top-weight slots is near-lossless.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voitta_rag_tpu.ops.filters import FilterSpec, eval_mask
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode
+
+TILE_N = 1024  # rows per grid step: 1024 x 64 x (4+4) B = 512 KB VMEM
+TERM_PAD = -1  # empty doc slot / empty query slot
+
+
+def _sparse_kernel(params_ref, inc_ref, exc_ref, excif_ref,
+                   qt_ref, qw_ref, terms_ref, weights_ref, cols_ref, out_ref):
+    terms = terms_ref[:]       # [T, S] int32
+    weights = weights_ref[:]   # [T, S] f32
+    n_q = qt_ref.shape[1]
+
+    def body(t, acc):
+        # Query terms live in SMEM: dynamic scalar loads are legal there.
+        term = qt_ref[0, t]
+        w = qw_ref[0, t]
+        hit = (terms == term) & (term != TERM_PAD)
+        contrib = jnp.sum(jnp.where(hit, weights, 0.0), axis=1)  # [T]
+        return acc + w * contrib
+
+    scores = jax.lax.fori_loop(
+        0, n_q, body, jnp.zeros((terms.shape[0],), jnp.float32)
+    )
+    mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
+                     cols_ref[:])
+    out_ref[:] = jnp.where(mask, scores, NEG_INF)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def sparse_scan_scores(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    doc_terms: jax.Array,
+    doc_weights: jax.Array,
+    cols: jax.Array,
+    spec: FilterSpec,
+    *,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Masked BM25 scores of one sparse query against a segment.
+
+    Args:
+        q_terms: int32 [1, Qt] query term ids (TERM_PAD padded).
+        q_weights: f32 [1, Qt] query weights (IDF * query-side tf).
+        doc_terms: int32 [N, S]; doc_weights: f32 [N, S].
+        cols: int32 [NUM_COLS, N] filter columns.
+        spec: FilterSpec.
+
+    Returns:
+        f32 [1, N] scores; masked rows = -inf. (Sparse queries are scored one
+        at a time — Qt is tiny and queries fan out across the batch axis at a
+        higher level.)
+    """
+    N, S = doc_terms.shape
+    assert N % TILE_N == 0, f"segment rows {N} not padded to TILE_N={TILE_N}"
+
+    if not use_pallas:
+        return _xla_sparse_scores(q_terms, q_weights, doc_terms, doc_weights,
+                                  cols, spec)
+
+    grid = (N // TILE_N,)
+    filt_specs = [
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(spec.inc_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(spec.exc_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(spec.exc_if_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * N * S * q_terms.shape[1],
+        bytes_accessed=N * S * 8 + N * cols.shape[0] * 4 + N * 4,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        _sparse_kernel,
+        grid=grid,
+        in_specs=filt_specs + [
+            pl.BlockSpec(q_terms.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(q_weights.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_N, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols.shape[0], TILE_N), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret_mode(),
+    )(spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
+      q_terms, q_weights, doc_terms, doc_weights, cols)
+
+
+def _xla_sparse_scores(q_terms, q_weights, doc_terms, doc_weights, cols,
+                       spec: FilterSpec) -> jax.Array:
+    """Pure-XLA fallback with identical semantics."""
+    # [N, S, Qt] hit tensor contracted in two steps to keep memory sane.
+    hit = (doc_terms[:, :, None] == q_terms[0][None, None, :]) & (
+        q_terms[0][None, None, :] != TERM_PAD
+    )
+    per_term = jnp.sum(
+        jnp.where(hit, doc_weights[:, :, None], 0.0), axis=1
+    )  # [N, Qt]
+    scores = per_term @ q_weights[0]
+    mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
+                     cols)
+    return jnp.where(mask, scores, NEG_INF)[None, :]
