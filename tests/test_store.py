@@ -1,0 +1,198 @@
+"""TpuVectorStore end-to-end: upsert, search, filters, deletes, persistence.
+
+Oracle: exact NumPy cosine + the reference fusion semantics.
+"""
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+from voitta_rag_tpu.core_types import ChunkMetadata, SparseVector
+from voitta_rag_tpu.index.store import TpuVectorStore
+from voitta_rag_tpu.search.sparse_text import SparseEmbeddingService
+
+DIM = 32
+
+
+def meta(file_path="docs/a.md", folder="docs", index_folder="docs",
+         chunk_index=0, total=1, created=None, modified=None, url=None):
+    return ChunkMetadata(
+        file_path=file_path, folder_path=folder, index_folder=index_folder,
+        file_name=file_path.rsplit("/", 1)[-1], chunk_index=chunk_index,
+        total_chunks=total, start_char=0, end_char=10,
+        indexed_at=datetime.now(timezone.utc).isoformat(),
+        source_created_at=created, source_modified_at=modified,
+        source_url=url,
+    )
+
+
+@pytest.fixture
+def store(temp_root, monkeypatch):
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", str(DIM))
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    s = TpuVectorStore()
+    yield s
+    s.close()
+
+
+def rand_vecs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, DIM)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_store_and_dense_search(store):
+    vecs = rand_vecs(20)
+    metas = [meta(file_path=f"docs/f{i}.md", chunk_index=0) for i in range(20)]
+    ids = store.store_chunks([f"text {i}" for i in range(20)], vecs, metas)
+    assert len(ids) == 20
+    assert store.count() == 20
+
+    res = store.search(vecs[7], limit=3)
+    assert res[0].text == "text 7"
+    assert res[0].score > 0.99
+    assert res[0].metadata.file_path == "docs/f7.md"
+    # Results ordered by score desc and match the NumPy oracle.
+    oracle = np.argsort(-(vecs @ vecs[7]))[:3]
+    assert [r.text for r in res] == [f"text {i}" for i in oracle]
+
+
+def test_folder_filters(store):
+    vecs = rand_vecs(30, seed=1)
+    metas = [meta(file_path=f"{fold}/f{i}.md", folder=fold, index_folder=fold)
+             for i, fold in enumerate(["a", "b", "c"] * 10)]
+    store.store_chunks([f"t{i}" for i in range(30)], vecs, metas)
+
+    res = store.search(vecs[0], limit=30, include_folders=["a"])
+    assert len(res) == 10
+    assert all(r.metadata.folder_path == "a" for r in res)
+
+    res = store.search(vecs[0], limit=30, exclude_folders=["a", "b"])
+    assert len(res) == 10
+    assert all(r.metadata.folder_path == "c" for r in res)
+
+    res = store.search(vecs[0], limit=30, exclude_index_folders=["c"])
+    assert len(res) == 20
+
+    # Unknown include folder → no possible match → [] (reference: filter
+    # matches nothing).
+    assert store.search(vecs[0], limit=5, include_folders=["nope"]) == []
+
+
+def test_time_range_filters(store):
+    vecs = rand_vecs(10, seed=2)
+    metas = [meta(file_path=f"d/f{i}.md", folder="d", index_folder="d",
+                  modified=1000 + i * 100, created=500 + i * 10)
+             for i in range(10)]
+    store.store_chunks([f"t{i}" for i in range(10)], vecs, metas)
+
+    res = store.search(vecs[0], limit=10, date_start=1200, date_end=1500)
+    got = {r.metadata.source_modified_at for r in res}
+    assert got == {1200, 1300, 1400, 1500}
+
+    res = store.search(vecs[0], limit=10, date_start=530, date_end=560,
+                       date_field="created")
+    assert {r.metadata.source_created_at for r in res} == {530, 540, 550, 560}
+
+
+def test_hybrid_search_prefers_keyword_match(store):
+    sparse_svc = SparseEmbeddingService()
+    texts = ["the kangaroo hops across the outback"] + [
+        f"generic filler document number {i}" for i in range(19)]
+    vecs = rand_vecs(20, seed=3)
+    metas = [meta(file_path=f"d/f{i}.md", folder="d", index_folder="d")
+             for i in range(20)]
+    store.store_chunks(texts, vecs, metas, sparse_svc.embed(texts))
+
+    # Query dense-similar to doc 5 but keyword "kangaroo": with high sparse
+    # weight the kangaroo doc must win.
+    res = store.search(vecs[5], limit=5,
+                       sparse_query=sparse_svc.embed_query("kangaroo outback"),
+                       sparse_weight=0.9)
+    assert res[0].text.startswith("the kangaroo")
+    # With sparse_weight 0 (pure dense), doc 5 wins.
+    res = store.search(vecs[5], limit=5,
+                       sparse_query=sparse_svc.embed_query("kangaroo outback"),
+                       sparse_weight=0.0)
+    assert res[0].text == texts[5]
+
+
+def test_delete_by_file_and_reuse(store):
+    vecs = rand_vecs(10, seed=4)
+    metas = [meta(file_path=f"d/f{i % 2}.md", folder="d", index_folder="d",
+                  chunk_index=i // 2) for i in range(10)]
+    store.store_chunks([f"t{i}" for i in range(10)], vecs, metas)
+    assert store.count_chunks_for_file("d/f0.md") == 5
+
+    n = store.delete_by_file("d/f0.md")
+    assert n == 5
+    assert store.count() == 5
+    assert store.count_chunks_for_file("d/f0.md") == 0
+    res = store.search(vecs[0], limit=10)
+    assert len(res) == 5
+    assert all(r.metadata.file_path == "d/f1.md" for r in res)
+
+    # Freed rows are reused by the next upsert.
+    seg = store.segments[0]
+    before_next = seg._next
+    store.store_chunks(["new"], rand_vecs(1, seed=9),
+                       [meta(file_path="d/f2.md", folder="d", index_folder="d")])
+    assert seg._next == before_next  # came from the free list
+
+
+def test_delete_by_folder_subtree(store):
+    vecs = rand_vecs(6, seed=5)
+    folders = ["x", "x/sub", "y", "x", "x/sub/deep", "y"]
+    metas = [meta(file_path=f"{f}/f{i}.md", folder=f, index_folder="x")
+             for i, f in enumerate(folders)]
+    store.store_chunks([f"t{i}" for i in range(6)], vecs, metas)
+    n = store.delete_by_folder("x")
+    assert n == 4  # x, x/sub, x/sub/deep — but not y
+    assert store.count() == 2
+
+
+def test_chunk_range_and_source_url(store):
+    vecs = rand_vecs(5, seed=6)
+    metas = [meta(file_path="d/doc.md", folder="d", index_folder="d",
+                  chunk_index=i, total=5, url="https://docs.google.com/document/d/abc")
+             for i in range(5)]
+    store.store_chunks([f"chunk {i}" for i in range(5)], vecs, metas)
+    rng = store.get_chunk_range("d/doc.md", 1, 3)
+    assert [c.metadata.chunk_index for c in rng] == [1, 2, 3]
+    hits = store.find_by_source_url("https://docs.google.com/document/d/abc")
+    assert len(hits) == 5
+
+
+def test_segment_overflow(store):
+    # capacity 1024 → 1500 chunks must span 2 segments.
+    vecs = rand_vecs(1500, seed=7)
+    metas = [meta(file_path=f"d/f{i}.md", folder="d", index_folder="d")
+             for i in range(1500)]
+    store.store_chunks([f"t{i}" for i in range(1500)], vecs, metas)
+    assert len(store.segments) == 2
+    res = store.search(vecs[1400], limit=1)
+    assert res[0].text == "t1400"
+
+
+def test_persistence_roundtrip(store, temp_root):
+    vecs = rand_vecs(8, seed=8)
+    metas = [meta(file_path=f"d/f{i}.md", folder="d", index_folder="d")
+             for i in range(8)]
+    store.store_chunks([f"t{i}" for i in range(8)], vecs, metas)
+    store.save()
+    store.close()
+
+    s2 = TpuVectorStore()
+    assert s2.count() == 8
+    res = s2.search(vecs[3], limit=1)
+    assert res[0].text == "t3"
+    s2.close()
+
+
+def test_collection_info(store):
+    info = store.get_collection_info()
+    assert info["points_count"] == 0
+    assert info["status"] == "green"

@@ -1,0 +1,226 @@
+"""Device-resident index segment: struct-of-arrays chunk storage in HBM.
+
+One segment holds up to ``capacity`` chunk rows as:
+
+- ``vecs``  [cap, D]  unit-normalized dense embeddings (bf16 / f32 / int8),
+- ``scales``[1, cap]  per-row dequant scales (int8 mode only),
+- ``terms`` [cap, S]  top-S BM25 term ids, ``weights`` [cap, S] f32,
+- ``cols``  [NUM_COLS, cap] int32 filter columns (ops/filters.py layout).
+
+Mutation strategy (the reference's Qdrant handles upsert/delete internally;
+here it's explicit and XLA-friendly): updates are *donated* scatter programs —
+``buf.at[rows].set(vals, mode='drop')`` with the input buffer donated, so XLA
+updates HBM in place; batches are padded to power-of-two buckets with
+out-of-bounds row ids (dropped by the scatter) so only a handful of programs
+ever compile. Deletes are tombstones: ``COL_VALID=0`` rows that the scan
+kernels mask in-kernel; freed rows go on a host-side free list and are reused
+by later upserts (compaction is implicit through reuse).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voitta_rag_tpu.ops.filters import COL_VALID, NUM_COLS
+from voitta_rag_tpu.ops import dense_scan
+
+UPDATE_BUCKETS = (256, 4096)
+
+
+def _bucket(n: int) -> int:
+    for b in UPDATE_BUCKETS:
+        if n <= b:
+            return b
+    return UPDATE_BUCKETS[-1]
+
+
+@functools.cache
+def _updaters(bucket: int):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_rows(buf, rows, vals):
+        return buf.at[rows].set(vals, mode="drop")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_cols(cols, rows, vals):
+        # cols [NUM_COLS, cap]; vals [n, NUM_COLS]
+        return cols.at[:, rows].set(vals.T, mode="drop")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_scales(scales, rows, vals):
+        return scales.at[0, rows].set(vals, mode="drop")
+
+    return set_rows, set_cols, set_scales
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def _tombstone_matching(cols, col_idx: int, match_id):
+    hit = cols[col_idx] == match_id
+    valid = jnp.where(hit, 0, cols[COL_VALID])
+    return cols.at[COL_VALID].set(valid)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone_rows(cols, rows):
+    return cols.at[COL_VALID, rows].set(0, mode="drop")
+
+
+class Segment:
+    """Host handle for one device segment."""
+
+    def __init__(self, capacity: int, dim: int, sparse_slots: int,
+                 dtype: str = "bfloat16"):
+        assert capacity % dense_scan.TILE_N == 0, (
+            f"capacity must be a multiple of {dense_scan.TILE_N}")
+        self.capacity = capacity
+        self.dim = dim
+        self.sparse_slots = sparse_slots
+        self.dtype = dtype
+        store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                    "int8": jnp.int8}[dtype]
+        self.vecs = jnp.zeros((capacity, dim), store_dt)
+        self.scales = (jnp.zeros((1, capacity), jnp.float32)
+                       if dtype == "int8" else None)
+        self.terms = jnp.full((capacity, sparse_slots), -1, jnp.int32)
+        self.weights = jnp.zeros((capacity, sparse_slots), jnp.float32)
+        self.cols = jnp.zeros((NUM_COLS, capacity), jnp.int32)
+        # Host mirrors: allocation decisions + BM25 df bookkeeping on delete.
+        self.valid_np = np.zeros(capacity, bool)
+        self.doc_np = np.full(capacity, -1, np.int32)
+        self.terms_np = np.full((capacity, sparse_slots), -1, np.int32)
+        self._next = 0
+        self._free: list[int] = []
+
+    # -- allocation ---------------------------------------------------------
+    @property
+    def live_count(self) -> int:
+        return int(self.valid_np.sum())
+
+    def rows_available(self) -> int:
+        return (self.capacity - self._next) + len(self._free)
+
+    def allocate(self, n: int) -> np.ndarray:
+        """Allocate n rows (freed rows first, then the tail)."""
+        assert n <= self.rows_available()
+        rows = []
+        while self._free and len(rows) < n:
+            rows.append(self._free.pop())
+        tail = n - len(rows)
+        if tail:
+            rows.extend(range(self._next, self._next + tail))
+            self._next += tail
+        return np.asarray(rows, np.int32)
+
+    # -- mutation -----------------------------------------------------------
+    def write_rows(
+        self,
+        rows: np.ndarray,
+        dense: np.ndarray,
+        col_rows: np.ndarray,
+        terms: np.ndarray,
+        weights: np.ndarray,
+    ) -> None:
+        """Write n chunk rows. dense [n, D] f32 (unit-norm), col_rows
+        [n, NUM_COLS] int32, terms [n, S] int32, weights [n, S] f32."""
+        n = len(rows)
+        b = _bucket(n)
+        # Pad with out-of-range rows -> dropped by scatter mode='drop'.
+        rows_p = np.full(b, self.capacity, np.int32)
+        rows_p[:n] = rows
+        set_rows, set_cols, set_scales = _updaters(b)
+
+        if self.dtype == "int8":
+            scale = np.abs(dense).max(axis=1) / 127.0
+            scale = np.where(scale == 0, 1.0, scale)
+            q = np.clip(np.round(dense / scale[:, None]), -127, 127).astype(np.int8)
+            vals = np.zeros((b, self.dim), np.int8)
+            vals[:n] = q
+            self.vecs = set_rows(self.vecs, rows_p, jnp.asarray(vals))
+            sv = np.zeros(b, np.float32)
+            sv[:n] = scale
+            self.scales = set_scales(self.scales, rows_p, jnp.asarray(sv))
+        else:
+            dt = self.vecs.dtype
+            vals = np.zeros((b, self.dim), np.float32)
+            vals[:n] = dense
+            self.vecs = set_rows(self.vecs, rows_p, jnp.asarray(vals, dt))
+
+        tv = np.full((b, self.sparse_slots), -1, np.int32)
+        tv[:n] = terms
+        self.terms = set_rows(self.terms, rows_p, jnp.asarray(tv))
+        wv = np.zeros((b, self.sparse_slots), np.float32)
+        wv[:n] = weights
+        self.weights = set_rows(self.weights, rows_p, jnp.asarray(wv))
+
+        cv = np.zeros((b, NUM_COLS), np.int32)
+        cv[:n] = col_rows
+        self.cols = set_cols(self.cols, rows_p, jnp.asarray(cv))
+
+        self.valid_np[rows] = col_rows[:, COL_VALID] > 0
+        self.terms_np[rows] = terms
+        from voitta_rag_tpu.ops.filters import COL_DOC
+        self.doc_np[rows] = col_rows[:, COL_DOC]
+
+    def tombstone_rows(self, rows: np.ndarray) -> None:
+        if len(rows) == 0:
+            return
+        b = _bucket(len(rows))
+        rows_p = np.full(b, self.capacity, np.int32)
+        rows_p[: len(rows)] = rows
+        self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
+        self.valid_np[rows] = False
+        self._free.extend(int(r) for r in rows)
+
+    def tombstone_matching(self, col_idx: int, match_id: int) -> np.ndarray:
+        """Tombstone all rows whose cols[col_idx] == match_id; returns rows."""
+        if col_idx == 5:  # COL_DOC — host mirror avoids a device pull
+            rows = np.nonzero(self.valid_np & (self.doc_np == match_id))[0]
+        else:
+            col_host = np.asarray(self.cols[col_idx])
+            rows = np.nonzero(self.valid_np & (col_host == match_id))[0]
+        if len(rows) == 0:
+            return rows.astype(np.int32)
+        self.cols = _tombstone_matching(self.cols, col_idx, match_id)
+        self.valid_np[rows] = False
+        self._free.extend(int(r) for r in rows)
+        return rows.astype(np.int32)
+
+    # -- persistence --------------------------------------------------------
+    def to_host(self) -> dict[str, Any]:
+        out = {
+            "capacity": self.capacity, "dim": self.dim,
+            "sparse_slots": self.sparse_slots, "dtype": self.dtype,
+            "next": self._next, "free": np.asarray(self._free, np.int32),
+            "vecs": np.asarray(self.vecs.astype(jnp.float32))
+            if self.dtype == "bfloat16" else np.asarray(self.vecs),
+            "terms": np.asarray(self.terms),
+            "weights": np.asarray(self.weights),
+            "cols": np.asarray(self.cols),
+        }
+        if self.scales is not None:
+            out["scales"] = np.asarray(self.scales)
+        return out
+
+    @classmethod
+    def from_host(cls, data: dict[str, Any]) -> "Segment":
+        seg = cls(int(data["capacity"]), int(data["dim"]),
+                  int(data["sparse_slots"]), str(data["dtype"]))
+        store_dt = seg.vecs.dtype
+        seg.vecs = jnp.asarray(data["vecs"], store_dt)
+        seg.terms = jnp.asarray(data["terms"])
+        seg.weights = jnp.asarray(data["weights"])
+        seg.cols = jnp.asarray(data["cols"])
+        if "scales" in data and seg.scales is not None:
+            seg.scales = jnp.asarray(data["scales"])
+        seg._next = int(data["next"])
+        seg._free = [int(x) for x in data["free"]]
+        cols_host = np.asarray(data["cols"])
+        seg.valid_np = cols_host[COL_VALID] > 0
+        seg.terms_np = np.asarray(data["terms"])
+        from voitta_rag_tpu.ops.filters import COL_DOC
+        seg.doc_np = cols_host[COL_DOC].astype(np.int32)
+        return seg

@@ -1,0 +1,424 @@
+"""TpuVectorStore: the device-resident replacement for Qdrant.
+
+Implements the behavior contract of the reference's ``VectorStoreService``
+(services/vector_store.py:54-1028): collection bootstrap, batched upsert,
+delete by file/folder/index-folder, folder/time filters, dense and hybrid
+dense+sparse search with min-max weighted fusion, and the scroll-style
+payload lookups (chunk ranges, per-folder file sets, source-url resolution,
+collection stats).
+
+Architecture: chunk vectors + sparse terms + filter columns live in device
+HBM segments (:mod:`voitta_rag_tpu.index.segment`), scanned by Pallas
+kernels; texts and payload metadata live in host SQLite
+(:mod:`voitta_rag_tpu.index.payloads`). Searches run fully on device —
+encode-to-candidates is one jittable function (see
+:mod:`voitta_rag_tpu.search.service` for the fused path).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import uuid
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from voitta_rag_tpu.config import get_settings
+from voitta_rag_tpu.core_types import ChunkMetadata, SparseVector, StoredChunk
+from voitta_rag_tpu.index.payloads import PayloadStore
+from voitta_rag_tpu.index.segment import Segment
+from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
+from voitta_rag_tpu.ops.sparse_scan import sparse_scan_scores, TERM_PAD
+from voitta_rag_tpu.ops.filters import (
+    COL_ACL, COL_CHUNK_INDEX, COL_CREATED, COL_DOC, COL_FOLDER,
+    COL_INDEX_FOLDER, COL_MODIFIED, COL_VALID, MISSING_TS, NUM_COLS,
+    make_filter_spec,
+)
+from voitta_rag_tpu.ops.fusion import hybrid_fuse, rrf_fuse
+from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, masked_topk
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF
+from voitta_rag_tpu.search.sparse_text import idf as idf_fn
+
+logger = logging.getLogger(__name__)
+
+
+class TpuVectorStore:
+    """Device-resident hybrid vector index with the Qdrant-wrapper contract."""
+
+    def __init__(self, index_dir: str | Path | None = None,
+                 collection: str | None = None,
+                 dimension: int | None = None):
+        settings = get_settings()
+        self.collection_name = collection or settings.collection
+        self.dimension = dimension or settings.embedding_dimension
+        self.index_dir = Path(index_dir or settings.index_dir) / self.collection_name
+        self.segment_capacity = settings.segment_capacity
+        self.segment_dtype = settings.segment_dtype
+        self.sparse_slots = settings.sparse_slots
+        self.sparse_query_terms = settings.sparse_query_terms
+        self.prefetch_multiplier = settings.prefetch_multiplier
+        self._lock = threading.RLock()
+        self._payloads: PayloadStore | None = None
+        self._segments: list[Segment] | None = None
+
+    # -- lazy bootstrap (reference vector_store.py:66-115) -------------------
+    @property
+    def payloads(self) -> PayloadStore:
+        self._ensure_open()
+        return self._payloads
+
+    @property
+    def segments(self) -> list[Segment]:
+        self._ensure_open()
+        return self._segments
+
+    def _ensure_open(self) -> None:
+        with self._lock:
+            if self._segments is not None:
+                return
+            self.index_dir.mkdir(parents=True, exist_ok=True)
+            self._payloads = PayloadStore(self.index_dir / "payloads.db")
+            self._segments = []
+            seg_files = sorted(self.index_dir.glob("segment_*.npz"))
+            for f in seg_files:
+                with np.load(f, allow_pickle=False) as data:
+                    self._segments.append(Segment.from_host(dict(data)))
+            if self._segments:
+                logger.info("Loaded %d segments (%d live chunks) for '%s'",
+                            len(self._segments), self.count(), self.collection_name)
+
+    def _segment_with_space(self, n: int) -> Segment:
+        for seg in self._segments:
+            if seg.rows_available() >= n:
+                return seg
+        seg = Segment(self.segment_capacity, self.dimension,
+                      self.sparse_slots, self.segment_dtype)
+        self._segments.append(seg)
+        logger.info("Allocated segment %d (capacity %d, dtype %s)",
+                    len(self._segments) - 1, seg.capacity, seg.dtype)
+        return seg
+
+    def _gid(self, seg: Segment, row: int) -> int:
+        return self._segments.index(seg) * self.segment_capacity + int(row)
+
+    # -- upsert (reference vector_store.py:233-317) --------------------------
+    def store_chunks(
+        self,
+        texts: list[str],
+        embeddings: list[list[float]] | np.ndarray,
+        metadata_list: list[ChunkMetadata],
+        sparse_vectors: list[SparseVector] | None = None,
+    ) -> list[str]:
+        """Store chunk batch; returns point ids (uuid strings)."""
+        self._ensure_open()
+        if not texts:
+            return []
+        assert len(texts) == len(metadata_list)
+        dense = np.asarray(embeddings, np.float32)
+        assert dense.shape == (len(texts), self.dimension), dense.shape
+        # Normalize (COSINE space, reference collection config Distance.COSINE).
+        norms = np.linalg.norm(dense, axis=1, keepdims=True)
+        dense = dense / np.where(norms == 0, 1.0, norms)
+
+        S = self.sparse_slots
+        n = len(texts)
+        terms = np.full((n, S), TERM_PAD, np.int32)
+        weights = np.zeros((n, S), np.float32)
+        df_bump: dict[int, int] = {}
+        if sparse_vectors is not None:
+            for i, sv in enumerate(sparse_vectors):
+                idx = np.asarray(sv.indices, np.int64)
+                val = np.asarray(sv.values, np.float32)
+                if len(idx) > S:  # keep top-S by weight
+                    keep = np.argsort(-val)[:S]
+                    idx, val = idx[keep], val[keep]
+                terms[i, : len(idx)] = idx
+                weights[i, : len(idx)] = val
+                for t in set(int(x) for x in idx):
+                    df_bump[t] = df_bump.get(t, 0) + 1
+
+        col_rows = np.zeros((n, NUM_COLS), np.int32)
+        point_ids = []
+        with self._lock:
+            for i, m in enumerate(metadata_list):
+                col_rows[i, COL_VALID] = 1
+                col_rows[i, COL_FOLDER] = self._payloads.folders.intern(m.folder_path)
+                col_rows[i, COL_INDEX_FOLDER] = self._payloads.folders.intern(m.index_folder)
+                col_rows[i, COL_CREATED] = (
+                    m.source_created_at if m.source_created_at is not None else MISSING_TS)
+                col_rows[i, COL_MODIFIED] = (
+                    m.source_modified_at if m.source_modified_at is not None else MISSING_TS)
+                col_rows[i, COL_DOC] = self._payloads.docs.intern(m.file_path)
+                col_rows[i, COL_ACL] = 0
+                col_rows[i, COL_CHUNK_INDEX] = m.chunk_index
+                point_ids.append(str(uuid.uuid4()))
+
+            # Fill segments (may span several on overflow).
+            payload_rows = []
+            start = 0
+            while start < n:
+                seg = self._segment_with_space(1)
+                take = min(n - start, seg.rows_available())
+                rows = seg.allocate(take)
+                sl = slice(start, start + take)
+                seg.write_rows(rows, dense[sl], col_rows[sl], terms[sl],
+                               weights[sl])
+                for j, r in enumerate(rows):
+                    k = start + j
+                    payload_rows.append(
+                        (self._gid(seg, r), point_ids[k], texts[k],
+                         metadata_list[k]))
+                start += take
+            self._payloads.insert_chunks(payload_rows)
+            if df_bump:
+                self._payloads.bump_term_dfs(df_bump)
+        return point_ids
+
+    # -- deletes (reference vector_store.py:319-434) -------------------------
+    def _delete_gids(self, gids: list[int]) -> int:
+        if not gids:
+            return 0
+        by_seg: dict[int, list[int]] = {}
+        for g in gids:
+            by_seg.setdefault(g // self.segment_capacity, []).append(
+                g % self.segment_capacity)
+        df_drop: dict[int, int] = {}
+        for si, rows in by_seg.items():
+            seg = self._segments[si]
+            rows_arr = np.asarray(rows, np.int32)
+            for t_row in seg.terms_np[rows_arr]:
+                for t in set(int(x) for x in t_row if x != TERM_PAD):
+                    df_drop[t] = df_drop.get(t, 0) - 1
+            seg.tombstone_rows(rows_arr)
+        self._payloads.delete_gids(gids)
+        if df_drop:
+            self._payloads.bump_term_dfs(df_drop)
+        return len(gids)
+
+    def delete_by_file(self, file_path: str) -> int:
+        """Delete all chunks of one file; returns count removed."""
+        with self._lock:
+            self._ensure_open()
+            return self._delete_gids(self._payloads.gids_where("file_path", file_path))
+
+    def delete_by_folder(self, folder_path: str) -> int:
+        """Delete chunks under a folder subtree (reference delete_by_folder)."""
+        with self._lock:
+            self._ensure_open()
+            return self._delete_gids(
+                self._payloads.gids_where_prefix("folder_path", folder_path))
+
+    def delete_by_index_folder(self, index_folder: str) -> int:
+        with self._lock:
+            self._ensure_open()
+            return self._delete_gids(
+                self._payloads.gids_where("index_folder", index_folder))
+
+    def delete_by_point_ids(self, point_ids: list[str]) -> int:
+        with self._lock:
+            self._ensure_open()
+            gids = []
+            for pid in point_ids:
+                rows = self._payloads._conn.execute(
+                    "SELECT gid FROM chunks WHERE point_id=?", (pid,)).fetchall()
+                gids.extend(r[0] for r in rows)
+            return self._delete_gids(gids)
+
+    # -- search (reference vector_store.py:560-697) --------------------------
+    def _resolve_filter_ids(
+        self,
+        folder_filter: str | None,
+        include_folders: list[str] | None,
+        exclude_folders: list[str] | None,
+        exclude_index_folders: list[str] | None,
+    ):
+        folders = self._payloads.folders
+        include_ids = None
+        impossible = False
+        inc = list(include_folders or [])
+        if folder_filter:
+            inc = [folder_filter] + inc if include_folders else [folder_filter]
+        if folder_filter or include_folders:
+            include_ids = folders.lookup_many(inc)
+            if not include_ids:
+                impossible = True  # no known folder can match
+        exclude_ids = folders.lookup_many(exclude_folders or [])
+        exclude_if_ids = folders.lookup_many(exclude_index_folders or [])
+        return include_ids, exclude_ids, exclude_if_ids, impossible
+
+    def _sparse_query_arrays(self, sparse_query):
+        """(indices, values) | SparseVector → padded device arrays with IDF."""
+        if isinstance(sparse_query, SparseVector):
+            indices, values = sparse_query.indices, sparse_query.values
+        else:
+            indices, values = sparse_query
+        qt = np.full((1, self.sparse_query_terms), TERM_PAD, np.int32)
+        qw = np.zeros((1, self.sparse_query_terms), np.float32)
+        n_docs = max(self.payloads.count(), 1)
+        dfs = self.payloads.term_dfs([int(t) for t in indices])
+        k = min(len(indices), self.sparse_query_terms)
+        for j in range(k):
+            t = int(indices[j])
+            qt[0, j] = t
+            qw[0, j] = float(values[j]) * idf_fn(dfs.get(t, 0), n_docs)
+        return qt, qw
+
+    def _score_all_segments(self, q_dense, spec, qt=None, qw=None):
+        """Concatenated masked scores over all segments.
+
+        Returns (dense_scores [B, total], sparse_scores [B, total] | None).
+        """
+        d_parts, s_parts = [], []
+        for seg in self._segments:
+            d_parts.append(dense_scan_scores(
+                q_dense, seg.vecs, seg.cols, spec, seg.scales))
+            if qt is not None:
+                s_parts.append(sparse_scan_scores(
+                    jnp.asarray(qt), jnp.asarray(qw), seg.terms, seg.weights,
+                    seg.cols, spec))
+        dense_scores = jnp.concatenate(d_parts, axis=1)
+        sparse_scores = jnp.concatenate(s_parts, axis=1) if s_parts else None
+        return dense_scores, sparse_scores
+
+    def search(
+        self,
+        query_embedding: list[float] | np.ndarray,
+        limit: int = 10,
+        folder_filter: str | None = None,
+        include_folders: list[str] | None = None,
+        exclude_folders: list[str] | None = None,
+        exclude_index_folders: list[str] | None = None,
+        sparse_query: tuple[list[int], list[float]] | SparseVector | None = None,
+        sparse_weight: float = 0.1,
+        date_start: int | None = None,
+        date_end: int | None = None,
+        date_field: str | None = None,
+        fusion: str = "weighted",
+    ) -> list[StoredChunk]:
+        """Dense or hybrid search (reference search signature + semantics)."""
+        self._ensure_open()
+        if not self._segments or self.count() == 0:
+            return []
+        include_ids, exclude_ids, exclude_if_ids, impossible = (
+            self._resolve_filter_ids(folder_filter, include_folders,
+                                     exclude_folders, exclude_index_folders))
+        if impossible:
+            return []
+        spec = make_filter_spec(
+            include_folder_ids=include_ids,
+            exclude_folder_ids=exclude_ids,
+            exclude_index_folder_ids=exclude_if_ids,
+            date_start=date_start, date_end=date_end, date_field=date_field)
+
+        q = np.asarray(query_embedding, np.float32).reshape(1, -1)
+        nrm = np.linalg.norm(q)
+        if nrm > 0:
+            q = q / nrm
+
+        has_sparse = sparse_query is not None and len(
+            sparse_query.indices if isinstance(sparse_query, SparseVector)
+            else sparse_query[0]) > 0
+        qt = qw = None
+        if has_sparse:
+            qt, qw = self._sparse_query_arrays(sparse_query)
+
+        dense_scores, sparse_scores = self._score_all_segments(
+            jnp.asarray(q), spec, qt, qw)
+
+        if has_sparse:
+            fuse = rrf_fuse if fusion == "rrf" else hybrid_fuse
+            if fusion == "rrf":
+                scores, gids = fuse(dense_scores, sparse_scores, limit=limit,
+                                    prefetch_multiplier=self.prefetch_multiplier)
+            else:
+                scores, gids = fuse(dense_scores, sparse_scores, sparse_weight,
+                                    limit=limit,
+                                    prefetch_multiplier=self.prefetch_multiplier)
+        else:
+            scores, gids = masked_topk(dense_scores, limit)
+
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+
+    def _materialize(self, scores: np.ndarray, gids: np.ndarray) -> list[StoredChunk]:
+        keep = [(int(g), float(s)) for s, g in zip(scores, gids)
+                if g >= 0 and s > VALID_THRESHOLD]
+        payload = self._payloads.get_chunks([g for g, _ in keep])
+        out = []
+        for g, s in keep:
+            chunk = payload.get(g)
+            if chunk is None:  # payload/device divergence: skip defensively
+                continue
+            chunk.score = s
+            out.append(chunk)
+        return out
+
+    # -- scroll-style lookups (reference vector_store.py:163-214, 698-1016) --
+    def count(self) -> int:
+        return self.payloads.count()
+
+    def count_chunks_for_file(self, file_path: str) -> int:
+        return self.payloads.count_for_file(file_path)
+
+    def get_chunk_range(self, file_path: str, start: int, end: int) -> list[StoredChunk]:
+        return self.payloads.chunks_for_file(file_path, start, end)
+
+    def get_chunks_for_file(self, file_path: str) -> list[StoredChunk]:
+        return self.payloads.chunks_for_file(file_path)
+
+    def get_file_paths_for_folder(self, folder_path: str) -> set[str]:
+        return self.payloads.file_paths_for("folder_path", folder_path)
+
+    def get_file_paths_for_index_folder(self, index_folder: str) -> set[str]:
+        return self.payloads.file_paths_for("index_folder", index_folder)
+
+    def find_by_source_url(self, source_url: str) -> list[StoredChunk]:
+        return self.payloads.find_by_source_url(source_url)
+
+    def update_file_acl(self, file_path: str, allowed_users: list[str] | None) -> None:
+        self.payloads.update_acl(file_path, allowed_users)
+
+    def get_collection_info(self) -> dict:
+        self._ensure_open()
+        return {
+            "name": self.collection_name,
+            "points_count": self.count(),
+            "segments": len(self._segments),
+            "segment_capacity": self.segment_capacity,
+            "dimension": self.dimension,
+            "dtype": self.segment_dtype,
+            "status": "green",
+        }
+
+    # -- persistence ---------------------------------------------------------
+    def save(self) -> None:
+        with self._lock:
+            self._ensure_open()
+            for i, seg in enumerate(self._segments):
+                np.savez_compressed(self.index_dir / f"segment_{i:04d}.npz",
+                                    **seg.to_host())
+
+    def close(self) -> None:
+        with self._lock:
+            if self._payloads is not None:
+                self._payloads.close()
+            self._payloads = None
+            self._segments = None
+
+
+_vector_store: TpuVectorStore | None = None
+
+
+def get_vector_store() -> TpuVectorStore:
+    global _vector_store
+    if _vector_store is None:
+        _vector_store = TpuVectorStore()
+    return _vector_store
+
+
+def reset_vector_store() -> None:
+    global _vector_store
+    if _vector_store is not None:
+        _vector_store.close()
+    _vector_store = None

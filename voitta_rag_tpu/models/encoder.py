@@ -1,0 +1,196 @@
+"""Functional BERT-family text encoder (pure JAX + Pallas fused attention).
+
+The reference encodes with sentence-transformers on cpu/cuda
+(services/embedding.py:24-42: lazy model load; 56-74: batch encode). Here the
+encoder is a pure function over an explicit parameter pytree — jit/pjit/vmap
+compose freely, data-parallel index-time encoding is a sharding annotation,
+and the same forward runs under the contrastive fine-tuning step
+(:mod:`voitta_rag_tpu.models.training`).
+
+Architecture: post-LayerNorm BERT (embeddings + L transformer blocks), mean
+pooling over the attention mask, L2 normalization — the pooling convention of
+the e5 / MiniLM / bge sentence-embedding families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from voitta_rag_tpu.ops.flash_attention import fused_attention
+from voitta_rag_tpu.ops.pallas_utils import on_tpu
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    # dtype for parameters/activations on device
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# Model families from the reference stack (config.py:33-36, BASELINE configs).
+PRESETS: dict[str, EncoderConfig] = {
+    "intfloat/e5-base-v2": EncoderConfig(),
+    "BAAI/bge-base-en-v1.5": EncoderConfig(),
+    "sentence-transformers/all-MiniLM-L6-v2": EncoderConfig(
+        hidden_size=384, num_layers=6, num_heads=12, intermediate_size=1536,
+        max_position=512,
+    ),
+    # Tiny config for tests
+    "test-tiny": EncoderConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position=64,
+    ),
+}
+
+
+def config_for(model_name: str) -> EncoderConfig:
+    if model_name in PRESETS:
+        return PRESETS[model_name]
+    return EncoderConfig()  # bert-base geometry default
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: EncoderConfig) -> Params:
+    """Deterministic random init (stand-in when no checkpoint is available)."""
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    n_keys = 4 + cfg.num_layers * 6
+    keys = iter(jax.random.split(rng, n_keys))
+    dt = jnp.dtype(cfg.dtype)
+
+    def dense(key, din, dout):
+        return {
+            "kernel": (jax.random.normal(key, (din, dout)) * (din ** -0.5)).astype(dt),
+            "bias": jnp.zeros((dout,), dt),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((H,), dt), "bias": jnp.zeros((H,), dt)}
+
+    params: Params = {
+        "embeddings": {
+            "word": (jax.random.normal(next(keys), (cfg.vocab_size, H)) * 0.02).astype(dt),
+            "position": (jax.random.normal(next(keys), (cfg.max_position, H)) * 0.02).astype(dt),
+            "token_type": (jax.random.normal(next(keys), (cfg.type_vocab_size, H)) * 0.02).astype(dt),
+            "ln": ln(),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "attn": {
+                "q": dense(next(keys), H, H),
+                "k": dense(next(keys), H, H),
+                "v": dense(next(keys), H, H),
+                "o": dense(next(keys), H, H),
+                "ln": ln(),
+            },
+            "mlp": {
+                "up": dense(next(keys), H, I),
+                "down": dense(next(keys), I, H),
+                "ln": ln(),
+            },
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return x @ p["kernel"] + p["bias"]
+
+
+def encoder_forward(
+    params: Params,
+    cfg: EncoderConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    use_pallas_attn: bool | None = None,
+) -> jax.Array:
+    """Token-level hidden states [B, L, H]."""
+    if use_pallas_attn is None:
+        use_pallas_attn = on_tpu()
+    B, L = input_ids.shape
+    emb = params["embeddings"]
+    h = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + emb["position"][None, :L, :]
+        + emb["token_type"][0][None, None, :]
+    )
+    h = _layer_norm(h, emb["ln"], cfg.layer_norm_eps)
+
+    # Additive key-padding bias shared by all layers.
+    bias = jnp.where(attention_mask > 0, 0.0, -1e30).astype(jnp.float32)[:, None, :]
+
+    nh, dh = cfg.num_heads, cfg.head_dim
+    for layer in params["layers"]:
+        a = layer["attn"]
+        q = _dense(h, a["q"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+        k = _dense(h, a["k"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+        v = _dense(h, a["v"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+        o = fused_attention(q, k, v, bias, use_pallas=use_pallas_attn)
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, nh * dh)
+        h = _layer_norm(h + _dense(o, a["o"]), a["ln"], cfg.layer_norm_eps)
+
+        m = layer["mlp"]
+        ff = _dense(jax.nn.gelu(_dense(h, m["up"]), approximate=False), m["down"])
+        h = _layer_norm(h + ff, m["ln"], cfg.layer_norm_eps)
+    return h
+
+
+def mean_pool_normalize(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """Mean pooling over real tokens + L2 norm (sentence-transformers
+    convention for e5/MiniLM/bge; reference embed output is unit-norm cosine
+    space, vector_store COSINE distance)."""
+    m = attention_mask[:, :, None].astype(hidden.dtype)
+    summed = jnp.sum(hidden * m, axis=1)
+    counts = jnp.clip(jnp.sum(m, axis=1), 1e-9, None)
+    pooled = summed / counts
+    return pooled / jnp.clip(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12, None
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas_attn"))
+def encode_tokens(
+    params: Params,
+    cfg: EncoderConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    use_pallas_attn: bool | None = None,
+) -> jax.Array:
+    """Full encode: tokens → unit-normalized sentence embeddings [B, H]."""
+    h = encoder_forward(params, cfg, input_ids, attention_mask,
+                        use_pallas_attn=use_pallas_attn)
+    return mean_pool_normalize(h, attention_mask)

@@ -1,0 +1,187 @@
+"""Self-contained WordPiece tokenization (no external tokenizer dependency).
+
+The reference delegates tokenization to sentence-transformers/HF; here it is
+implemented from scratch so the framework is standalone: a BasicTokenizer
+(lowercase, accent strip, punctuation split, CJK spacing) + greedy
+longest-match WordPiece, matching the BERT tokenization used by the
+e5/MiniLM/bge families. When no ``vocab.txt`` is available (air-gapped
+deploys), :class:`HashTokenizer` provides a deterministic hashed-id fallback
+so the full pipeline still runs (embeddings then come from the
+deterministic-random encoder init).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+from pathlib import Path
+
+import numpy as np
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFAFF
+    )
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
+    """Whitespace + punctuation + CJK split with accent stripping."""
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if ch.isspace():
+            out.append(" ")
+        elif cp == 0 or cp == 0xFFFD or unicodedata.category(ch) in ("Cc", "Cf"):
+            continue
+        elif _is_cjk(cp):
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    text = "".join(out)
+    if lowercase:
+        text = text.lower()
+        text = unicodedata.normalize("NFD", text)
+        text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+    tokens: list[str] = []
+    for tok in text.split():
+        cur = ""
+        for ch in tok:
+            if _is_punctuation(ch):
+                if cur:
+                    tokens.append(cur)
+                    cur = ""
+                tokens.append(ch)
+            else:
+                cur += ch
+        if cur:
+            tokens.append(cur)
+    return tokens
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece over a BERT vocab."""
+
+    def __init__(self, vocab: dict[str, int], lowercase: bool = True,
+                 max_word_chars: int = 100):
+        self.vocab = vocab
+        self.lowercase = lowercase
+        self.max_word_chars = max_word_chars
+        self.pad_id = vocab.get(PAD, 0)
+        self.unk_id = vocab.get(UNK, 1)
+        self.cls_id = vocab.get(CLS, 2)
+        self.sep_id = vocab.get(SEP, 3)
+
+    @classmethod
+    def from_vocab_file(cls, path: str | Path, **kw) -> "WordPieceTokenizer":
+        vocab: dict[str, int] = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, **kw)
+
+    @property
+    def vocab_size(self) -> int:
+        return max(self.vocab.values()) + 1
+
+    def wordpiece(self, word: str) -> list[int]:
+        if len(word) > self.max_word_chars:
+            return [self.unk_id]
+        ids: list[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.vocab:
+                    cur = self.vocab[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def tokenize_ids(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for tok in basic_tokenize(text, self.lowercase):
+            ids.extend(self.wordpiece(tok))
+        return ids
+
+    def encode_batch(
+        self, texts: list[str], max_len: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (input_ids [B, max_len] int32, attention_mask [B, max_len] int32)
+        with [CLS] ... [SEP] framing and truncation."""
+        B = len(texts)
+        input_ids = np.full((B, max_len), self.pad_id, np.int32)
+        mask = np.zeros((B, max_len), np.int32)
+        for i, text in enumerate(texts):
+            ids = self.tokenize_ids(text)[: max_len - 2]
+            row = [self.cls_id] + ids + [self.sep_id]
+            input_ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return input_ids, mask
+
+
+class HashTokenizer:
+    """Deterministic hashed-id tokenizer (no vocab file required).
+
+    Token ids are stable across processes (md5-based, not Python ``hash``).
+    Ids 0-3 are reserved for PAD/UNK/CLS/SEP.
+    """
+
+    RESERVED = 4
+
+    def __init__(self, vocab_size: int = 30522, lowercase: bool = True):
+        self._vocab_size = vocab_size
+        self.lowercase = lowercase
+        self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 1, 2, 3
+
+    @property
+    def vocab_size(self) -> int:
+        return self._vocab_size
+
+    def _hash_id(self, token: str) -> int:
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
+        return self.RESERVED + h % (self._vocab_size - self.RESERVED)
+
+    def tokenize_ids(self, text: str) -> list[int]:
+        return [self._hash_id(t) for t in basic_tokenize(text, self.lowercase)]
+
+    def encode_batch(
+        self, texts: list[str], max_len: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        B = len(texts)
+        input_ids = np.full((B, max_len), self.pad_id, np.int32)
+        mask = np.zeros((B, max_len), np.int32)
+        for i, text in enumerate(texts):
+            ids = self.tokenize_ids(text)[: max_len - 2]
+            row = [self.cls_id] + ids + [self.sep_id]
+            input_ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return input_ids, mask
+
+
+def load_tokenizer(model_dir: str | Path | None, vocab_size: int = 30522):
+    """Load WordPiece from ``<dir>/vocab.txt`` when present, else HashTokenizer."""
+    if model_dir:
+        p = Path(model_dir)
+        for cand in (p / "vocab.txt", p / "0_Transformer" / "vocab.txt"):
+            if cand.exists():
+                return WordPieceTokenizer.from_vocab_file(cand)
+    return HashTokenizer(vocab_size=vocab_size)

@@ -1,0 +1,122 @@
+"""Import sentence-transformers / HF BERT checkpoints into the JAX encoder.
+
+The reference lazy-loads `SentenceTransformer(model_name)` at first use
+(services/embedding.py:24-42). Here checkpoints are read directly from a local
+directory (safetensors or torch .bin — torch-cpu is only used as a file
+reader) and mapped into the :mod:`voitta_rag_tpu.models.encoder` parameter
+pytree. No network access is assumed.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from voitta_rag_tpu.models.encoder import EncoderConfig, Params
+
+
+def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop leading 'bert.' / '0.' / 'auto_model.' wrappers."""
+    out = {}
+    for k, v in state.items():
+        for pref in ("bert.", "0.auto_model.", "auto_model.", "model."):
+            if k.startswith(pref):
+                k = k[len(pref):]
+        out[k] = v
+    return out
+
+
+def load_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
+    """Read a checkpoint file from a model directory into numpy arrays."""
+    p = Path(model_dir)
+    candidates = [
+        p / "model.safetensors", p / "0_Transformer" / "model.safetensors",
+        p / "pytorch_model.bin", p / "0_Transformer" / "pytorch_model.bin",
+    ]
+    for c in candidates:
+        if not c.exists():
+            continue
+        if c.suffix == ".safetensors":
+            from safetensors.numpy import load_file
+
+            return _strip_prefix(load_file(str(c)))
+        import torch
+
+        sd = torch.load(str(c), map_location="cpu", weights_only=True)
+        return _strip_prefix({k: v.numpy() for k, v in sd.items()})
+    raise FileNotFoundError(f"no checkpoint found under {model_dir}")
+
+
+def params_from_state_dict(
+    state: dict[str, np.ndarray], cfg: EncoderConfig
+) -> Params:
+    """Map HF BERT names → encoder pytree. Linear weights are [out, in] in
+    torch; the encoder stores [in, out] kernels, so they are transposed."""
+    state = _strip_prefix(state)
+    dt = jnp.dtype(cfg.dtype)
+
+    def t(name):  # transposed linear weight
+        return jnp.asarray(state[name].T, dt)
+
+    def a(name):
+        return jnp.asarray(state[name], dt)
+
+    def dense(prefix):
+        return {"kernel": t(f"{prefix}.weight"), "bias": a(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": a(f"{prefix}.weight"), "bias": a(f"{prefix}.bias")}
+
+    params: Params = {
+        "embeddings": {
+            "word": a("embeddings.word_embeddings.weight"),
+            "position": a("embeddings.position_embeddings.weight"),
+            "token_type": a("embeddings.token_type_embeddings.weight"),
+            "ln": ln("embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        params["layers"].append({
+            "attn": {
+                "q": dense(f"{pre}.attention.self.query"),
+                "k": dense(f"{pre}.attention.self.key"),
+                "v": dense(f"{pre}.attention.self.value"),
+                "o": dense(f"{pre}.attention.output.dense"),
+                "ln": ln(f"{pre}.attention.output.LayerNorm"),
+            },
+            "mlp": {
+                "up": dense(f"{pre}.intermediate.dense"),
+                "down": dense(f"{pre}.output.dense"),
+                "ln": ln(f"{pre}.output.LayerNorm"),
+            },
+        })
+    return params
+
+
+def config_from_state_dict(state: dict[str, np.ndarray]) -> EncoderConfig:
+    """Infer encoder geometry from checkpoint shapes."""
+    state = _strip_prefix(state)
+    vocab, hidden = state["embeddings.word_embeddings.weight"].shape
+    max_pos = state["embeddings.position_embeddings.weight"].shape[0]
+    type_vocab = state["embeddings.token_type_embeddings.weight"].shape[0]
+    inter = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
+    n_layers = 0
+    while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
+        n_layers += 1
+    # Heads: assume head_dim 64 (true for the supported families).
+    num_heads = max(hidden // 64, 1)
+    return EncoderConfig(
+        vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
+        num_heads=num_heads, intermediate_size=inter, max_position=max_pos,
+        type_vocab_size=type_vocab,
+    )
+
+
+def load_encoder(model_dir: str | Path) -> tuple[EncoderConfig, Params]:
+    state = load_state_dict(model_dir)
+    cfg = config_from_state_dict(state)
+    return cfg, params_from_state_dict(state, cfg)

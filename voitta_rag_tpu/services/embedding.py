@@ -1,0 +1,158 @@
+"""Embedding service: the TPU-native replacement for sentence-transformers.
+
+Behavior contract (reference services/embedding.py):
+- lazy model load at first use (24-42),
+- e5 prefix convention: ``passage:`` for documents (44-54), ``query:`` for
+  queries (76-86) — applied only for e5-family model names, like the
+  reference which always prefixes (its default model is e5),
+- batch encode with ``batch_size=32`` host batching (56-74).
+
+TPU-native behavior: texts are tokenized host-side, padded into
+static-shape buckets (so XLA compiles a handful of programs, not one per
+batch shape), and encoded under jit with the Pallas fused-attention encoder.
+Embeddings come back unit-normalized (COSINE space).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from voitta_rag_tpu.config import get_settings
+from voitta_rag_tpu.models.encoder import (
+    EncoderConfig, config_for, encode_tokens, init_params,
+)
+from voitta_rag_tpu.models.tokenizer import load_tokenizer
+from voitta_rag_tpu.models import weights as weights_mod
+
+logger = logging.getLogger(__name__)
+
+# Static batch buckets: pad to the smallest bucket that fits.
+BATCH_BUCKETS = (1, 8, 32, 128)
+
+
+def _bucket(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return BATCH_BUCKETS[-1]
+
+
+class EmbeddingService:
+    """Generates dense embeddings on TPU (reference embedding.py:14-97)."""
+
+    def __init__(self, model_name: str | None = None,
+                 model_path: str | None = None,
+                 max_seq_len: int | None = None):
+        settings = get_settings()
+        self.model_name = model_name or settings.embedding_model
+        self.model_path = model_path if model_path is not None else settings.embedding_model_path
+        self.max_seq_len = max_seq_len or settings.max_seq_len
+        self.batch_size = settings.encode_batch_size
+        self._cfg: EncoderConfig | None = None
+        self._params = None
+        self._tokenizer = None
+
+    # -- lazy load (reference embedding.py:23-42) --
+    def _ensure_model(self) -> None:
+        if self._params is not None:
+            return
+        cfg = config_for(self.model_name)
+        params = None
+        if self.model_path and Path(self.model_path).exists():
+            try:
+                cfg, params = weights_mod.load_encoder(self.model_path)
+                logger.info("Loaded encoder checkpoint from %s", self.model_path)
+            except Exception as e:  # fall back to deterministic init
+                logger.warning("Checkpoint load failed (%s); using random init", e)
+        if params is None:
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            logger.info("Initialized encoder %s with deterministic random "
+                        "weights (no local checkpoint)", self.model_name)
+        self._cfg = cfg
+        self._params = jax.device_put(params)
+        self._tokenizer = load_tokenizer(self.model_path or None, cfg.vocab_size)
+
+    @property
+    def dimension(self) -> int:
+        self._ensure_model()
+        return self._cfg.hidden_size
+
+    @property
+    def uses_e5_prefixes(self) -> bool:
+        return "e5" in self.model_name.lower()
+
+    # -- encode paths --
+    def _encode_batch(self, texts: list[str]) -> np.ndarray:
+        self._ensure_model()
+        ids, mask = self._tokenizer.encode_batch(texts, self.max_seq_len)
+        b = _bucket(len(texts))
+        if b > len(texts):
+            pad = b - len(texts)
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
+            # keep one real token in padding rows to avoid 0-count pooling
+            mask[len(texts):, 0] = 1
+        out = encode_tokens(self._params, self._cfg, ids, mask)
+        return np.asarray(out[: len(texts)], dtype=np.float32)
+
+    def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        """Embed document texts (``passage:`` prefix, embedding.py:44-74)."""
+        if not texts:
+            return []
+        if self.uses_e5_prefixes:
+            texts = [f"passage: {t}" for t in texts]
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            out.append(self._encode_batch(texts[i:i + self.batch_size]))
+        return np.concatenate(out).tolist()
+
+    def embed_texts_array(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            self._ensure_model()
+            return np.zeros((0, self._cfg.hidden_size), np.float32)
+        if self.uses_e5_prefixes:
+            texts = [f"passage: {t}" for t in texts]
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            out.append(self._encode_batch(texts[i:i + self.batch_size]))
+        return np.concatenate(out)
+
+    def embed_query(self, query: str) -> list[float]:
+        """Embed a search query (``query:`` prefix, embedding.py:76-86)."""
+        text = f"query: {query}" if self.uses_e5_prefixes else query
+        return self._encode_batch([text])[0].tolist()
+
+    def embed_query_array(self, query: str) -> np.ndarray:
+        text = f"query: {query}" if self.uses_e5_prefixes else query
+        return self._encode_batch([text])[0]
+
+    # Token-level access for the fused query path (search/service.py): the
+    # engine wants to run tokenize on host but encode+scan in ONE program.
+    def tokenize_query(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        self._ensure_model()
+        text = f"query: {query}" if self.uses_e5_prefixes else query
+        return self._tokenizer.encode_batch([text], self.max_seq_len)
+
+    @property
+    def encoder(self):
+        self._ensure_model()
+        return self._cfg, self._params
+
+
+_embedding_service: EmbeddingService | None = None
+
+
+def get_embedding_service() -> EmbeddingService:
+    global _embedding_service
+    if _embedding_service is None:
+        _embedding_service = EmbeddingService()
+    return _embedding_service
+
+
+def reset_embedding_service() -> None:
+    global _embedding_service
+    _embedding_service = None
