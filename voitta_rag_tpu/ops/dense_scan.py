@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voitta_rag_tpu.ops.filters import FilterSpec, eval_mask
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF, cdiv, interpret_mode
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, pick_tile
 
 # Rows per grid step. 512 rows x 768 dims x 2B = 768 KB of VMEM for the vector
 # tile — leaves room for double buffering within the ~16 MB budget.
@@ -90,13 +90,13 @@ def dense_scan_scores(
     """
     B, D = q.shape
     N = vecs.shape[0]
-    assert N % TILE_N == 0, f"segment rows {N} not padded to TILE_N={TILE_N}"
+    tile = pick_tile(N, TILE_N)
     assert cols.shape[1] == N
 
     if not use_pallas:
         return _xla_scan_scores(q, vecs, cols, spec, scales)
 
-    grid = (N // TILE_N,)
+    grid = (N // tile,)
     filt_specs = [
         pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(spec.inc_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -104,10 +104,10 @@ def dense_scan_scores(
         pl.BlockSpec(spec.exc_if_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     q_spec = pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((TILE_N, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cols_spec = pl.BlockSpec((cols.shape[0], TILE_N), lambda i: (0, i),
+    vec_spec = pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cols_spec = pl.BlockSpec((cols.shape[0], tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((B, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((B, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     bytes_per_el = 1 if vecs.dtype == jnp.int8 else vecs.dtype.itemsize
     cost = pl.CostEstimate(
@@ -118,7 +118,7 @@ def dense_scan_scores(
 
     if vecs.dtype == jnp.int8:
         assert scales is not None, "int8 segment requires per-row scales"
-        scale_spec = pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+        scale_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
             _scan_kernel_int8,

@@ -38,6 +38,16 @@ def _candidates(scores_row: jax.Array, p: int):
     return vals, idxs, valid
 
 
+def _candidates_from_lists(vals_row: jax.Array, ids_row: jax.Array, p: int):
+    """Top-p re-selection from a pre-gathered candidate list [C] (sharded
+    path: C = n_shards * p_local). Entries with id < 0 are invalid."""
+    vals_row = jnp.where(ids_row >= 0, vals_row, NEG_INF)
+    vals, pos = jax.lax.top_k(vals_row, p)
+    ids = ids_row[pos]
+    valid = vals > VALID_THRESHOLD
+    return vals, ids, valid
+
+
 def _minmax_norm(vals: jax.Array, valid: jax.Array) -> jax.Array:
     """Min-max normalize over valid entries (vector_store.py:662-672)."""
     big = jnp.float32(3e38)
@@ -115,6 +125,37 @@ def hybrid_fuse(
         return _union_merge(d_idx, d_norm, s_idx, s_norm, d_valid, s_valid, k)
 
     return jax.vmap(fuse_row)(dense_scores, sparse_scores)
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "prefetch_multiplier"))
+def hybrid_fuse_candidates(
+    d_vals: jax.Array,
+    d_ids: jax.Array,
+    s_vals: jax.Array,
+    s_ids: jax.Array,
+    sparse_weight: jax.Array | float,
+    *,
+    limit: int,
+    prefetch_multiplier: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Weighted fusion over pre-gathered candidate lists [B, C] (C >= p).
+
+    Used by the sharded path: each shard contributes its local top-p; the
+    all-gathered union is re-cut to the global top-p here so normalization
+    happens over exactly the candidates a single-device search would use.
+    """
+    w = jnp.asarray(sparse_weight, jnp.float32)
+    p = min(limit * prefetch_multiplier, d_vals.shape[-1])
+    k = min(limit, 2 * p)
+
+    def fuse_row(dv, di, sv, si):
+        d_vals_r, d_idx, d_valid = _candidates_from_lists(dv, di, p)
+        s_vals_r, s_idx, s_valid = _candidates_from_lists(sv, si, p)
+        d_norm = _minmax_norm(d_vals_r, d_valid) * (1.0 - w)
+        s_norm = _minmax_norm(s_vals_r, s_valid) * w
+        return _union_merge(d_idx, d_norm, s_idx, s_norm, d_valid, s_valid, k)
+
+    return jax.vmap(fuse_row)(d_vals, d_ids, s_vals, s_ids)
 
 
 @functools.partial(jax.jit, static_argnames=("limit", "prefetch_multiplier", "rrf_k"))

@@ -28,6 +28,15 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pick_tile(n: int, preferred: int, minimum: int = 128) -> int:
+    """Largest power-of-two tile <= preferred that divides n (>= minimum)."""
+    tile = preferred
+    while tile > minimum and n % tile != 0:
+        tile //= 2
+    assert n % tile == 0, f"rows {n} not a multiple of {tile}"
+    return tile
+
+
 def pad_axis(x: jax.Array, axis: int, target: int, fill) -> jax.Array:
     """Pad ``x`` along ``axis`` up to length ``target`` with ``fill``."""
     cur = x.shape[axis]

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voitta_rag_tpu.ops.filters import FilterSpec, eval_mask
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, pick_tile
 
 TILE_N = 1024  # rows per grid step: 1024 x 64 x (4+4) B = 512 KB VMEM
 TERM_PAD = -1  # empty doc slot / empty query slot
@@ -86,13 +86,13 @@ def sparse_scan_scores(
         higher level.)
     """
     N, S = doc_terms.shape
-    assert N % TILE_N == 0, f"segment rows {N} not padded to TILE_N={TILE_N}"
+    tile = pick_tile(N, TILE_N)
 
     if not use_pallas:
         return _xla_sparse_scores(q_terms, q_weights, doc_terms, doc_weights,
                                   cols, spec)
 
-    grid = (N // TILE_N,)
+    grid = (N // tile,)
     filt_specs = [
         pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(spec.inc_ids.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -110,12 +110,12 @@ def sparse_scan_scores(
         in_specs=filt_specs + [
             pl.BlockSpec(q_terms.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(q_weights.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_N, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cols.shape[0], TILE_N), lambda i: (0, i),
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols.shape[0], tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
         cost_estimate=cost,
