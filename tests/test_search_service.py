@@ -1,0 +1,90 @@
+"""End-to-end SearchService: text in → ranked StoredChunks out (tiny encoder)."""
+
+import numpy as np
+import pytest
+
+from voitta_rag_tpu.core_types import ChunkMetadata
+from voitta_rag_tpu.index.store import TpuVectorStore
+from voitta_rag_tpu.search.service import SearchService
+from voitta_rag_tpu.search.sparse_text import get_sparse_embedding_service
+from voitta_rag_tpu.services.embedding import EmbeddingService
+
+from datetime import datetime, timezone
+
+
+@pytest.fixture
+def service(temp_root, monkeypatch):
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_MODEL", "test-tiny")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_MAX_SEQ_LEN", "32")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    store = TpuVectorStore(dimension=64)
+    embedder = EmbeddingService(model_name="test-tiny", model_path="",
+                                max_seq_len=32)
+    svc = SearchService(store=store, embedder=embedder)
+    yield svc
+    store.close()
+
+
+DOCS = [
+    ("pets/dogs.md", "dogs are loyal pets that love walks and bones"),
+    ("pets/cats.md", "cats are independent pets that love naps and fish"),
+    ("space/mars.md", "mars is the red planet with thin atmosphere"),
+    ("space/moon.md", "the moon orbits earth and causes the tides"),
+    ("cooking/pasta.md", "boil pasta in salted water until al dente"),
+]
+
+
+def index_docs(svc):
+    sparse = get_sparse_embedding_service()
+    texts = [t for _, t in DOCS]
+    vecs = svc.embedder.embed_texts_array(texts)
+    metas = []
+    for path, _ in DOCS:
+        folder = path.rsplit("/", 1)[0]
+        metas.append(ChunkMetadata(
+            file_path=path, folder_path=folder, index_folder=folder,
+            file_name=path.rsplit("/", 1)[-1], chunk_index=0, total_chunks=1,
+            start_char=0, end_char=10,
+            indexed_at=datetime.now(timezone.utc).isoformat()))
+    svc.store.store_chunks(texts, vecs, metas, sparse.embed(texts))
+
+
+def test_exact_text_query_ranks_its_doc_first(service):
+    index_docs(service)
+    res = service.search("dogs are loyal pets that love walks and bones",
+                         limit=3)
+    assert res
+    assert res[0].metadata.file_path == "pets/dogs.md"
+
+
+def test_keyword_pull_with_high_sparse_weight(service):
+    index_docs(service)
+    res = service.search("al dente pasta salted", limit=3, sparse_weight=0.95)
+    assert res[0].metadata.file_path == "cooking/pasta.md"
+
+
+def test_folder_include_restricts_results(service):
+    index_docs(service)
+    res = service.search("pets", limit=5, include_folders=["space"])
+    assert res
+    assert all(r.metadata.folder_path == "space" for r in res)
+
+
+def test_empty_store_returns_empty(service):
+    assert service.search("anything") == []
+
+
+def test_rrf_fusion_mode(service):
+    index_docs(service)
+    res = service.search("moon tides", limit=3, fusion="rrf")
+    assert res
+    assert res[0].score > 0
+
+
+def test_dense_only_mode(service):
+    index_docs(service)
+    res = service.search("mars planet atmosphere", limit=2, hybrid=False)
+    assert len(res) == 2

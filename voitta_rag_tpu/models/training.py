@@ -1,0 +1,172 @@
+"""Contrastive fine-tuning of the embedding encoder (InfoNCE, DP x TP).
+
+The reference treats its encoder as a frozen external artifact
+(sentence-transformers checkpoint, services/embedding.py). A TPU-native
+framework owns the model, so fine-tuning on in-domain (query, passage) pairs
+is a first-class capability: symmetric InfoNCE with in-batch negatives — the
+training recipe of the e5/bge embedding family.
+
+Parallelism (the spec the driver's ``dryrun_multichip`` exercises):
+- **dp**: batch axis sharded over the ``dp`` mesh axis. The in-batch
+  negatives matrix ``q @ p.T`` contracts over the *global* batch — XLA
+  inserts the all-gather of passage embeddings over ICI automatically from
+  the sharding annotations (this is the standard large-batch contrastive
+  pattern).
+- **tp**: Megatron-style tensor parallelism on the transformer: qkv/up
+  kernels column-sharded, o/down kernels row-sharded, embeddings replicated.
+- Optional rematerialization (``jax.checkpoint``) trades FLOPs for HBM on
+  long-batch fine-tunes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from voitta_rag_tpu.models.encoder import (
+    EncoderConfig, Params, encoder_forward, mean_pool_normalize,
+)
+from voitta_rag_tpu.parallel.mesh import DP_AXIS, TP_AXIS
+
+
+# ---------------------------------------------------------------------------
+# sharding rules
+# ---------------------------------------------------------------------------
+
+def param_specs(params: Params) -> Any:
+    """PartitionSpec pytree: Megatron TP sharding for the encoder params."""
+
+    def attn_specs():
+        return {
+            "q": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
+            "k": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
+            "v": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
+            "o": {"kernel": P(TP_AXIS, None), "bias": P()},
+            "ln": {"scale": P(), "bias": P()},
+        }
+
+    def mlp_specs():
+        return {
+            "up": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
+            "down": {"kernel": P(TP_AXIS, None), "bias": P()},
+            "ln": {"scale": P(), "bias": P()},
+        }
+
+    return {
+        "embeddings": {
+            "word": P(), "position": P(), "token_type": P(),
+            "ln": {"scale": P(), "bias": P()},
+        },
+        "layers": [
+            {"attn": attn_specs(), "mlp": mlp_specs()}
+            for _ in params["layers"]
+        ],
+    }
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array))
+
+
+# ---------------------------------------------------------------------------
+# loss + train step
+# ---------------------------------------------------------------------------
+
+def info_nce_loss(
+    params: Params,
+    cfg: EncoderConfig,
+    q_ids: jax.Array, q_mask: jax.Array,
+    p_ids: jax.Array, p_mask: jax.Array,
+    temperature: float = 0.05,
+    *,
+    use_remat: bool = False,
+    use_pallas_attn: bool | None = None,
+) -> jax.Array:
+    """Symmetric InfoNCE over in-batch negatives."""
+    fwd = encoder_forward
+    if use_remat:
+        fwd = jax.checkpoint(
+            functools.partial(encoder_forward,
+                              use_pallas_attn=use_pallas_attn),
+            static_argnums=(1,))
+        q_emb = mean_pool_normalize(fwd(params, cfg, q_ids, q_mask), q_mask)
+        p_emb = mean_pool_normalize(fwd(params, cfg, p_ids, p_mask), p_mask)
+    else:
+        q_emb = mean_pool_normalize(
+            fwd(params, cfg, q_ids, q_mask, use_pallas_attn=use_pallas_attn),
+            q_mask)
+        p_emb = mean_pool_normalize(
+            fwd(params, cfg, p_ids, p_mask, use_pallas_attn=use_pallas_attn),
+            p_mask)
+
+    # Global in-batch negatives: with q/p sharded on dp, XLA all-gathers the
+    # passage embeddings over ICI for this contraction.
+    logits = (q_emb @ p_emb.T) / temperature  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    loss_q = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_p = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return jnp.mean(loss_q + loss_p) / 2.0
+
+
+def make_optimizer(lr: float = 2e-5, weight_decay: float = 0.01,
+                   warmup_steps: int = 100,
+                   total_steps: int = 10_000) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    return optax.adamw(sched, weight_decay=weight_decay)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "tx", "temperature", "use_remat",
+                     "use_pallas_attn"),
+    donate_argnames=("params", "opt_state"),
+)
+def train_step(
+    params: Params,
+    opt_state,
+    q_ids, q_mask, p_ids, p_mask,
+    *,
+    cfg: EncoderConfig,
+    tx: optax.GradientTransformation,
+    temperature: float = 0.05,
+    use_remat: bool = False,
+    use_pallas_attn: bool | None = None,
+):
+    """One optimizer step; returns (params, opt_state, loss)."""
+    loss, grads = jax.value_and_grad(info_nce_loss)(
+        params, cfg, q_ids, q_mask, p_ids, p_mask, temperature,
+        use_remat=use_remat, use_pallas_attn=use_pallas_attn)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: EncoderConfig,
+                            tx: optax.GradientTransformation,
+                            params: Params,
+                            use_pallas_attn: bool | None = None):
+    """Bind a train step with explicit dp/tp shardings over ``mesh``.
+
+    Returns (sharded_params, opt_state, step_fn) where
+    ``step_fn(params, opt_state, q_ids, q_mask, p_ids, p_mask)``.
+    """
+    params = shard_params(params, mesh)
+    opt_state = tx.init(params)
+    batch_sharding = NamedSharding(mesh, P(DP_AXIS))
+
+    def step_fn(params, opt_state, q_ids, q_mask, p_ids, p_mask):
+        args = [jax.device_put(x, batch_sharding)
+                for x in (q_ids, q_mask, p_ids, p_mask)]
+        return train_step(params, opt_state, *args, cfg=cfg, tx=tx,
+                          use_pallas_attn=use_pallas_attn)
+
+    return params, opt_state, step_fn

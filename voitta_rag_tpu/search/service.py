@@ -1,0 +1,164 @@
+"""SearchService: the full query hot path, fused on device.
+
+Reference call stack (SURVEY.md §3.2): embed_query (torch) → sparse embed
+(ONNX) → two Qdrant HTTP round-trips → host-side fusion. Here the dense
+path — query encode (Pallas fused-attention encoder), masked segment scans,
+candidate selection, hybrid fusion — executes as ONE jitted device program
+per segment-count: tokens in, (scores, gids) out. The only host work is
+tokenization, BM25 query hashing + IDF lookup, and payload materialization.
+That single-dispatch structure is what the p50 < 5 ms target (BASELINE.md)
+rides on: no host↔device ping-pong between encode and scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voitta_rag_tpu.config import get_settings
+from voitta_rag_tpu.core_types import SparseVector, StoredChunk
+from voitta_rag_tpu.index.store import TpuVectorStore, get_vector_store
+from voitta_rag_tpu.models.encoder import EncoderConfig, encode_tokens
+from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
+from voitta_rag_tpu.ops.sparse_scan import sparse_scan_scores, TERM_PAD
+from voitta_rag_tpu.ops.filters import FilterSpec, make_filter_spec
+from voitta_rag_tpu.ops.fusion import hybrid_fuse, rrf_fuse
+from voitta_rag_tpu.ops.topk import masked_topk
+from voitta_rag_tpu.search.sparse_text import get_sparse_embedding_service
+from voitta_rag_tpu.services.embedding import EmbeddingService, get_embedding_service
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
+                     "fusion"),
+)
+def fused_query(
+    params,
+    cfg: EncoderConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    seg_vecs: tuple,
+    seg_cols: tuple,
+    seg_scales: tuple,
+    seg_terms: tuple,
+    seg_weights: tuple,
+    spec: FilterSpec,
+    qt: jax.Array,
+    qw: jax.Array,
+    sparse_weight: jax.Array,
+    *,
+    limit: int,
+    prefetch_multiplier: int,
+    has_sparse: bool,
+    fusion: str = "weighted",
+):
+    """Encode the query and search all segments in one device program."""
+    q = encode_tokens(params, cfg, input_ids, attention_mask)  # [1, D]
+    d_parts = [dense_scan_scores(q, v, c, spec, s)
+               for v, c, s in zip(seg_vecs, seg_cols, seg_scales)]
+    dense_scores = jnp.concatenate(d_parts, axis=1)
+    if has_sparse:
+        s_parts = [sparse_scan_scores(qt, qw, t, w, c, spec)
+                   for t, w, c in zip(seg_terms, seg_weights, seg_cols)]
+        sparse_scores = jnp.broadcast_to(
+            jnp.concatenate(s_parts, axis=1), dense_scores.shape)
+        if fusion == "rrf":
+            return rrf_fuse(dense_scores, sparse_scores, limit=limit,
+                            prefetch_multiplier=prefetch_multiplier)
+        return hybrid_fuse(dense_scores, sparse_scores, sparse_weight,
+                           limit=limit,
+                           prefetch_multiplier=prefetch_multiplier)
+    return masked_topk(dense_scores, limit)
+
+
+class SearchService:
+    """Query-text-in → StoredChunk-list-out, with the reference's filter and
+    fusion semantics (mcp_server.py:373-526 behavior contract)."""
+
+    def __init__(self, store: TpuVectorStore | None = None,
+                 embedder: EmbeddingService | None = None):
+        self.store = store or get_vector_store()
+        self.embedder = embedder or get_embedding_service()
+        self.sparse = get_sparse_embedding_service()
+        settings = get_settings()
+        self.prefetch_multiplier = settings.prefetch_multiplier
+        self.default_sparse_weight = settings.sparse_weight
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        include_folders: list[str] | None = None,
+        exclude_folders: list[str] | None = None,
+        exclude_index_folders: list[str] | None = None,
+        sparse_weight: float | None = None,
+        date_start: int | None = None,
+        date_end: int | None = None,
+        date_field: str | None = None,
+        hybrid: bool = True,
+        fusion: str = "weighted",
+    ) -> list[StoredChunk]:
+        store = self.store
+        store._ensure_open()
+        if not store.segments or store.count() == 0:
+            return []
+        if sparse_weight is None:
+            sparse_weight = self.default_sparse_weight
+
+        include_ids, exclude_ids, exclude_if_ids, impossible = (
+            store._resolve_filter_ids(None, include_folders, exclude_folders,
+                                      exclude_index_folders))
+        if impossible:
+            return []
+        spec = make_filter_spec(
+            include_folder_ids=include_ids,
+            exclude_folder_ids=exclude_ids,
+            exclude_index_folder_ids=exclude_if_ids,
+            date_start=date_start, date_end=date_end, date_field=date_field)
+
+        ids, mask = self.embedder.tokenize_query(query)
+        cfg, params = self.embedder.encoder
+
+        qt = qw = None
+        has_sparse = False
+        if hybrid:
+            sv = self.sparse.embed_query(query)
+            if len(sv):
+                qt, qw = store._sparse_query_arrays(sv)
+                has_sparse = True
+        if qt is None:
+            qt = np.full((1, 1), TERM_PAD, np.int32)
+            qw = np.zeros((1, 1), np.float32)
+
+        segs = store.segments
+        scores, gids = fused_query(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+            tuple(s.vecs for s in segs),
+            tuple(s.cols for s in segs),
+            tuple(s.scales for s in segs),
+            tuple(s.terms for s in segs),
+            tuple(s.weights for s in segs),
+            spec, jnp.asarray(qt), jnp.asarray(qw),
+            jnp.asarray(sparse_weight, jnp.float32),
+            limit=limit, prefetch_multiplier=self.prefetch_multiplier,
+            has_sparse=has_sparse, fusion=fusion)
+        return store._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+
+
+_search_service: SearchService | None = None
+
+
+def get_search_service() -> SearchService:
+    global _search_service
+    if _search_service is None:
+        _search_service = SearchService()
+    return _search_service
+
+
+def reset_search_service() -> None:
+    global _search_service
+    _search_service = None
