@@ -1,0 +1,192 @@
+"""Headline benchmark: filtered hybrid search QPS on one chip.
+
+Measures the full device query path of the framework — masked dense scan
+(Pallas, bf16) + sparse BM25 scan + in-kernel folder filtering + hybrid
+fusion + top-k — over a synthetic 1M-chunk, 384-d corpus (BASELINE.md
+config 3 shape), batched 32 queries per dispatch.
+
+Baseline: the same hybrid search computed by an optimized CPU implementation
+(NumPy BLAS dense matmul + vectorized sparse scoring + fusion) on this host —
+the stand-in for the reference's CPU Qdrant stack (the reference publishes no
+numbers, BASELINE.md). vs_baseline = TPU QPS / CPU QPS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+
+Anti-caching hygiene: every timed dispatch uses a distinct query slice and
+results are fetched to host at the end of each timed block.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from voitta_rag_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from voitta_rag_tpu.ops.dense_scan import dense_scan_scores  # noqa: E402
+from voitta_rag_tpu.ops.sparse_scan import sparse_scan_scores, TERM_PAD  # noqa: E402
+from voitta_rag_tpu.ops.filters import (  # noqa: E402
+    COL_FOLDER, COL_VALID, NUM_COLS, make_filter_spec,
+)
+from voitta_rag_tpu.ops.fusion import hybrid_fuse  # noqa: E402
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF  # noqa: E402
+
+N = 1_048_576  # 2^20 rows (scan-tile aligned)
+D = 384
+S = 32          # sparse slots per doc
+QT = 16         # query terms
+B = 32          # query batch per dispatch
+LIMIT = 10
+N_FOLDERS = 64
+INCLUDE = [1, 2, 3, 5, 8, 13, 21, 34]  # folder-scope filter
+SPARSE_W = 0.1
+
+
+def build_corpus(seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cols = np.zeros((NUM_COLS, N), np.int32)
+    cols[COL_VALID] = 1
+    cols[COL_FOLDER] = rng.integers(0, N_FOLDERS, N)
+    terms = rng.integers(0, 100_000, (N, S)).astype(np.int32)
+    weights = rng.random((N, S)).astype(np.float32)
+    return vecs, cols, terms, weights, rng
+
+
+def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec):
+    d = dense_scan_scores(q, vecs, cols, spec)
+    s = sparse_scan_scores(qt, qw, terms, weights, cols, spec)
+    return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W, limit=LIMIT)
+
+
+def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
+    """NumPy/BLAS reference implementation of the same search."""
+    d = q @ vecs.T                       # [B, N]
+    d[:, ~inc_mask] = NEG_INF
+    s = np.zeros(N, np.float32)
+    for t, w in zip(qt[0], qw[0]):
+        if t == TERM_PAD:
+            continue
+        s += w * (weights * (terms == t)).sum(axis=1)
+    s_masked = np.where(inc_mask, s, NEG_INF)
+
+    p = LIMIT * 3
+    out = []
+    for b in range(len(q)):
+        d_idx = np.argpartition(-d[b], p)[:p]
+        s_idx = np.argpartition(-s_masked, p)[:p]
+
+        def norm(vals):
+            vals = vals[vals > NEG_INF / 2]
+            if len(vals) == 0:
+                return None, None, None
+            return vals.min(), vals.max(), vals
+
+        combined = {}
+        dv = d[b][d_idx]
+        ok = dv > NEG_INF / 2
+        if ok.any():
+            mn, mx = dv[ok].min(), dv[ok].max()
+            spread = mx - mn
+            for i, v in zip(d_idx[ok], dv[ok]):
+                combined[i] = (1 - SPARSE_W) * ((v - mn) / spread if spread > 0 else 1.0)
+        sv = s_masked[s_idx]
+        ok = sv > NEG_INF / 2
+        if ok.any():
+            mn, mx = sv[ok].min(), sv[ok].max()
+            spread = mx - mn
+            for i, v in zip(s_idx[ok], sv[ok]):
+                combined[i] = combined.get(i, 0.0) + SPARSE_W * (
+                    (v - mn) / spread if spread > 0 else 1.0)
+        top = sorted(combined.items(), key=lambda kv: -kv[1])[:LIMIT]
+        out.append(top)
+    return out
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    vecs_np, cols_np, terms_np, weights_np, rng = build_corpus()
+
+    # Query pool (distinct queries per dispatch to defeat any exec caching).
+    n_pool = B * 24
+    qpool = rng.standard_normal((n_pool, D)).astype(np.float32)
+    qpool /= np.linalg.norm(qpool, axis=1, keepdims=True)
+    qt = np.full((1, QT), TERM_PAD, np.int32)
+    qt[0, :QT] = rng.choice(100_000, QT, replace=False)
+    qw = np.zeros((1, QT), np.float32)
+    qw[0, :QT] = rng.random(QT).astype(np.float32) + 0.2
+
+    spec = make_filter_spec(include_folder_ids=INCLUDE)
+    store_dt = jnp.bfloat16 if on_tpu else jnp.float32
+    vecs = jnp.asarray(vecs_np, store_dt)
+    cols = jnp.asarray(cols_np)
+    terms = jnp.asarray(terms_np)
+    weights = jnp.asarray(weights_np)
+    qt_j, qw_j = jnp.asarray(qt), jnp.asarray(qw)
+    qpool_j = jnp.asarray(qpool)
+
+    # Warmup / compile.
+    scores, gids = device_hybrid(qpool_j[:B], qt_j, qw_j, vecs, cols, terms,
+                                 weights, spec)
+    jax.block_until_ready((scores, gids))
+
+    # Timed: distinct query batches, fetch results at the end.
+    n_iters = 20
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        start = (i * B) % (n_pool - B)
+        q = jax.lax.dynamic_slice_in_dim(qpool_j, start, B)
+        outs.append(device_hybrid(q, qt_j, qw_j, vecs, cols, terms, weights,
+                                  spec))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    tpu_qps = n_iters * B / dt
+
+    # Sanity: device result matches CPU oracle on one batch.
+    inc_mask = np.isin(cols_np[COL_FOLDER], INCLUDE)
+    cpu_top = cpu_hybrid(qpool[:2], qt, qw, vecs_np, cols_np, terms_np,
+                         weights_np, inc_mask)
+    dev_scores, dev_gids = device_hybrid(
+        qpool_j[:2], qt_j, qw_j, vecs, cols, terms, weights, spec)
+    dev_gids = np.asarray(dev_gids)
+    agree = 0
+    for b in range(2):
+        cpu_ids = {int(i) for i, _ in cpu_top[b]}
+        dev_ids = {int(g) for g in dev_gids[b] if g >= 0}
+        agree += len(cpu_ids & dev_ids) / max(len(cpu_ids), 1)
+    recall_vs_cpu = agree / 2
+
+    # CPU baseline QPS (same search, BLAS + vectorized sparse), few queries.
+    n_cpu = 2
+    t0 = time.perf_counter()
+    cpu_hybrid(qpool[:n_cpu], qt, qw, vecs_np, cols_np, terms_np, weights_np,
+               inc_mask)
+    cpu_qps = n_cpu / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "filtered_hybrid_search_qps_1M_384d" + ("" if on_tpu else "_cpu"),
+        "value": round(tpu_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(tpu_qps / cpu_qps, 1),
+        "extra": {
+            "batch": B, "limit": LIMIT, "corpus": N, "dim": D,
+            "cpu_baseline_qps": round(cpu_qps, 2),
+            "recall_vs_cpu_oracle": round(recall_vs_cpu, 3),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Parser tests with synthetic fixtures (no external document libraries)."""
+
+import json
+import zipfile
+import zlib
+
+import pytest
+
+from voitta_rag_tpu.services.parsers import get_registry
+
+
+@pytest.fixture
+def registry():
+    return get_registry()
+
+
+def test_text_parser(tmp_path, registry):
+    p = tmp_path / "code.py"
+    p.write_text("def f():\n    return 42\n")
+    r = registry.parse_file(p)
+    assert r.success and "return 42" in r.content
+
+
+def test_text_latin1_fallback(tmp_path, registry):
+    p = tmp_path / "weird.txt"
+    p.write_bytes("café".encode("latin-1"))
+    r = registry.parse_file(p)
+    assert r.success
+
+
+def test_unknown_extension(tmp_path, registry):
+    p = tmp_path / "blob.xyz"
+    p.write_text("x")
+    r = registry.parse_file(p)
+    assert not r.success
+
+
+def test_supported_extensions_cover_reference_set(registry):
+    exts = set(registry.supported_extensions())
+    for required in (".txt", ".md", ".py", ".go", ".rs", ".sql", ".proto",
+                     ".tf", ".pdf", ".docx", ".pptx", ".xlsx", ".odt",
+                     ".odp", ".ods", ".epub", ".azw3", ".mobi", ".azw",
+                     ".gdoc", ".gsheet", ".gslides", ".vtt"):
+        assert required in exts, required
+
+
+DOCX_DOC = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Title Here</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Body paragraph </w:t></w:r><w:r><w:t>joined runs.</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+
+
+def test_docx_parser(tmp_path, registry):
+    p = tmp_path / "doc.docx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("word/document.xml", DOCX_DOC)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "# Title Here" in r.content
+    assert "Body paragraph joined runs." in r.content
+
+
+PPTX_SLIDE = """<?xml version="1.0"?>
+<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+       xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+ <p:cSld><p:spTree>
+  <p:sp><p:txBody><a:p><a:r><a:t>Slide text {i}</a:t></a:r></a:p></p:txBody></p:sp>
+ </p:spTree></p:cSld>
+</p:sld>"""
+
+
+def test_pptx_parser(tmp_path, registry):
+    p = tmp_path / "deck.pptx"
+    with zipfile.ZipFile(p, "w") as zf:
+        for i in (1, 2):
+            zf.writestr(f"ppt/slides/slide{i}.xml",
+                        PPTX_SLIDE.replace("{i}", str(i)))
+    r = registry.parse_file(p)
+    assert r.success
+    assert "## Slide 1" in r.content and "Slide text 2" in r.content
+
+
+XLSX_SHEET = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+  <row r="2"><c r="A2"><v>3.14</v></c><c r="B2" t="s"><v>2</v></c></row>
+ </sheetData>
+</worksheet>"""
+XLSX_SHARED = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <si><t>Name</t></si><si><t>Value</t></si><si><t>pi</t></si>
+</sst>"""
+XLSX_WB = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheets><sheet name="Data" sheetId="1"/></sheets>
+</workbook>"""
+
+
+def test_xlsx_parser(tmp_path, registry):
+    p = tmp_path / "book.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", XLSX_WB)
+        zf.writestr("xl/sharedStrings.xml", XLSX_SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", XLSX_SHEET)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "## Data" in r.content
+    assert "| Name | Value |" in r.content
+    assert "3.14" in r.content and "pi" in r.content
+
+
+ODT_CONTENT = """<?xml version="1.0"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+ <office:body><office:text>
+  <text:h text:outline-level="2">Section</text:h>
+  <text:p>Hello ODT world.</text:p>
+ </office:text></office:body>
+</office:document-content>"""
+
+
+def test_odt_parser(tmp_path, registry):
+    p = tmp_path / "doc.odt"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("content.xml", ODT_CONTENT)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "## Section" in r.content and "Hello ODT world." in r.content
+
+
+EPUB_OPF = """<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>My Book</dc:title></metadata>
+ <manifest><item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/></manifest>
+ <spine><itemref idref="c1"/></spine>
+</package>"""
+EPUB_CONTAINER = """<?xml version="1.0"?>
+<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container" version="1.0">
+ <rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles>
+</container>"""
+
+
+def test_epub_parser(tmp_path, registry):
+    p = tmp_path / "book.epub"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("META-INF/container.xml", EPUB_CONTAINER)
+        zf.writestr("OEBPS/content.opf", EPUB_OPF)
+        zf.writestr("OEBPS/ch1.xhtml",
+                    "<html><body><h1>Chapter One</h1><p>Once upon a time.</p>"
+                    "</body></html>")
+    r = registry.parse_file(p)
+    assert r.success
+    assert "# Chapter One" in r.content
+    assert "Once upon a time." in r.content
+    assert r.metadata.get("title") == "My Book"
+
+
+def test_gdoc_parser(tmp_path, registry):
+    p = tmp_path / "My Doc.gdoc"
+    p.write_text(json.dumps({"doc_id": "abc123"}))
+    r = registry.parse_file(p)
+    assert r.success
+    assert r.content == "My Doc"
+    assert r.metadata["source_url"] == "https://docs.google.com/document/d/abc123/edit"
+
+
+def test_vtt_parser(tmp_path, registry):
+    p = tmp_path / "meeting.vtt"
+    p.write_text(
+        "WEBVTT\n\n1\n00:00:00.000 --> 00:00:04.000\n"
+        "<v Alice>Hello everyone.</v>\n\n2\n00:00:04.000 --> 00:00:08.000\n"
+        "<v Alice>Let's begin.</v>\n\n3\n00:00:08.000 --> 00:00:10.000\n"
+        "<v Bob>Sounds good.</v>\n")
+    r = registry.parse_file(p)
+    assert r.success
+    # Consecutive same-speaker turns merged.
+    assert "**Alice:** Hello everyone. Let's begin." in r.content
+    assert "**Bob:** Sounds good." in r.content
+
+
+def make_pdf(pages_text: list[str]) -> bytes:
+    """Hand-build a minimal multi-page PDF with FlateDecode content."""
+    objs = []
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(len(pages_text)))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    objs.append(f"2 0 obj << /Type /Pages /Kids [{kids}] "
+                f"/Count {len(pages_text)} >> endobj".encode())
+    objs.append(b"3 0 obj << /Type /Font /Subtype /Type1 /BaseFont "
+                b"/Helvetica >> endobj")
+    for i, text in enumerate(pages_text):
+        content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode("latin-1")
+        stream = zlib.compress(content)
+        objs.append(
+            f"{4 + 2 * i} 0 obj << /Type /Page /Parent 2 0 R /Contents "
+            f"{5 + 2 * i} 0 R >> endobj".encode())
+        objs.append(
+            f"{5 + 2 * i} 0 obj << /Length {len(stream)} /Filter "
+            f"/FlateDecode >> stream\n".encode() + stream + b"\nendstream endobj")
+    body = b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    return body
+
+
+def test_pdf_parser(tmp_path, registry):
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(make_pdf(["First page text here.", "Second page content."]))
+    r = registry.parse_file(p)
+    assert r.success, r.error
+    assert "First page text here." in r.content
+    assert "Second page content." in r.content
+    assert r.metadata["page_count"] == 2
+
+
+def test_pdf_buckets(tmp_path):
+    from voitta_rag_tpu.services.parsers.pdf_parser import PdfParser
+
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(make_pdf([f"Page number {i}." for i in range(1, 6)]))
+    parser = PdfParser()
+    assert parser.get_page_count(p) == 5
+    buckets = list(parser.parse_in_buckets(p, pages_per_bucket=2))
+    assert [(s, e) for _, s, e in buckets] == [(1, 2), (3, 4), (5, 5)]
+    assert "Page number 3." in buckets[1][0].content

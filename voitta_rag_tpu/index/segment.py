@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from voitta_rag_tpu.ops.filters import COL_VALID, NUM_COLS
-from voitta_rag_tpu.ops import dense_scan
 
 UPDATE_BUCKETS = (256, 4096)
 
@@ -74,8 +73,7 @@ class Segment:
 
     def __init__(self, capacity: int, dim: int, sparse_slots: int,
                  dtype: str = "bfloat16"):
-        assert capacity % dense_scan.TILE_N == 0, (
-            f"capacity must be a multiple of {dense_scan.TILE_N}")
+        assert capacity % 128 == 0, "capacity must be lane-aligned (128)"
         self.capacity = capacity
         self.dim = dim
         self.sparse_slots = sparse_slots

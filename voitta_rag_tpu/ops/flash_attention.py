@@ -41,6 +41,46 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
+def _xla_attention(q, k, v, bias):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = s + bias[:, :, None, :]
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@jax.custom_vjp
+def _pallas_attention(q, k, v, bias):
+    return _pallas_attention_fwd_impl(q, k, v, bias)
+
+
+def _pallas_attention_fwd(q, k, v, bias):
+    return _pallas_attention_fwd_impl(q, k, v, bias), (q, k, v, bias)
+
+
+def _pallas_attention_bwd(res, g):
+    """Recompute-based backward (XLA math): cheap at encoder lengths, keeps
+    the forward kernel simple while making the encoder trainable."""
+    q, k, v, bias = res
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = s + bias[:, :, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dbias = jnp.sum(ds, axis=(1, 2))[:, None, :]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype))
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def fused_attention(
     q: jax.Array,
@@ -60,15 +100,14 @@ def fused_attention(
     Returns:
         [B, H, L, Dh] attention output, dtype of q.
     """
+    if not use_pallas:
+        return _xla_attention(q, k, v, bias)
+    return _pallas_attention(q, k, v, bias)
+
+
+def _pallas_attention_fwd_impl(q, k, v, bias):
     B, H, L, Dh = q.shape
     scale = 1.0 / (Dh ** 0.5)
-
-    if not use_pallas:
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
-        s = s + bias[:, :, None, :]
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
-
     grid = (B, H)
     qkv_spec = pl.BlockSpec((1, 1, L, Dh), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -156,9 +156,7 @@ class ShardedIndex:
 
     def __init__(self, mesh: Mesh, cap_per_shard: int, dim: int,
                  sparse_slots: int, dtype: str = "bfloat16"):
-        from voitta_rag_tpu.ops import dense_scan
-
-        assert cap_per_shard % dense_scan.TILE_N == 0
+        assert cap_per_shard % 128 == 0, "capacity must be lane-aligned"
         self.mesh = mesh
         self.n_shards = mesh.shape[SHARD_AXIS]
         self.cap = cap_per_shard

@@ -1,0 +1,150 @@
+"""Anamnesis — per-user memory files.
+
+Behavior contract (reference services/anamnesis.py:1-146): each memory is a
+self-contained ``.md`` file at ``<root>/Anamnesis/<user>/<uuid>.md`` with
+frontmatter ``memory_id / created_at / modified_at / likes / dislikes``.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+
+from voitta_rag_tpu.config import get_settings
+
+ANAMNESIS_DIR = "Anamnesis"
+
+
+def user_dir(user_name: str) -> Path:
+    return get_settings().root_path / ANAMNESIS_DIR / user_name
+
+
+def memory_path(user_name: str, memory_id: str) -> Path:
+    return user_dir(user_name) / f"{memory_id}.md"
+
+
+def memory_rel_path(user_name: str, memory_id: str) -> str:
+    return f"{ANAMNESIS_DIR}/{user_name}/{memory_id}.md"
+
+
+def anamnesis_folder_path(user_name: str) -> str:
+    return f"{ANAMNESIS_DIR}/{user_name}"
+
+
+def serialize_memory(memory_id: str, content: str, created_at: datetime,
+                     modified_at: datetime, likes: int, dislikes: int) -> str:
+    return (
+        f"---\n"
+        f"memory_id: {memory_id}\n"
+        f"created_at: {created_at.isoformat()}\n"
+        f"modified_at: {modified_at.isoformat()}\n"
+        f"likes: {likes}\n"
+        f"dislikes: {dislikes}\n"
+        f"---\n"
+        f"{content}\n"
+    )
+
+
+def parse_memory(file_content: str) -> dict:
+    lines = file_content.split("\n")
+    if not lines or lines[0].strip() != "---":
+        return {"content": file_content}
+    end_idx = None
+    for i in range(1, len(lines)):
+        if lines[i].strip() == "---":
+            end_idx = i
+            break
+    if end_idx is None:
+        return {"content": file_content}
+    meta: dict = {}
+    for line in lines[1:end_idx]:
+        colon = line.find(":")
+        if colon < 0:
+            continue
+        meta[line[:colon].strip()] = line[colon + 1:].strip()
+    body = "\n".join(lines[end_idx + 1:]).strip()
+
+    def _int(key):
+        try:
+            return int(meta.get(key, 0))
+        except ValueError:
+            return 0
+
+    return {
+        "memory_id": meta.get("memory_id", ""),
+        "created_at": meta.get("created_at", ""),
+        "modified_at": meta.get("modified_at", ""),
+        "likes": _int("likes"),
+        "dislikes": _int("dislikes"),
+        "content": body,
+    }
+
+
+def write_memory(user_name: str, content: str,
+                 memory_id: str | None = None) -> dict:
+    """Create (or overwrite) a memory; returns the parsed dict."""
+    now = datetime.now(timezone.utc)
+    if memory_id is None:
+        memory_id = str(uuid.uuid4())
+        created = now
+        likes = dislikes = 0
+    else:
+        existing = read_memory(user_name, memory_id)
+        if existing is None:
+            created = now
+            likes = dislikes = 0
+        else:
+            created = datetime.fromisoformat(existing["created_at"]) \
+                if existing["created_at"] else now
+            likes, dislikes = existing["likes"], existing["dislikes"]
+    path = memory_path(user_name, memory_id)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(serialize_memory(memory_id, content, created, now,
+                                     likes, dislikes), encoding="utf-8")
+    return parse_memory(path.read_text(encoding="utf-8"))
+
+
+def read_memory(user_name: str, memory_id: str) -> dict | None:
+    path = memory_path(user_name, memory_id)
+    if not path.exists():
+        return None
+    return parse_memory(path.read_text(encoding="utf-8"))
+
+
+def delete_memory(user_name: str, memory_id: str) -> bool:
+    path = memory_path(user_name, memory_id)
+    if not path.exists():
+        return False
+    path.unlink()
+    return True
+
+
+def list_memories(user_name: str) -> list[dict]:
+    d = user_dir(user_name)
+    if not d.exists():
+        return []
+    out = []
+    for f in sorted(d.glob("*.md")):
+        data = parse_memory(f.read_text(encoding="utf-8"))
+        if not data.get("memory_id"):
+            data["memory_id"] = f.stem
+        out.append(data)
+    return out
+
+
+def adjust_feedback(user_name: str, memory_id: str, likes_delta: int = 0,
+                    dislikes_delta: int = 0) -> dict | None:
+    """like/dislike counters (reference like_memory/dislike_memory tools)."""
+    data = read_memory(user_name, memory_id)
+    if data is None:
+        return None
+    now = datetime.now(timezone.utc)
+    created = (datetime.fromisoformat(data["created_at"])
+               if data["created_at"] else now)
+    path = memory_path(user_name, memory_id)
+    path.write_text(serialize_memory(
+        memory_id, data["content"], created, now,
+        max(data["likes"] + likes_delta, 0),
+        max(data["dislikes"] + dislikes_delta, 0)), encoding="utf-8")
+    return read_memory(user_name, memory_id)

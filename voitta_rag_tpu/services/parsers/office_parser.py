@@ -1,0 +1,173 @@
+"""DOCX / PPTX / XLSX parsers built on stdlib zipfile + ElementTree.
+
+The reference uses python-docx / python-pptx / openpyxl
+(docx_parser.py, pptx_parser.py, xlsx_parser.py). OOXML files are ZIP
+archives of XML, so this framework parses them standalone with the stdlib —
+no external document libraries:
+
+- DOCX: ``word/document.xml`` paragraphs; Heading styles → ``#`` markdown
+  (reference docx_parser.py behavior), core.xml properties as metadata.
+- PPTX: per-slide ``a:t`` text runs → ``## Slide N`` sections.
+- XLSX: sheet XML + sharedStrings → markdown tables, max 100 rows per sheet
+  (reference xlsx_parser.py:8).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+from voitta_rag_tpu.services.parsers.base import BaseParser, ParserResult
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+CP = "{http://schemas.openxmlformats.org/package/2006/metadata/core-properties}"
+DC = "{http://purl.org/dc/elements/1.1/}"
+
+
+def _core_properties(zf: zipfile.ZipFile) -> dict:
+    meta = {}
+    try:
+        root = ET.fromstring(zf.read("docProps/core.xml"))
+        for tag, key in ((f"{DC}title", "title"), (f"{DC}creator", "author"),
+                         (f"{DC}subject", "subject")):
+            el = root.find(tag)
+            if el is not None and el.text:
+                meta[key] = el.text
+    except (KeyError, ET.ParseError):
+        pass
+    return meta
+
+
+class DocxParser(BaseParser):
+    extensions = [".docx"]
+
+    def parse(self, file_path: Path) -> ParserResult:
+        try:
+            with zipfile.ZipFile(file_path) as zf:
+                root = ET.fromstring(zf.read("word/document.xml"))
+                meta = _core_properties(zf)
+            lines = []
+            for para in root.iter(f"{W}p"):
+                texts = [t.text or "" for t in para.iter(f"{W}t")]
+                text = "".join(texts).strip()
+                if not text:
+                    continue
+                style_el = para.find(f"{W}pPr/{W}pStyle")
+                style = style_el.get(f"{W}val", "") if style_el is not None else ""
+                mheading = re.match(r"[Hh]eading(\d)", style)
+                if mheading:
+                    lines.append("#" * min(int(mheading.group(1)), 6) + " " + text)
+                elif style == "Title":
+                    lines.append("# " + text)
+                else:
+                    lines.append(text)
+            return ParserResult(content="\n\n".join(lines), metadata=meta)
+        except Exception as e:
+            return ParserResult.failure(f"Failed to parse DOCX: {e}")
+
+
+class PptxParser(BaseParser):
+    extensions = [".pptx"]
+
+    def parse(self, file_path: Path) -> ParserResult:
+        try:
+            with zipfile.ZipFile(file_path) as zf:
+                meta = _core_properties(zf)
+                slide_names = sorted(
+                    (n for n in zf.namelist()
+                     if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+                    key=lambda n: int(re.search(r"(\d+)", n).group(1)))
+                sections = []
+                for i, name in enumerate(slide_names, 1):
+                    root = ET.fromstring(zf.read(name))
+                    paras = []
+                    for p in root.iter(f"{A}p"):
+                        run = "".join(t.text or "" for t in p.iter(f"{A}t")).strip()
+                        if run:
+                            paras.append(run)
+                    if paras:
+                        sections.append(f"## Slide {i}\n\n" + "\n\n".join(paras))
+            return ParserResult(content="\n\n".join(sections), metadata=meta)
+        except Exception as e:
+            return ParserResult.failure(f"Failed to parse PPTX: {e}")
+
+
+MAX_ROWS_PER_SHEET = 100  # reference xlsx_parser.py:8
+
+_CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    m = _CELL_REF_RE.match(ref or "")
+    if not m:
+        return 0
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+class XlsxParser(BaseParser):
+    extensions = [".xlsx", ".xls"]
+
+    def parse(self, file_path: Path) -> ParserResult:
+        if file_path.suffix.lower() == ".xls":
+            return ParserResult.failure(
+                "Legacy .xls (BIFF) parsing requires xlrd, which is not "
+                "available; convert to .xlsx")
+        try:
+            with zipfile.ZipFile(file_path) as zf:
+                meta = _core_properties(zf)
+                shared: list[str] = []
+                if "xl/sharedStrings.xml" in zf.namelist():
+                    sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+                    for si in sroot.iter(f"{S}si"):
+                        shared.append("".join(t.text or ""
+                                              for t in si.iter(f"{S}t")))
+                # Sheet names from workbook.xml in order.
+                wb = ET.fromstring(zf.read("xl/workbook.xml"))
+                names = [s.get("name", f"Sheet{i+1}") for i, s in
+                         enumerate(wb.iter(f"{S}sheet"))]
+                sheet_files = sorted(
+                    (n for n in zf.namelist()
+                     if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+                    key=lambda n: int(re.search(r"(\d+)", n).group(1)))
+                sections = []
+                for i, fname in enumerate(sheet_files):
+                    root = ET.fromstring(zf.read(fname))
+                    rows_out = []
+                    for row in root.iter(f"{S}row"):
+                        if len(rows_out) >= MAX_ROWS_PER_SHEET:
+                            break
+                        cells: dict[int, str] = {}
+                        for c in row.iter(f"{S}c"):
+                            col = _col_index(c.get("r", ""))
+                            v = c.find(f"{S}v")
+                            if v is None or v.text is None:
+                                txt = "".join(t.text or ""
+                                              for t in c.iter(f"{S}t"))
+                            elif c.get("t") == "s":
+                                txt = shared[int(v.text)] if int(v.text) < len(shared) else ""
+                            else:
+                                txt = v.text
+                            cells[col] = txt
+                        if cells:
+                            width = max(cells) + 1
+                            rows_out.append([cells.get(j, "")
+                                             for j in range(width)])
+                    if not rows_out:
+                        continue
+                    width = max(len(r) for r in rows_out)
+                    rows_out = [r + [""] * (width - len(r)) for r in rows_out]
+                    name = names[i] if i < len(names) else f"Sheet{i+1}"
+                    table = ["| " + " | ".join(rows_out[0]) + " |",
+                             "| " + " | ".join("---" for _ in range(width)) + " |"]
+                    table += ["| " + " | ".join(r) + " |" for r in rows_out[1:]]
+                    sections.append(f"## {name}\n\n" + "\n".join(table))
+            return ParserResult(content="\n\n".join(sections), metadata=meta)
+        except Exception as e:
+            return ParserResult.failure(f"Failed to parse XLSX: {e}")
