@@ -1,0 +1,262 @@
+"""API integration tests through the real aiohttp app + lifespan (watcher and
+worker threads start, like the reference's TestClient pattern,
+tests/conftest.py:52-58 / test_api.py)."""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from voitta_rag_tpu.db import database as dbmod
+
+
+@pytest.fixture
+def app_env(temp_root, monkeypatch):
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_MODEL", "test-tiny")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_MAX_SEQ_LEN", "32")
+    monkeypatch.setenv("INDEXING_POLL_INTERVAL", "3600")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    dbmod.reset_db()
+    (temp_root / "users.txt").write_text("alice\nbob\n")
+
+    import voitta_rag_tpu.services.filesystem as fsmod
+    import voitta_rag_tpu.services.indexing as idxmod
+    import voitta_rag_tpu.services.embedding as embmod
+    import voitta_rag_tpu.index.store as storemod
+    import voitta_rag_tpu.search.service as searchmod
+    from voitta_rag_tpu.services.watcher import reset_file_watcher
+    fsmod.reset_filesystem_service()
+    idxmod.reset_indexing_service()
+    embmod.reset_embedding_service()
+    storemod.reset_vector_store()
+    searchmod.reset_search_service()
+    reset_file_watcher()
+    yield temp_root
+    storemod.reset_vector_store()
+    dbmod.reset_db()
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+async def make_client(aiohttp_like=None):
+    from voitta_rag_tpu.api.app import create_app
+
+    app = create_app(start_services=True)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+async def login(client, name="alice"):
+    resp = await client.post("/select-user", data={"username": name},
+                             allow_redirects=False)
+    assert resp.status == 302
+    return client
+
+
+def test_landing_lists_seeded_users(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            resp = await client.get("/")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "alice" in html and "bob" in html
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_cookie_auth_required_for_browse(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            resp = await client.get("/browse", allow_redirects=False)
+            assert resp.status == 302  # redirected to landing
+            await login(client)
+            resp = await client.get("/browse")
+            assert resp.status == 200
+            assert "alice" in await resp.text()
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_folder_crud_cascade(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            resp = await client.post("/api/folders",
+                                     json={"path": "", "name": "docs"})
+            assert resp.status == 201
+            assert (app_env / "docs").is_dir()
+
+            # duplicate rejected
+            resp = await client.post("/api/folders",
+                                     json={"path": "", "name": "docs"})
+            assert resp.status == 409
+
+            resp = await client.delete("/api/folders/docs")
+            assert resp.status == 200
+            assert not (app_env / "docs").exists()
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_metadata_crud(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "notes.md").write_text("hello")
+            resp = await client.put("/api/metadata/notes.md",
+                                    json={"metadata": "my note"})
+            assert resp.status == 200
+            resp = await client.get("/api/metadata/notes.md")
+            data = await resp.json()
+            assert data["metadata"] == "my note"
+            assert data["updated_by"] == "alice"
+            resp = await client.delete("/api/metadata/notes.md")
+            assert resp.status == 200
+            resp = await client.get("/api/metadata/notes.md")
+            assert (await resp.json())["metadata"] is None
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_settings_toggle_cascade_and_pending(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "proj" / "sub").mkdir(parents=True)
+            resp = await client.post(
+                "/api/settings/folders/proj/search-active",
+                json={"search_active": True})
+            data = await resp.json()
+            assert data["subfolders_updated"] == 1  # proj/sub
+
+            resp = await client.post("/api/settings/folders/proj/indexing",
+                                     json={"enabled": True})
+            assert resp.status == 200
+            db = dbmod.get_db()
+            assert db.get_index_status("proj").status in ("pending",
+                                                          "indexing",
+                                                          "indexed")
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_index_trigger_endpoint(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "d2").mkdir()
+            resp = await client.post("/api/index/trigger/d2")
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["status"] == "queued"
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_upload_and_raw_roundtrip(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "up").mkdir()
+            import aiohttp
+
+            form = aiohttp.FormData()
+            form.add_field("path", "up")
+            form.add_field("files", b"file body here",
+                           filename="test.txt",
+                           content_type="text/plain")
+            resp = await client.post("/api/files/upload", data=form)
+            assert resp.status == 201
+            resp = await client.get("/api/raw/up/test.txt")
+            assert resp.status == 200
+            assert await resp.text() == "file body here"
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_projects_crud(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            resp = await client.post("/api/projects", json={"name": "research"})
+            assert resp.status == 201
+            pid = (await resp.json())["id"]
+            resp = await client.post(f"/api/projects/{pid}/select")
+            assert resp.status == 200
+            resp = await client.get("/api/projects")
+            projects = (await resp.json())["projects"]
+            active = [p for p in projects if p["is_active"]]
+            assert active[0]["name"] == "research"
+            # default cannot be deleted
+            default = [p for p in projects if p["is_default"]][0]
+            resp = await client.delete(f"/api/projects/{default['id']}")
+            assert resp.status == 400
+            resp = await client.delete(f"/api/projects/{pid}")
+            assert resp.status == 200
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_sync_source_config_roundtrip(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "repo").mkdir()
+            resp = await client.put("/api/sync/repo", json={
+                "source_type": "github", "gh_repo": "org/repo",
+                "gh_branch": "main", "gh_auth_method": "token",
+                "gh_pat": "secret-token"})
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["gh_repo"] == "org/repo"
+            assert data["gh_pat"] == "***"  # secrets masked
+            resp = await client.get("/api/sync/types")
+            types = (await resp.json())["types"]
+            assert "github" in types and "sharepoint" in types
+            resp = await client.delete("/api/sync/repo")
+            assert resp.status == 200
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_details_endpoint(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            d = app_env / "detail"
+            d.mkdir()
+            (d / "x.py").write_text("print('hi')")
+            (d / "y.md").write_text("# hi")
+            resp = await client.get("/api/details/detail")
+            data = await resp.json()
+            assert data["is_dir"]
+            assert data["counts"]["files"] == 2
+            assert data["file_types"] == {".py": 1, ".md": 1}
+        finally:
+            await client.close()
+    run(body())

@@ -1,0 +1,237 @@
+"""MCP server over the streamable-HTTP transport: handshake, tools/list,
+tools/call for search + memories + folder state (15-tool contract)."""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from voitta_rag_tpu.db import database as dbmod
+
+
+@pytest.fixture
+def mcp_env(temp_root, monkeypatch):
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_MODEL", "test-tiny")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_MAX_SEQ_LEN", "32")
+    monkeypatch.setenv("INDEXING_POLL_INTERVAL", "3600")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    dbmod.reset_db()
+    dbmod.init_db()
+
+    import voitta_rag_tpu.services.filesystem as fsmod
+    import voitta_rag_tpu.services.indexing as idxmod
+    import voitta_rag_tpu.services.embedding as embmod
+    import voitta_rag_tpu.index.store as storemod
+    import voitta_rag_tpu.search.service as searchmod
+    fsmod.reset_filesystem_service()
+    idxmod.reset_indexing_service()
+    embmod.reset_embedding_service()
+    storemod.reset_vector_store()
+    searchmod.reset_search_service()
+    yield temp_root
+    storemod.reset_vector_store()
+    dbmod.reset_db()
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+async def make_client():
+    from voitta_rag_tpu.mcp.server import create_mcp_app
+
+    client = TestClient(TestServer(create_mcp_app()))
+    await client.start_server()
+    return client
+
+
+async def rpc(client, method, params=None, *, user=None, msg_id=1):
+    headers = {"Content-Type": "application/json"}
+    if user:
+        headers["X-User-Name"] = user
+    resp = await client.post("/mcp", json={
+        "jsonrpc": "2.0", "id": msg_id, "method": method,
+        "params": params or {}}, headers=headers)
+    assert resp.status in (200, 202), await resp.text()
+    if resp.status == 202:
+        return None
+    return await resp.json()
+
+
+async def call_tool(client, name, arguments=None, *, user=None):
+    data = await rpc(client, "tools/call",
+                     {"name": name, "arguments": arguments or {}}, user=user)
+    assert "result" in data, data
+    return data["result"]
+
+
+def test_initialize_and_tools_list(mcp_env):
+    async def body():
+        client = await make_client()
+        try:
+            data = await rpc(client, "initialize", {
+                "protocolVersion": "2025-03-26", "capabilities": {},
+                "clientInfo": {"name": "test", "version": "0"}})
+            assert data["result"]["serverInfo"]["name"] == "voitta-rag-tpu"
+            # notifications are acknowledged with 202
+            assert await rpc(client, "notifications/initialized") is None
+
+            data = await rpc(client, "tools/list")
+            names = {t["name"] for t in data["result"]["tools"]}
+            assert names == {
+                "search", "list_indexed_folders", "get_file",
+                "get_chunk_range", "get_file_uri", "resolve_url",
+                "set_folder_active", "get_folder_active_states",
+                "create_memory", "get_memory", "update_memory",
+                "delete_memory", "like_memory", "dislike_memory",
+                "list_memory"}
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_memory_lifecycle(mcp_env):
+    async def body():
+        client = await make_client()
+        try:
+            res = await call_tool(client, "create_memory",
+                                  {"content": "remember the kangaroo"},
+                                  user="alice")
+            sc = res["structuredContent"]
+            assert sc["success"], sc
+            mid = sc["memory_id"]
+            assert res["_meta"]["auth_status"].startswith("ok")
+
+            res = await call_tool(client, "get_memory", {"memory_id": mid},
+                                  user="alice")
+            assert res["structuredContent"]["content"] == "remember the kangaroo"
+
+            res = await call_tool(client, "like_memory", {"memory_id": mid},
+                                  user="alice")
+            assert res["structuredContent"]["likes"] == 1
+
+            res = await call_tool(client, "update_memory",
+                                  {"memory_id": mid, "content": "updated"},
+                                  user="alice")
+            assert res["structuredContent"]["content"] == "updated"
+            assert res["structuredContent"]["likes"] == 1  # preserved
+
+            res = await call_tool(client, "list_memory", {}, user="alice")
+            assert len(res["structuredContent"]["memories"]) == 1
+
+            # Anamnesis reindex queued (reference mcp_server.py:1187-1202).
+            db = dbmod.get_db()
+            st = db.get_index_status("Anamnesis/alice")
+            assert st is not None and st.status in ("pending", "indexing",
+                                                    "indexed")
+
+            res = await call_tool(client, "delete_memory",
+                                  {"memory_id": mid}, user="alice")
+            assert res["structuredContent"]["success"]
+            res = await call_tool(client, "list_memory", {}, user="alice")
+            assert res["structuredContent"]["memories"] == []
+
+            # No user header → error result.
+            res = await call_tool(client, "create_memory", {"content": "x"})
+            assert not res["structuredContent"]["success"]
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_search_and_folder_state_flow(mcp_env):
+    async def body():
+        from voitta_rag_tpu.services.indexing import get_indexing_service
+
+        root = mcp_env
+        d = root / "kb"
+        d.mkdir()
+        (d / "a.md").write_text("the kangaroo hops across the outback " * 5)
+        (d / "b.md").write_text("spacecraft orbiting mars and the moon " * 5)
+        get_indexing_service().index_folder("kb")
+
+        client = await make_client()
+        try:
+            # Anonymous search sees everything.
+            res = await call_tool(client, "search",
+                                  {"query": "kangaroo outback",
+                                   "sparse_weight": 0.9})
+            hits = res["structuredContent"]["result"]
+            assert hits and hits[0]["file_path"] == "kb/a.md"
+            assert hits[0]["total_chunks"] >= 1
+
+            # User with no active folders → empty results.
+            res = await call_tool(client, "search", {"query": "kangaroo"},
+                                  user="carol")
+            assert res["structuredContent"]["result"] == []
+
+            # Activate the folder for carol → results appear.
+            res = await call_tool(client, "set_folder_active",
+                                  {"folder_path": "kb", "is_active": True},
+                                  user="carol")
+            assert res["structuredContent"]["success"]
+            res = await call_tool(client, "search", {"query": "kangaroo",
+                                                     "sparse_weight": 0.9},
+                                  user="carol")
+            assert res["structuredContent"]["result"]
+
+            res = await call_tool(client, "get_folder_active_states",
+                                  user="carol")
+            states = {s["folder_path"]: s["is_active"]
+                      for s in res["structuredContent"]["result"]}
+            assert states.get("kb") is True
+
+            res = await call_tool(client, "list_indexed_folders",
+                                  user="carol")
+            folders = res["structuredContent"]["result"]
+            assert any(f["folder_path"] == "kb" and f["file_count"] == 2
+                       for f in folders)
+
+            # get_file + chunk range
+            res = await call_tool(client, "get_file",
+                                  {"file_path": "kb/a.md"})
+            assert "kangaroo" in res["structuredContent"]["content"]
+            res = await call_tool(client, "get_chunk_range",
+                                  {"file_path": "kb/a.md", "first_chunk": 0,
+                                   "last_chunk": 5})
+            sc = res["structuredContent"]
+            assert sc["success"] and "kangaroo" in sc["merged_text"]
+
+            # get_file_uri
+            res = await call_tool(client, "get_file_uri",
+                                  {"file_path": "kb/a.md"})
+            assert res["structuredContent"]["uri"].endswith("/api/raw/kb/a.md")
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_resolve_url(mcp_env):
+    async def body():
+        import json as jsonlib
+
+        from voitta_rag_tpu.services.indexing import get_indexing_service
+
+        root = mcp_env
+        d = root / "gdrive"
+        d.mkdir()
+        (d / "Report.gdoc").write_text(jsonlib.dumps({"doc_id": "doc42"}))
+        get_indexing_service().index_folder("gdrive")
+
+        client = await make_client()
+        try:
+            res = await call_tool(client, "resolve_url", {
+                "url": "https://docs.google.com/document/d/doc42/edit?tab=t.0"})
+            sc = res["structuredContent"]
+            assert sc["success"], sc
+            assert sc["file_path"] == "gdrive/Report.gdoc"
+
+            res = await call_tool(client, "resolve_url",
+                                  {"url": "https://example.com/nope"})
+            assert not res["structuredContent"]["success"]
+        finally:
+            await client.close()
+    run(body())

@@ -1,0 +1,124 @@
+"""Web pages: landing with user picker, select-user cookie, file browser.
+
+Behavior contract: reference api/routes/pages.py — landing (163-228),
+select-user cookie (229-247), /browse full page (268-380), /api/browse-list
+JSON/fragment for AJAX refresh (381-402), with the per-folder aggregation of
+search state, index status, chunk/size stats, and sync badges
+(_gather_file_list_data, 14-160).
+"""
+
+from __future__ import annotations
+
+from aiohttp import web
+
+from voitta_rag_tpu.api.routes.helpers import USER_COOKIE, current_user, tail_path
+from voitta_rag_tpu.config import get_settings
+from voitta_rag_tpu.db.database import get_db
+
+
+def gather_file_list_data(rel_path: str, user) -> dict:
+    """Aggregate the browser-row data (reference pages.py:14-160)."""
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+
+    fs = get_filesystem_service()
+    db = get_db()
+    entries = fs.list_dir(rel_path)
+    project = db.get_active_project(user) if user else None
+
+    chunk_stats: dict[str, int] = {}
+    for r in db.query(
+            "SELECT index_folder, SUM(chunk_count) AS chunks "
+            "FROM indexed_files GROUP BY index_folder"):
+        chunk_stats[r["index_folder"]] = r["chunks"] or 0
+
+    items = []
+    for e in entries:
+        item = {
+            "name": e.name, "path": e.path, "is_dir": e.is_dir,
+            "size": e.size, "modified_at": e.modified_at,
+        }
+        if e.is_dir:
+            status = db.get_index_status(e.path)
+            item["index_status"] = status.status if status else "none"
+            item["chunks"] = chunk_stats.get(e.path, 0)
+            src = db.get_sync_source(e.path)
+            if src:
+                item["sync"] = {"source_type": src.source_type,
+                                "sync_status": src.sync_status,
+                                "last_synced_at": src.last_synced_at}
+            if user:
+                if project and not project.is_default:
+                    item["search_active"] = db.project_folder_active(
+                        project.id, e.path)
+                else:
+                    s = db.folder_setting(user.id, e.path)
+                    item["search_active"] = bool(s and s.search_active)
+                s = db.folder_setting(user.id, e.path)
+                item["indexing_enabled"] = bool(s and s.enabled)
+        else:
+            rec = db.get_indexed_file(e.path)
+            item["indexed"] = rec is not None and rec.chunk_count > 0
+            item["chunks"] = rec.chunk_count if rec else 0
+        items.append(item)
+    return {
+        "path": rel_path,
+        "breadcrumbs": fs.breadcrumbs(rel_path),
+        "items": items,
+    }
+
+
+async def landing(request: web.Request) -> web.Response:
+    settings = get_settings()
+    db = get_db()
+    tpl = request.app["jinja"].get_template("landing.html")
+    html = tpl.render(
+        users=db.list_users(),
+        ms_auth_enabled=settings.ms_auth_enabled,
+        google_auth_enabled=settings.google_auth_enabled,
+    )
+    return web.Response(text=html, content_type="text/html")
+
+
+async def select_user(request: web.Request) -> web.Response:
+    data = await request.post()
+    name = (data.get("username") or "").strip()
+    if not name:
+        raise web.HTTPBadRequest(text="username required")
+    get_db().get_or_create_user(name)
+    resp = web.HTTPFound("/browse")
+    resp.set_cookie(USER_COOKIE, name, max_age=86400 * 365, httponly=True)
+    raise resp
+
+
+async def logout(request: web.Request) -> web.Response:
+    resp = web.HTTPFound("/")
+    resp.del_cookie(USER_COOKIE)
+    raise resp
+
+
+async def browse(request: web.Request) -> web.Response:
+    user = current_user(request)
+    if user is None:
+        raise web.HTTPFound("/")
+    rel = request.query.get("path", "")
+    data = gather_file_list_data(rel, user)
+    db = get_db()
+    tpl = request.app["jinja"].get_template("browser.html")
+    html = tpl.render(
+        user=user, projects=db.list_projects(user.id),
+        active_project=db.get_active_project(user), **data)
+    return web.Response(text=html, content_type="text/html")
+
+
+async def browse_list(request: web.Request) -> web.Response:
+    user = current_user(request)
+    rel = request.query.get("path", "")
+    return web.json_response(gather_file_list_data(rel, user))
+
+
+def setup(app: web.Application) -> None:
+    app.router.add_get("/", landing)
+    app.router.add_post("/select-user", select_user)
+    app.router.add_get("/logout", logout)
+    app.router.add_get("/browse", browse)
+    app.router.add_get("/api/browse-list", browse_list)

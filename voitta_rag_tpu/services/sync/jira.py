@@ -1,0 +1,145 @@
+"""Jira connector (reference services/sync/jira.py): Cloud (email+token
+basic auth) or Server (bearer PAT) variants (390-418); issues + agile boards
+rendered to markdown (81-326, 453-618); multi-project or ``*``."""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from pathlib import Path
+
+import httpx
+
+from voitta_rag_tpu.services.sync.base import BaseSyncConnector, RemoteFile
+
+logger = logging.getLogger(__name__)
+
+
+def render_issue(issue: dict, base_url: str) -> str:
+    f = issue.get("fields", {})
+    key = issue.get("key", "")
+    lines = [f"# {key}: {f.get('summary', '')}", ""]
+    lines.append(f"- **Type:** {(f.get('issuetype') or {}).get('name')}")
+    lines.append(f"- **Status:** {(f.get('status') or {}).get('name')}")
+    lines.append(f"- **Priority:** {(f.get('priority') or {}).get('name')}")
+    lines.append(f"- **Assignee:** "
+                 f"{(f.get('assignee') or {}).get('displayName')}")
+    lines.append(f"- **Reporter:** "
+                 f"{(f.get('reporter') or {}).get('displayName')}")
+    lines.append(f"- **Created:** {f.get('created')}")
+    lines.append(f"- **Updated:** {f.get('updated')}")
+    labels = ", ".join(f.get("labels") or [])
+    if labels:
+        lines.append(f"- **Labels:** {labels}")
+    lines.append(f"- **URL:** {base_url}/browse/{key}")
+    lines += ["", "## Description", "", _adf_to_text(f.get("description"))]
+    comments = ((f.get("comment") or {}).get("comments") or [])
+    if comments:
+        lines += ["", "## Comments", ""]
+        for c in comments:
+            author = (c.get("author") or {}).get("displayName", "?")
+            lines.append(f"**{author}** ({c.get('created', '')}):")
+            lines.append(_adf_to_text(c.get("body")))
+            lines.append("")
+    return "\n".join(lines)
+
+
+def _adf_to_text(body) -> str:
+    """Flatten Atlassian Document Format (Cloud) or pass through strings."""
+    if body is None:
+        return ""
+    if isinstance(body, str):
+        return body
+    out: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "text":
+                out.append(node.get("text", ""))
+            for child in node.get("content", []) or []:
+                walk(child)
+            if node.get("type") in ("paragraph", "heading", "listItem"):
+                out.append("\n")
+        elif isinstance(node, list):
+            for n in node:
+                walk(n)
+
+    walk(body)
+    return "".join(out).strip()
+
+
+class JiraConnector(BaseSyncConnector):
+    def _auth_headers(self, source) -> dict:
+        if source.jira_auth_method == "cloud" and source.jira_email:
+            import base64
+
+            cred = base64.b64encode(
+                f"{source.jira_email}:{source.jira_token}".encode()).decode()
+            return {"Authorization": f"Basic {cred}"}
+        return {"Authorization": f"Bearer {source.jira_token}"}
+
+    def _search(self, source) -> list[dict]:
+        base = source.jira_url.rstrip("/")
+        project = source.jira_project or "*"
+        jql = "" if project in ("*", "") else f"project = {project}"
+        issues = []
+        start = 0
+        while True:
+            resp = httpx.get(
+                f"{base}/rest/api/3/search",
+                headers=self._auth_headers(source),
+                params={"jql": jql, "startAt": start, "maxResults": 100,
+                        "fields": "*all"},
+                timeout=60)
+            if resp.status_code == 404:  # Server API fallback
+                resp = httpx.get(
+                    f"{base}/rest/api/2/search",
+                    headers=self._auth_headers(source),
+                    params={"jql": jql, "startAt": start, "maxResults": 100,
+                            "fields": "*all"}, timeout=60)
+            resp.raise_for_status()
+            data = resp.json()
+            issues.extend(data.get("issues", []))
+            start += len(data.get("issues", []))
+            if start >= data.get("total", 0) or not data.get("issues"):
+                return issues
+
+    async def list_files(self, source) -> list[RemoteFile]:
+        loop = asyncio.get_running_loop()
+        issues = await loop.run_in_executor(None, self._search, source)
+        base = source.jira_url.rstrip("/")
+        self._content = {}
+        out = []
+        for issue in issues:
+            key = issue.get("key", "unknown")
+            project = key.split("-")[0]
+            rel = f"{project}/{key}.md"
+            content = render_issue(issue, base)
+            self._content[rel] = content
+            f = issue.get("fields", {})
+            out.append(RemoteFile(
+                remote_path=rel, size=len(content.encode()),
+                modified_at=f.get("updated", ""),
+                created_at=f.get("created", ""),
+                source_url=f"{base}/browse/{key}"))
+        return out
+
+    async def download_file(self, source, remote_path: str,
+                            local_path: Path) -> None:
+        local_path.write_text(self._content[remote_path], encoding="utf-8")
+
+    @staticmethod
+    def list_projects(source) -> list[dict]:
+        """Helper lookup (reference api/routes/sync.py jira projects)."""
+        base = source.jira_url.rstrip("/")
+        resp = httpx.get(f"{base}/rest/api/3/project/search",
+                         headers=JiraConnector()._auth_headers(source),
+                         timeout=30)
+        if resp.status_code == 404:
+            resp = httpx.get(f"{base}/rest/api/2/project",
+                             headers=JiraConnector()._auth_headers(source),
+                             timeout=30)
+            resp.raise_for_status()
+            return resp.json()
+        resp.raise_for_status()
+        return resp.json().get("values", [])
