@@ -52,13 +52,14 @@ SPARSE_W = 0.1
 
 def build_corpus(seed=0):
     rng = np.random.default_rng(seed)
-    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    # float32 end-to-end: float64 generation doubles time+memory for nothing.
+    vecs = rng.standard_normal((N, D), dtype=np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     cols = np.zeros((NUM_COLS, N), np.int32)
     cols[COL_VALID] = 1
-    cols[COL_FOLDER] = rng.integers(0, N_FOLDERS, N)
-    terms = rng.integers(0, 100_000, (N, S)).astype(np.int32)
-    weights = rng.random((N, S)).astype(np.float32)
+    cols[COL_FOLDER] = rng.integers(0, N_FOLDERS, N, dtype=np.int32)
+    terms = rng.integers(0, 100_000, (N, S), dtype=np.int32)
+    weights = rng.random((N, S), dtype=np.float32)
     return vecs, cols, terms, weights, rng
 
 
@@ -118,7 +119,7 @@ def main():
 
     # Query pool (distinct queries per dispatch to defeat any exec caching).
     n_pool = B * 24
-    qpool = rng.standard_normal((n_pool, D)).astype(np.float32)
+    qpool = rng.standard_normal((n_pool, D), dtype=np.float32)
     qpool /= np.linalg.norm(qpool, axis=1, keepdims=True)
     qt = np.full((1, QT), TERM_PAD, np.int32)
     qt[0, :QT] = rng.choice(100_000, QT, replace=False)
