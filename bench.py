@@ -51,16 +51,23 @@ SPARSE_W = 0.1
 
 
 def build_corpus(seed=0):
+    """Generate the synthetic corpus ON DEVICE (host RNG for 400M floats
+    takes minutes on a small VM; jax.random on the accelerator is ~instant).
+    Host copies are pulled once for the CPU baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    vecs = jax.random.normal(k[0], (N, D), jnp.float32)
+    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+    folder = jax.random.randint(k[1], (N,), 0, N_FOLDERS, jnp.int32)
+    cols = jnp.zeros((NUM_COLS, N), jnp.int32)
+    cols = cols.at[COL_VALID].set(1).at[COL_FOLDER].set(folder)
+    terms = jax.random.randint(k[2], (N, S), 0, 100_000, jnp.int32)
+    weights = jax.random.uniform(k[3], (N, S), jnp.float32)
     rng = np.random.default_rng(seed)
-    # float32 end-to-end: float64 generation doubles time+memory for nothing.
-    vecs = rng.standard_normal((N, D), dtype=np.float32)
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    cols = np.zeros((NUM_COLS, N), np.int32)
-    cols[COL_VALID] = 1
-    cols[COL_FOLDER] = rng.integers(0, N_FOLDERS, N, dtype=np.int32)
-    terms = rng.integers(0, 100_000, (N, S), dtype=np.int32)
-    weights = rng.random((N, S), dtype=np.float32)
-    return vecs, cols, terms, weights, rng
+    return (np.asarray(vecs), np.asarray(cols), np.asarray(terms),
+            np.asarray(weights), rng)
 
 
 def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec):
@@ -70,14 +77,18 @@ def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec):
 
 
 def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
-    """NumPy/BLAS reference implementation of the same search."""
+    """NumPy/BLAS reference implementation of the same search (vectorized
+    sparse scoring via sorted-membership lookup — a fair CPU baseline)."""
     d = q @ vecs.T                       # [B, N]
     d[:, ~inc_mask] = NEG_INF
-    s = np.zeros(N, np.float32)
-    for t, w in zip(qt[0], qw[0]):
-        if t == TERM_PAD:
-            continue
-        s += w * (weights * (terms == t)).sum(axis=1)
+    live = qt[0] != TERM_PAD
+    q_terms = qt[0][live]
+    order = np.argsort(q_terms)
+    q_sorted, w_sorted = q_terms[order], qw[0][live][order]
+    pos = np.searchsorted(q_sorted, terms)
+    pos_c = np.clip(pos, 0, len(q_sorted) - 1)
+    hit = q_sorted[pos_c] == terms
+    s = (weights * w_sorted[pos_c] * hit).sum(axis=1).astype(np.float32)
     s_masked = np.where(inc_mask, s, NEG_INF)
 
     p = LIMIT * 3

@@ -22,6 +22,39 @@ async def trigger_index(request: web.Request, user) -> web.Response:
     return web.json_response({"status": "queued", "folder": rel})
 
 
+@require_user
+async def optimize_index(request: web.Request, user) -> web.Response:
+    """Build/rebuild the IVF snapshot (probe-limited search at scale)."""
+    import asyncio
+
+    from voitta_rag_tpu.index.store import get_vector_store
+
+    body = await request.json() if request.can_read_body else {}
+    loop = asyncio.get_running_loop()
+    try:
+        stats = await loop.run_in_executor(
+            None, lambda: get_vector_store().build_ivf(
+                n_cells=body.get("n_cells"), nprobe=body.get("nprobe")))
+    except ValueError as e:
+        return web.json_response({"detail": str(e)}, status=400)
+    return web.json_response({"status": "optimized", **stats})
+
+
+async def engine_stats(request: web.Request) -> web.Response:
+    """Engine observability: collection info + per-stage latency stats."""
+    from voitta_rag_tpu.index.store import get_vector_store
+    from voitta_rag_tpu.utils.profiling import stats as prof_stats
+
+    store = get_vector_store()
+    return web.json_response({
+        "collection": store.get_collection_info(),
+        "ivf_active": store.ivf_active,
+        "latency": prof_stats(),
+    })
+
+
 def setup(app: web.Application) -> None:
     app.router.add_post("/api/index/trigger/{path:.*}", trigger_index)
     app.router.add_post("/api/index/reindex/{path:.*}", trigger_index)
+    app.router.add_post("/api/index/optimize", optimize_index)
+    app.router.add_get("/api/stats", engine_stats)

@@ -62,6 +62,10 @@ class TpuVectorStore:
         self._lock = threading.RLock()
         self._payloads: PayloadStore | None = None
         self._segments: list[Segment] | None = None
+        # IVF snapshot (read-optimized; invalidated by any mutation).
+        self._ivf = None
+        self._ivf_nprobe = settings.ivf_nprobe
+        self._ivf_dirty = True
 
     # -- lazy bootstrap (reference vector_store.py:66-115) -------------------
     @property
@@ -174,6 +178,7 @@ class TpuVectorStore:
             self._payloads.insert_chunks(payload_rows)
             if df_bump:
                 self._payloads.bump_term_dfs(df_bump)
+            self._ivf_dirty = True
         return point_ids
 
     # -- deletes (reference vector_store.py:319-434) -------------------------
@@ -195,6 +200,7 @@ class TpuVectorStore:
         self._payloads.delete_gids(gids)
         if df_drop:
             self._payloads.bump_term_dfs(df_drop)
+        self._ivf_dirty = True
         return len(gids)
 
     def delete_by_file(self, file_path: str) -> int:
@@ -265,6 +271,54 @@ class TpuVectorStore:
             qw[0, j] = float(values[j]) * idf_fn(dfs.get(t, 0), n_docs)
         return qt, qw
 
+    # -- IVF acceleration (BASELINE config 4; docs/ARCHITECTURE.md §6) ------
+    def build_ivf(self, n_cells: int | None = None,
+                  nprobe: int | None = None, kmeans_iters: int = 10) -> dict:
+        """Build/rebuild the IVF snapshot from live rows. Mutations after the
+        build invalidate it (searches fall back to the exact flat scan until
+        the next build)."""
+        from voitta_rag_tpu.index.ivf import IVFIndex
+
+        settings = get_settings()
+        n_cells = n_cells or settings.ivf_cells
+        with self._lock:
+            self._ensure_open()
+            live_vecs, live_cols, live_gids = [], [], []
+            for si, seg in enumerate(self._segments):
+                rows = np.nonzero(seg.valid_np)[0]
+                if len(rows) == 0:
+                    continue
+                v = np.asarray(seg.vecs, np.float32)[rows]
+                if seg.dtype == "int8":
+                    v = v * np.asarray(seg.scales)[0][rows][:, None]
+                live_vecs.append(v)
+                live_cols.append(np.asarray(seg.cols).T[rows])
+                live_gids.append(rows + si * self.segment_capacity)
+            if not live_vecs:
+                raise ValueError("no live rows to build IVF from")
+            dense = np.concatenate(live_vecs)
+            cols = np.concatenate(live_cols)
+            gids = np.concatenate(live_gids)
+            if n_cells <= 1 or len(dense) < max(n_cells, 256):
+                raise ValueError(
+                    f"need >= max(n_cells, 256) rows for IVF "
+                    f"(have {len(dense)}, n_cells={n_cells})")
+            self._ivf = IVFIndex.build(dense, cols, gids, n_cells,
+                                       kmeans_iters=kmeans_iters,
+                                       dtype=self.segment_dtype
+                                       if self.segment_dtype != "int8"
+                                       else "bfloat16")
+            if nprobe:
+                self._ivf_nprobe = nprobe
+            self._ivf_dirty = False
+            return {"cells": n_cells, "rows": len(dense),
+                    "cell_cap": self._ivf.cell_cap,
+                    "residual": int(np.asarray(self._ivf.rest_gid >= 0).sum())}
+
+    @property
+    def ivf_active(self) -> bool:
+        return self._ivf is not None and not self._ivf_dirty
+
     def _score_all_segments(self, q_dense, spec, qt=None, qw=None):
         """Concatenated masked scores over all segments.
 
@@ -324,21 +378,52 @@ class TpuVectorStore:
         if has_sparse:
             qt, qw = self._sparse_query_arrays(sparse_query)
 
+        if self.ivf_active:
+            return self._search_ivf(q, spec, qt, qw, limit, sparse_weight,
+                                    has_sparse, fusion)
+
         dense_scores, sparse_scores = self._score_all_segments(
             jnp.asarray(q), spec, qt, qw)
 
         if has_sparse:
-            fuse = rrf_fuse if fusion == "rrf" else hybrid_fuse
             if fusion == "rrf":
-                scores, gids = fuse(dense_scores, sparse_scores, limit=limit,
-                                    prefetch_multiplier=self.prefetch_multiplier)
+                scores, gids = rrf_fuse(dense_scores, sparse_scores,
+                                        limit=limit,
+                                        prefetch_multiplier=self.prefetch_multiplier)
             else:
-                scores, gids = fuse(dense_scores, sparse_scores, sparse_weight,
-                                    limit=limit,
-                                    prefetch_multiplier=self.prefetch_multiplier)
+                scores, gids = hybrid_fuse(dense_scores, sparse_scores,
+                                           sparse_weight, limit=limit,
+                                           prefetch_multiplier=self.prefetch_multiplier)
         else:
             scores, gids = masked_topk(dense_scores, limit)
 
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+
+    def _search_ivf(self, q, spec, qt, qw, limit, sparse_weight, has_sparse,
+                    fusion):
+        """IVF-accelerated path: probed dense candidates + (optional) full
+        sparse scan, fused on the candidate lists."""
+        from voitta_rag_tpu.ops.fusion import hybrid_fuse_candidates
+
+        d_scores, d_gids = self._ivf.search_scores(
+            jnp.asarray(q), spec, nprobe=self._ivf_nprobe)
+        if has_sparse:
+            s_parts = []
+            for seg in self._segments:
+                s_parts.append(sparse_scan_scores(
+                    jnp.asarray(qt), jnp.asarray(qw), seg.terms, seg.weights,
+                    seg.cols, spec))
+            s_scores = jnp.concatenate(s_parts, axis=1)
+            s_ids = jnp.broadcast_to(
+                jnp.arange(s_scores.shape[1], dtype=jnp.int32)[None, :],
+                s_scores.shape)
+            scores, gids = hybrid_fuse_candidates(
+                d_scores, d_gids, s_scores, s_ids, sparse_weight,
+                limit=limit, prefetch_multiplier=self.prefetch_multiplier)
+        else:
+            vals, pos = masked_topk(d_scores, limit)
+            gids = jnp.where(pos >= 0, d_gids[0][pos], -1)
+            scores = vals
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _materialize(self, scores: np.ndarray, gids: np.ndarray) -> list[StoredChunk]:

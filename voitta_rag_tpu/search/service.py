@@ -120,7 +120,10 @@ class SearchService:
             exclude_index_folder_ids=exclude_if_ids,
             date_start=date_start, date_end=date_end, date_field=date_field)
 
-        ids, mask = self.embedder.tokenize_query(query)
+        from voitta_rag_tpu.utils.profiling import trace
+
+        with trace("search.tokenize"):
+            ids, mask = self.embedder.tokenize_query(query)
         cfg, params = self.embedder.encoder
 
         qt = qw = None
@@ -134,19 +137,33 @@ class SearchService:
             qt = np.full((1, 1), TERM_PAD, np.int32)
             qw = np.zeros((1, 1), np.float32)
 
+        if store.ivf_active:
+            # IVF path: encode on device, then probe-limited store search.
+            with trace("search.encode"):
+                q = np.asarray(encode_tokens(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+            with trace("search.ivf"):
+                return store._search_ivf(
+                    q, spec, qt, qw, limit,
+                    jnp.asarray(sparse_weight, jnp.float32), has_sparse,
+                    fusion)
+
         segs = store.segments
-        scores, gids = fused_query(
-            params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-            tuple(s.vecs for s in segs),
-            tuple(s.cols for s in segs),
-            tuple(s.scales for s in segs),
-            tuple(s.terms for s in segs),
-            tuple(s.weights for s in segs),
-            spec, jnp.asarray(qt), jnp.asarray(qw),
-            jnp.asarray(sparse_weight, jnp.float32),
-            limit=limit, prefetch_multiplier=self.prefetch_multiplier,
-            has_sparse=has_sparse, fusion=fusion)
-        return store._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+        with trace("search.device"):
+            scores, gids = fused_query(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                tuple(s.vecs for s in segs),
+                tuple(s.cols for s in segs),
+                tuple(s.scales for s in segs),
+                tuple(s.terms for s in segs),
+                tuple(s.weights for s in segs),
+                spec, jnp.asarray(qt), jnp.asarray(qw),
+                jnp.asarray(sparse_weight, jnp.float32),
+                limit=limit, prefetch_multiplier=self.prefetch_multiplier,
+                has_sparse=has_sparse, fusion=fusion)
+        with trace("search.materialize"):
+            return store._materialize(np.asarray(scores)[0],
+                                      np.asarray(gids)[0])
 
 
 _search_service: SearchService | None = None
