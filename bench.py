@@ -185,17 +185,89 @@ def main():
                inc_mask)
     cpu_qps = n_cpu / (time.perf_counter() - t0)
 
+    extra = {
+        "batch": B, "limit": LIMIT, "corpus": N, "dim": D,
+        "cpu_baseline_qps": round(cpu_qps, 2),
+        "recall_vs_cpu_oracle": round(recall_vs_cpu, 3),
+        "backend": jax.default_backend(),
+    }
+
+    # ---- int8 storage variant (halves dense HBM traffic) ----
+    try:
+        scale = jnp.max(jnp.abs(jnp.asarray(vecs_np)), axis=1) / 127.0
+        v8 = jnp.clip(jnp.round(jnp.asarray(vecs_np) / scale[:, None]),
+                      -127, 127).astype(jnp.int8)
+        scales = scale[None, :].astype(jnp.float32)
+        w16 = weights.astype(jnp.bfloat16)
+
+        def int8_hybrid(q):
+            d = dense_scan_scores(q, v8, cols, spec, scales)
+            s = sparse_scan_scores(qt_j, qw_j, terms, w16, cols, spec)
+            return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W,
+                               limit=LIMIT)
+
+        out = int8_hybrid(qpool_j[:B])
+        jax.block_until_ready(out)
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            start = (i * B) % (n_pool - B)
+            outs.append(int8_hybrid(
+                jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
+        jax.block_until_ready(outs)
+        extra["int8_hybrid_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
+        _, gids8 = int8_hybrid(qpool_j[:2])
+        gids8 = np.asarray(gids8)
+        ov = np.mean([
+            len(set(gids8[b].tolist())
+                & set(np.asarray(dev_gids)[b].tolist())) / LIMIT
+            for b in range(2)])
+        extra["int8_vs_bf16_overlap"] = round(float(ov), 3)
+    except Exception as e:  # keep the headline metric robust
+        extra["int8_error"] = str(e)[:200]
+
+    # ---- IVF variant (probe-limited dense; BASELINE config 4 shape) ----
+    try:
+        from voitta_rag_tpu.index.ivf import IVFIndex
+        from voitta_rag_tpu.ops.topk import masked_topk
+
+        gids_all = np.arange(N, dtype=np.int64)
+        ivf = IVFIndex.build(vecs_np, cols_np.T, gids_all, n_cells=1024,
+                             kmeans_iters=4, skew_factor=2.0)
+        NPROBE = 64
+
+        def ivf_dense(q):
+            s, g = ivf.search_scores(q, spec, nprobe=NPROBE)
+            vals, pos = masked_topk(s, LIMIT)
+            return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0), axis=1)
+
+        out = ivf_dense(qpool_j[:B])
+        jax.block_until_ready(out)
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            start = (i * B) % (n_pool - B)
+            outs.append(ivf_dense(
+                jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
+        jax.block_until_ready(outs)
+        extra["ivf_dense_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
+        # recall vs exact flat dense top-10 on 8 queries
+        _, giv = ivf_dense(qpool_j[:8])
+        giv = np.asarray(giv)
+        d_exact = np.asarray(dense_scan_scores(qpool_j[:8], vecs, cols, spec))
+        oracle = np.argsort(-d_exact, axis=1)[:, :LIMIT]
+        extra["ivf_recall10"] = round(float(np.mean([
+            len(set(giv[b].tolist()) & set(oracle[b].tolist())) / LIMIT
+            for b in range(8)])), 3)
+    except Exception as e:
+        extra["ivf_error"] = str(e)[:200]
+
     result = {
         "metric": "filtered_hybrid_search_qps_1M_384d" + ("" if on_tpu else "_cpu"),
         "value": round(tpu_qps, 1),
         "unit": "qps",
         "vs_baseline": round(tpu_qps / cpu_qps, 1),
-        "extra": {
-            "batch": B, "limit": LIMIT, "corpus": N, "dim": D,
-            "cpu_baseline_qps": round(cpu_qps, 2),
-            "recall_vs_cpu_oracle": round(recall_vs_cpu, 3),
-            "backend": jax.default_backend(),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -40,16 +40,21 @@ def compact(value) -> str:
 
 
 def setup_logging() -> None:
-    """File logging, wiped per restart (reference main.py:23-46)."""
+    """File logging, wiped per restart (reference main.py:23-46); dedicated
+    per-subsystem logs like the reference's logs/indexing.log
+    (services/indexing.py:23-39)."""
     logs = Path("logs")
     logs.mkdir(exist_ok=True)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
     handler = logging.FileHandler(logs / "app.log", mode="w")
-    handler.setFormatter(logging.Formatter(
-        "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+    handler.setFormatter(fmt)
     root = logging.getLogger()
     root.addHandler(handler)
     if root.level > logging.INFO:
         root.setLevel(logging.INFO)
+    idx_handler = logging.FileHandler(logs / "indexing.log", mode="w")
+    idx_handler.setFormatter(fmt)
+    logging.getLogger("voitta.indexing").addHandler(idx_handler)
 
 
 def _inherit_settings_for_new_dir(rel_path: str) -> None:

@@ -120,3 +120,52 @@ def load_encoder(model_dir: str | Path) -> tuple[EncoderConfig, Params]:
     state = load_state_dict(model_dir)
     cfg = config_from_state_dict(state)
     return cfg, params_from_state_dict(state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# native checkpoints (fine-tuned encoders; checkpoint/resume for training)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str | Path, cfg: EncoderConfig, params: Params) -> None:
+    """Save a fine-tuned encoder as a flat .npz + config json."""
+    import json
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(node, np.float32)
+
+    walk("", params)
+    np.savez_compressed(path / "encoder.npz", **flat)
+    (path / "encoder_config.json").write_text(json.dumps(cfg.__dict__))
+
+
+def load_checkpoint(path: str | Path) -> tuple[EncoderConfig, Params]:
+    """Load a checkpoint written by :func:`save_checkpoint`."""
+    import json
+
+    path = Path(path)
+    cfg = EncoderConfig(**json.loads(
+        (path / "encoder_config.json").read_text()))
+    dt = jnp.dtype(cfg.dtype)
+    with np.load(path / "encoder.npz") as data:
+        params: Params = {"embeddings": {"ln": {}}, "layers": [
+            {"attn": {"q": {}, "k": {}, "v": {}, "o": {}, "ln": {}},
+             "mlp": {"up": {}, "down": {}, "ln": {}}}
+            for _ in range(cfg.num_layers)]}
+        for key in data.files:
+            parts = key.split("/")
+            node = params
+            for p in parts[:-1]:
+                node = node[int(p)] if p.isdigit() else node[p]
+            node[parts[-1]] = jnp.asarray(data[key], dt)
+    return cfg, params

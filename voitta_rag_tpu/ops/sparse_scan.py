@@ -41,7 +41,9 @@ TERM_PAD = -1  # empty doc slot / empty query slot
 def _sparse_kernel(params_ref, inc_ref, exc_ref, excif_ref,
                    qt_ref, qw_ref, terms_ref, weights_ref, cols_ref, out_ref):
     terms = terms_ref[:]       # [T, S] int32
-    weights = weights_ref[:]   # [T, S] f32
+    weights = weights_ref[:]   # [T, S] f32 or bf16 (HBM-traffic saver)
+    if weights.dtype != jnp.float32:
+        weights = weights.astype(jnp.float32)
     n_q = qt_ref.shape[1]
 
     def body(t, acc):
@@ -101,7 +103,8 @@ def sparse_scan_scores(
     ]
     cost = pl.CostEstimate(
         flops=2 * N * S * q_terms.shape[1],
-        bytes_accessed=N * S * 8 + N * cols.shape[0] * 4 + N * 4,
+        bytes_accessed=N * S * (4 + doc_weights.dtype.itemsize)
+        + N * cols.shape[0] * 4 + N * 4,
         transcendentals=0,
     )
     return pl.pallas_call(
@@ -132,7 +135,8 @@ def _xla_sparse_scores(q_terms, q_weights, doc_terms, doc_weights, cols,
         q_terms[0][None, None, :] != TERM_PAD
     )
     per_term = jnp.sum(
-        jnp.where(hit, doc_weights[:, :, None], 0.0), axis=1
+        jnp.where(hit, doc_weights.astype(jnp.float32)[:, :, None], 0.0),
+        axis=1
     )  # [N, Qt]
     scores = per_term @ q_weights[0]
     mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,

@@ -64,7 +64,11 @@ class EmbeddingService:
         params = None
         if self.model_path and Path(self.model_path).exists():
             try:
-                cfg, params = weights_mod.load_encoder(self.model_path)
+                if (Path(self.model_path) / "encoder_config.json").exists():
+                    # native (fine-tuned) checkpoint
+                    cfg, params = weights_mod.load_checkpoint(self.model_path)
+                else:  # HF / sentence-transformers checkpoint
+                    cfg, params = weights_mod.load_encoder(self.model_path)
                 logger.info("Loaded encoder checkpoint from %s", self.model_path)
             except Exception as e:  # fall back to deterministic init
                 logger.warning("Checkpoint load failed (%s); using random init", e)
