@@ -124,6 +124,13 @@ def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
     return out
 
 
+def _fetch(outs):
+    """Force-complete queued executions by pulling results to host."""
+    for out in outs:
+        for x in (out if isinstance(out, tuple) else (out,)):
+            np.asarray(x)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     vecs_np, cols_np, terms_np, weights_np, rng = build_corpus()
@@ -151,7 +158,9 @@ def main():
                                  weights, spec)
     jax.block_until_ready((scores, gids))
 
-    # Timed: distinct query batches, fetch results at the end.
+    # Timed: distinct query batches; every result is FETCHED to host (through
+    # the remote-execution tunnel, block_until_ready alone can under-report —
+    # only a host fetch guarantees the dispatch actually ran).
     n_iters = 20
     outs = []
     t0 = time.perf_counter()
@@ -160,7 +169,7 @@ def main():
         q = jax.lax.dynamic_slice_in_dim(qpool_j, start, B)
         outs.append(device_hybrid(q, qt_j, qw_j, vecs, cols, terms, weights,
                                   spec))
-    jax.block_until_ready(outs)
+    _fetch(outs)
     dt = time.perf_counter() - t0
     tpu_qps = n_iters * B / dt
 
@@ -207,14 +216,14 @@ def main():
                                limit=LIMIT)
 
         out = int8_hybrid(qpool_j[:B])
-        jax.block_until_ready(out)
+        _fetch([out])
         outs = []
         t0 = time.perf_counter()
         for i in range(n_iters):
             start = (i * B) % (n_pool - B)
             outs.append(int8_hybrid(
                 jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
-        jax.block_until_ready(outs)
+        _fetch(outs)
         extra["int8_hybrid_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
         _, gids8 = int8_hybrid(qpool_j[:2])
         gids8 = np.asarray(gids8)
@@ -232,9 +241,9 @@ def main():
         from voitta_rag_tpu.ops.topk import masked_topk
 
         gids_all = np.arange(N, dtype=np.int64)
-        ivf = IVFIndex.build(vecs_np, cols_np.T, gids_all, n_cells=1024,
-                             kmeans_iters=4, skew_factor=2.0)
-        NPROBE = 64
+        ivf = IVFIndex.build(vecs_np, cols_np.T, gids_all, n_cells=512,
+                             kmeans_iters=3, skew_factor=2.0)
+        NPROBE = 32
 
         def ivf_dense(q):
             s, g = ivf.search_scores(q, spec, nprobe=NPROBE)
@@ -242,14 +251,14 @@ def main():
             return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0), axis=1)
 
         out = ivf_dense(qpool_j[:B])
-        jax.block_until_ready(out)
+        _fetch([out])
         outs = []
         t0 = time.perf_counter()
         for i in range(n_iters):
             start = (i * B) % (n_pool - B)
             outs.append(ivf_dense(
                 jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
-        jax.block_until_ready(outs)
+        _fetch(outs)
         extra["ivf_dense_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
         # recall vs exact flat dense top-10 on 8 queries
         _, giv = ivf_dense(qpool_j[:8])

@@ -98,6 +98,20 @@ async def _on_startup(app: web.Application) -> None:
     file_watcher.on_dir_created = _inherit_settings_for_new_dir
     file_watcher.start(loop)
     get_indexing_worker().start(loop)
+
+    async def autosave():
+        from voitta_rag_tpu.index.store import get_vector_store
+
+        while True:
+            await asyncio.sleep(300)
+            try:
+                if await loop.run_in_executor(
+                        None, get_vector_store().save_if_dirty):
+                    logger.info("index autosaved")
+            except Exception:
+                logger.exception("index autosave failed")
+
+    app["autosave_task"] = loop.create_task(autosave())
     logger.info("voitta-rag-tpu app started")
 
 
@@ -106,10 +120,13 @@ async def _on_cleanup(app: web.Application) -> None:
     from voitta_rag_tpu.services.indexing_worker import get_indexing_worker
     from voitta_rag_tpu.services.watcher import file_watcher
 
+    task = app.get("autosave_task")
+    if task is not None:
+        task.cancel()
     file_watcher.stop()
     get_indexing_worker().stop()
     try:
-        get_vector_store().save()
+        get_vector_store().save_if_dirty()
     except Exception:
         logger.exception("index save on shutdown failed")
 

@@ -53,9 +53,12 @@ def spherical_kmeans(
     def step(_, centroids):
         sims = vecs.astype(jnp.float32) @ centroids.T          # [N, C]
         assign = jnp.argmax(sims, axis=1)
-        onehot = jax.nn.one_hot(assign, n_cells, dtype=jnp.float32)  # [N, C]
-        sums = onehot.T @ vecs.astype(jnp.float32)             # [C, D]
-        counts = jnp.sum(onehot, axis=0)[:, None]
+        # segment_sum instead of a one-hot matmul: avoids the [N, C] f32
+        # one-hot (4 GB at 1M x 1024) — sort+segment reduction instead.
+        sums = jax.ops.segment_sum(vecs.astype(jnp.float32), assign,
+                                   num_segments=n_cells)       # [C, D]
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign,
+                                     num_segments=n_cells)[:, None]
         new = jnp.where(counts > 0, sums / jnp.clip(counts, 1.0, None),
                         centroids)
         norms = jnp.linalg.norm(new, axis=1, keepdims=True)

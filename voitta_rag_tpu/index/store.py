@@ -66,6 +66,8 @@ class TpuVectorStore:
         self._ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
         self._ivf_dirty = True
+        # Mutations since last save() (host spill/restore, SURVEY §5.4).
+        self._unsaved_mutations = 0
 
     # -- lazy bootstrap (reference vector_store.py:66-115) -------------------
     @property
@@ -179,6 +181,7 @@ class TpuVectorStore:
             if df_bump:
                 self._payloads.bump_term_dfs(df_bump)
             self._ivf_dirty = True
+            self._unsaved_mutations += n
         return point_ids
 
     # -- deletes (reference vector_store.py:319-434) -------------------------
@@ -201,6 +204,7 @@ class TpuVectorStore:
         if df_drop:
             self._payloads.bump_term_dfs(df_drop)
         self._ivf_dirty = True
+        self._unsaved_mutations += len(gids)
         return len(gids)
 
     def delete_by_file(self, file_path: str) -> int:
@@ -483,6 +487,17 @@ class TpuVectorStore:
             for i, seg in enumerate(self._segments):
                 np.savez_compressed(self.index_dir / f"segment_{i:04d}.npz",
                                     **seg.to_host())
+            self._unsaved_mutations = 0
+
+    def save_if_dirty(self, min_mutations: int = 1) -> bool:
+        """Autosave hook: spill device segments to disk when mutated."""
+        with self._lock:
+            if self._payloads is None or self._segments is None:
+                return False
+            if self._unsaved_mutations < min_mutations:
+                return False
+            self.save()
+            return True
 
     def close(self) -> None:
         with self._lock:
