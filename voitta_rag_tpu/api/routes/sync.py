@@ -90,6 +90,11 @@ async def upsert_source(request: web.Request, user) -> web.Response:
     source_type = body.get("source_type")
     if source_type not in SOURCE_TYPES:
         return json_error(400, f"unknown source_type: {source_type}")
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+
+    fs = get_filesystem_service()
+    if not fs.exists(rel) or not fs.is_dir(rel):
+        return json_error(404, "Folder not found")
     db = get_db()
     existing = db.get_sync_source(rel)
     src = existing or FolderSyncSource(folder_path=rel,

@@ -97,11 +97,166 @@
     if (e.key === "Enter") runSearch().catch(err => toast(err.message));
   });
 
-  // ---- project selector ----
+  // ---- modal scaffolding (sync config, projects) ----
+  function openModal(title) {
+    closeModal();
+    const overlay = document.createElement("div");
+    overlay.className = "modal-overlay";
+    overlay.id = "modal-overlay";
+    overlay.innerHTML =
+      `<div class="modal"><div class="modal-head"><h3>${title}</h3>` +
+      `<button class="modal-close">✕</button></div>` +
+      `<div class="modal-body"></div></div>`;
+    document.body.appendChild(overlay);
+    overlay.querySelector(".modal-close").onclick = closeModal;
+    overlay.onclick = (e) => { if (e.target === overlay) closeModal(); };
+    return overlay.querySelector(".modal-body");
+  }
+  function closeModal() {
+    const el = document.getElementById("modal-overlay");
+    if (el) el.remove();
+  }
+
+  // ---- sync source config (reference app.js:987-2100, schema-driven) ----
+  const FIELD_LABELS = {
+    fs_path: "Host path", gh_repo: "Repository (owner/name or URL)",
+    gh_branch: "Branch", gh_path: "Subfolder (optional)",
+    gh_auth_method: "Auth method (ssh/pat)", gh_username: "Username",
+    gh_all_branches: "Sync all branches (true/false)",
+    gh_token: "Token", gh_pat: "Personal access token",
+    sp_tenant_id: "Tenant ID", sp_client_id: "Client ID",
+    sp_site_url: "Site URL", sp_drive_id: "Drive ID (optional)",
+    sp_all_sites: "All sites (true/false)",
+    sp_selected_sites: "Selected sites (comma-sep)",
+    sp_client_secret: "Client secret", sp_refresh_token: "Refresh token",
+    gd_folder_id: "Folder ID", gd_client_id: "Client ID",
+    gd_service_account_json: "Service account JSON",
+    gd_client_secret: "Client secret", gd_refresh_token: "Refresh token",
+    ado_tenant_id: "Tenant ID", ado_client_id: "Client ID",
+    ado_organization: "Organization", ado_project: "Project",
+    ado_url: "Org URL", ado_client_secret: "Client secret",
+    ado_refresh_token: "Refresh token",
+    jira_url: "Jira URL", jira_project: "Project key(s) or *",
+    jira_auth_method: "Auth method (cloud/server)", jira_email: "Email",
+    jira_token: "API token",
+    confluence_url: "Confluence URL", confluence_space: "Space key(s)",
+    confluence_auth_method: "Auth method (cloud/server)",
+    confluence_email: "Email", confluence_token: "API token",
+    box_client_id: "Client ID", box_folder_id: "Folder ID",
+    box_client_secret: "Client secret", box_refresh_token: "Refresh token",
+    glue_region: "AWS region", glue_profile: "AWS profile (optional)",
+    glue_catalog_id: "Catalog ID (optional)",
+    glue_databases: "Databases (comma-sep or *)",
+    glue_access_key_id: "Access key ID",
+    glue_secret_access_key: "Secret access key",
+  };
+
+  function fieldRow(name, value, isSecret) {
+    const label = FIELD_LABELS[name] || name;
+    const type = isSecret ? "password" : "text";
+    const ph = isSecret && value === "***" ? "(configured — leave blank to keep)" : "";
+    const val = isSecret ? "" : (value ?? "");
+    return `<label class="form-row"><span>${label}</span>` +
+      `<input name="${name}" type="${type}" value="${String(val)
+        .replace(/"/g, "&quot;")}" placeholder="${ph}"></label>`;
+  }
+
+  async function openSyncModal(path) {
+    const [typesResp, existing] = await Promise.all([
+      api("GET", "/api/sync/types"),
+      api("GET", `/api/sync/${path}`).catch(() => null),
+    ]);
+    const types = typesResp.types;
+    const body = openModal(`Sync source — ${path}`);
+    const cur = existing && existing.source_type;
+    body.innerHTML =
+      `<label class="form-row"><span>Source type</span>` +
+      `<select id="sync-type"><option value="">— none —</option>` +
+      Object.keys(types).map((t) =>
+        `<option value="${t}" ${t === cur ? "selected" : ""}>${t}</option>`
+      ).join("") + `</select></label>` +
+      `<form id="sync-form"></form>` +
+      `<div class="modal-actions">` +
+      `<button id="sync-save">Save</button>` +
+      (existing ? `<button id="sync-trigger">Sync now</button>` +
+                  `<button id="sync-remove" class="danger">Remove source</button>` : "") +
+      `</div>` +
+      (existing && existing.sync_error
+        ? `<p class="sync-error">Last error: ${existing.sync_error}</p>` : "");
+
+    const typeSel = body.querySelector("#sync-type");
+    const form = body.querySelector("#sync-form");
+    function renderForm() {
+      const t = typeSel.value;
+      if (!t) { form.innerHTML = ""; return; }
+      const schema = types[t];
+      form.innerHTML =
+        schema.fields.map((f) =>
+          fieldRow(f, existing && cur === t ? existing[f] : "", false)).join("") +
+        schema.secrets.map((f) =>
+          fieldRow(f, existing && cur === t ? existing[f] : "", true)).join("");
+    }
+    typeSel.onchange = renderForm;
+    renderForm();
+
+    body.querySelector("#sync-save").onclick = async () => {
+      const t = typeSel.value;
+      if (!t) { toast("Pick a source type"); return; }
+      const payload = { source_type: t };
+      for (const input of form.querySelectorAll("input")) {
+        if (input.value !== "") payload[input.name] = input.value;
+      }
+      try {
+        await api("PUT", `/api/sync/${path}`, payload);
+        toast("Sync source saved");
+        closeModal();
+        refreshList();
+      } catch (e) { toast(e.message); }
+    };
+    const triggerBtn = body.querySelector("#sync-trigger");
+    if (triggerBtn) triggerBtn.onclick = async () => {
+      try {
+        await api("POST", `/api/sync/${path}/trigger`);
+        toast("Sync started");
+        closeModal();
+      } catch (e) { toast(e.message); }
+    };
+    const removeBtn = body.querySelector("#sync-remove");
+    if (removeBtn) removeBtn.onclick = async () => {
+      if (!confirm("Remove this sync source? Files stay on disk.")) return;
+      try {
+        await api("DELETE", `/api/sync/${path}`);
+        toast("Sync source removed");
+        closeModal();
+        refreshList();
+      } catch (e) { toast(e.message); }
+    };
+  }
+
+  // ---- project selector + management ----
   const projectSelect = document.getElementById("project-select");
   if (projectSelect) projectSelect.onchange = async () => {
     await api("POST", `/api/projects/${projectSelect.value}/select`);
     refreshList();
+  };
+  const newProjectBtn = document.getElementById("new-project-btn");
+  if (newProjectBtn) newProjectBtn.onclick = async () => {
+    const name = prompt("New project name:");
+    if (!name) return;
+    try {
+      const p = await api("POST", "/api/projects", { name });
+      await api("POST", `/api/projects/${p.id}/select`);
+      refreshList();
+    } catch (e) { toast(e.message); }
+  };
+  const delProjectBtn = document.getElementById("delete-project-btn");
+  if (delProjectBtn) delProjectBtn.onclick = async () => {
+    const opt = projectSelect.selectedOptions[0];
+    if (!confirm(`Delete project "${opt.textContent.trim()}"?`)) return;
+    try {
+      await api("DELETE", `/api/projects/${projectSelect.value}`);
+      refreshList();
+    } catch (e) { toast(e.message); }
   };
 
   // ---- folder / file actions ----
@@ -161,6 +316,7 @@
           `<h3>${path}</h3><dl>${rows}</dl>` +
           (d.is_dir ? `<button id="reindex-btn">Force reindex</button>` : "") +
           (d.is_dir ? ` <button id="sync-btn">Sync now</button>` : "") +
+          (d.is_dir ? ` <button id="sync-config-btn">Sync source…</button>` : "") +
           `<h4>Notes</h4><textarea id="meta-text" rows="4" style="width:100%">` +
           `${(d.metadata && d.metadata.metadata) || ""}</textarea>` +
           `<button id="meta-save">Save notes</button> ` +
@@ -185,6 +341,9 @@
             toast("Sync started");
           } catch (e) { toast(e.message); }
         };
+        const syncConfigBtn = panel.querySelector("#sync-config-btn");
+        if (syncConfigBtn) syncConfigBtn.onclick =
+          () => openSyncModal(path).catch((e) => toast(e.message));
       } catch (e) { toast(e.message); }
     };
 
