@@ -1,9 +1,10 @@
 """Headline benchmark: filtered hybrid search QPS on one chip.
 
 Measures the full device query path of the framework — masked dense scan
-(Pallas, bf16) + sparse BM25 scan + in-kernel folder filtering + hybrid
-fusion + top-k — over a synthetic 1M-chunk, 384-d corpus (BASELINE.md
-config 3 shape), batched 32 queries per dispatch.
+(Pallas, bf16) + sparse BM25 scan (slot-major VPU kernel) + in-kernel folder
+filtering + hybrid fusion (approx_max_k candidates) + top-k — over a
+synthetic 1M-chunk, 384-d corpus (BASELINE.md config 3 shape), batched 32
+queries per dispatch, as ONE jitted device program per batch.
 
 Baseline: the same hybrid search computed by an optimized CPU implementation
 (NumPy BLAS dense matmul + vectorized sparse scoring + fusion) on this host —
@@ -13,16 +14,26 @@ numbers, BASELINE.md). vs_baseline = TPU QPS / CPU QPS.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
 
-Anti-caching hygiene: every timed dispatch uses a distinct query slice and
-results are fetched to host at the end of each timed block.
+Timing notes (remote-TPU tunnel environment):
+- block_until_ready alone under-reports through the tunnel; only a host fetch
+  guarantees a dispatch ran. Executions are queued in order, so fetching the
+  LAST output forces all prior queued programs.
+- Large device constants must be passed as jit ARGUMENTS — closing over a
+  GB-scale corpus array embeds it as an XLA constant and hangs compilation.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg: str) -> None:
+    """Progress to stderr; stdout carries only the final JSON line."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 from voitta_rag_tpu.utils.jax_setup import setup_jax
 
@@ -48,37 +59,41 @@ LIMIT = 10
 N_FOLDERS = 64
 INCLUDE = [1, 2, 3, 5, 8, 13, 21, 34]  # folder-scope filter
 SPARSE_W = 0.1
+N_ITERS = 20
 
 
 def build_corpus(seed=0):
     """Generate the synthetic corpus ON DEVICE (host RNG for 400M floats
     takes minutes on a small VM; jax.random on the accelerator is ~instant).
-    Host copies are pulled once for the CPU baseline."""
-    import jax
-    import jax.numpy as jnp
-
+    Host copies for the CPU baseline are pulled once, as fp16 where lossless
+    enough (the device->host pull rides a slow tunnel)."""
     k = jax.random.split(jax.random.PRNGKey(seed), 4)
     vecs = jax.random.normal(k[0], (N, D), jnp.float32)
     vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
     folder = jax.random.randint(k[1], (N,), 0, N_FOLDERS, jnp.int32)
     cols = jnp.zeros((NUM_COLS, N), jnp.int32)
     cols = cols.at[COL_VALID].set(1).at[COL_FOLDER].set(folder)
-    terms = jax.random.randint(k[2], (N, S), 0, 100_000, jnp.int32)
-    weights = jax.random.uniform(k[3], (N, S), jnp.float32)
+    terms = jax.random.randint(k[2], (S, N), 0, 100_000, jnp.int32)
+    weights = jax.random.uniform(k[3], (S, N), jnp.float32)
     rng = np.random.default_rng(seed)
-    return (np.asarray(vecs), np.asarray(cols), np.asarray(terms),
-            np.asarray(weights), rng)
+    vecs_np = np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
+    weights_np = np.asarray(weights.astype(jnp.float16)).astype(np.float32).T
+    return (vecs, cols, terms, weights,
+            vecs_np, np.asarray(cols), np.asarray(terms).T, weights_np, rng)
 
 
-def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec):
-    d = dense_scan_scores(q, vecs, cols, spec)
+@jax.jit
+def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec, scales=None):
+    """The full hybrid query as ONE device program (serving shape)."""
+    d = dense_scan_scores(q, vecs, cols, spec, scales)
     s = sparse_scan_scores(qt, qw, terms, weights, cols, spec)
     return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W, limit=LIMIT)
 
 
 def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
     """NumPy/BLAS reference implementation of the same search (vectorized
-    sparse scoring via sorted-membership lookup — a fair CPU baseline)."""
+    sparse scoring via sorted-membership lookup — a fair CPU baseline).
+    terms/weights are row-major [N, S] host views."""
     d = q @ vecs.T                       # [B, N]
     d[:, ~inc_mask] = NEG_INF
     live = qt[0] != TERM_PAD
@@ -96,13 +111,6 @@ def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
     for b in range(len(q)):
         d_idx = np.argpartition(-d[b], p)[:p]
         s_idx = np.argpartition(-s_masked, p)[:p]
-
-        def norm(vals):
-            vals = vals[vals > NEG_INF / 2]
-            if len(vals) == 0:
-                return None, None, None
-            return vals.min(), vals.max(), vals
-
         combined = {}
         dv = d[b][d_idx]
         ok = dv > NEG_INF / 2
@@ -131,12 +139,41 @@ def _fetch(outs):
             np.asarray(x)
 
 
+def queued_qps(fn, qstack, *args):
+    """Throughput via in-order queued dispatches: enqueue every batch, then
+    fetch ONE (small) output of the LAST batch. The device stream executes
+    in launch order, so that fetch forces every prior batch — and the tunnel
+    round-trip (~26 ms here) is paid once, not once per batch (fetching all
+    outputs makes a 1M-row scan look 3x slower than it is)."""
+    _fetch([fn(qstack[0], *args)])  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(q, *args) for q in qstack]
+    np.asarray(jax.tree.leaves(outs[-1])[0])
+    dt = time.perf_counter() - t0
+    return qstack.shape[0] * qstack.shape[1] / dt, dt
+
+
+def measure_rtt_ms(n=6):
+    """Round-trip time of a minimal dispatch+fetch (tunnel overhead)."""
+    x = jnp.zeros((8, 8), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    _fetch([f(x)])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        _fetch([f(x)])
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    vecs_np, cols_np, terms_np, weights_np, rng = build_corpus()
+    log(f"backend={jax.default_backend()}; generating corpus")
+    t_all = time.time()
+    (vecs_dev, cols, terms, weights,
+     vecs_np, cols_np, terms_np, weights_np, rng) = build_corpus()
+    log(f"corpus ready ({time.time() - t_all:.0f}s)")
 
     # Query pool (distinct queries per dispatch to defeat any exec caching).
-    n_pool = B * 24
+    n_pool = B * N_ITERS
     qpool = rng.standard_normal((n_pool, D), dtype=np.float32)
     qpool /= np.linalg.norm(qpool, axis=1, keepdims=True)
     qt = np.full((1, QT), TERM_PAD, np.int32)
@@ -146,39 +183,23 @@ def main():
 
     spec = make_filter_spec(include_folder_ids=INCLUDE)
     store_dt = jnp.bfloat16 if on_tpu else jnp.float32
-    vecs = jnp.asarray(vecs_np, store_dt)
-    cols = jnp.asarray(cols_np)
-    terms = jnp.asarray(terms_np)
-    weights = jnp.asarray(weights_np)
+    vecs = vecs_dev.astype(store_dt)  # on-device cast, nothing crosses host
     qt_j, qw_j = jnp.asarray(qt), jnp.asarray(qw)
-    qpool_j = jnp.asarray(qpool)
+    qstack = jnp.asarray(qpool).reshape(N_ITERS, B, D)
 
-    # Warmup / compile.
-    scores, gids = device_hybrid(qpool_j[:B], qt_j, qw_j, vecs, cols, terms,
-                                 weights, spec)
-    jax.block_until_ready((scores, gids))
-
-    # Timed: distinct query batches; every result is FETCHED to host (through
-    # the remote-execution tunnel, block_until_ready alone can under-report —
-    # only a host fetch guarantees the dispatch actually ran).
-    n_iters = 20
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        start = (i * B) % (n_pool - B)
-        q = jax.lax.dynamic_slice_in_dim(qpool_j, start, B)
-        outs.append(device_hybrid(q, qt_j, qw_j, vecs, cols, terms, weights,
-                                  spec))
-    _fetch(outs)
-    dt = time.perf_counter() - t0
-    tpu_qps = n_iters * B / dt
+    log("compiling + timing headline hybrid program")
+    tpu_qps, dt = queued_qps(device_hybrid, qstack, qt_j, qw_j, vecs, cols,
+                             terms, weights, spec)
+    rtt_ms = measure_rtt_ms()
+    log(f"headline: {tpu_qps:.0f} qps ({dt / N_ITERS * 1000:.2f} ms per "
+        f"{B}-query batch; tunnel rtt {rtt_ms:.1f} ms); computing CPU oracle")
 
     # Sanity: device result matches CPU oracle on one batch.
     inc_mask = np.isin(cols_np[COL_FOLDER], INCLUDE)
     cpu_top = cpu_hybrid(qpool[:2], qt, qw, vecs_np, cols_np, terms_np,
                          weights_np, inc_mask)
     dev_scores, dev_gids = device_hybrid(
-        qpool_j[:2], qt_j, qw_j, vecs, cols, terms, weights, spec)
+        qstack[0][:2], qt_j, qw_j, vecs, cols, terms, weights, spec)
     dev_gids = np.asarray(dev_gids)
     agree = 0
     for b in range(2):
@@ -199,33 +220,70 @@ def main():
         "cpu_baseline_qps": round(cpu_qps, 2),
         "recall_vs_cpu_oracle": round(recall_vs_cpu, 3),
         "backend": jax.default_backend(),
+        "tunnel_rtt_ms": round(rtt_ms, 2),
+        "host_vcpus": __import__("os").cpu_count(),
     }
+
+    # ---- p50 single-query latency, device-side (BASELINE north star:
+    # p50 < 5 ms including query embedding). Encoder (MiniLM geometry,
+    # 384-d to match the corpus) + B=1 filtered hybrid search.
+    log(f"cpu baseline {cpu_qps:.2f} qps; latency probe")
+    try:
+        from voitta_rag_tpu.models.encoder import (
+            PRESETS, encode_tokens, init_params)
+
+        ecfg = PRESETS["sentence-transformers/all-MiniLM-L6-v2"]
+        eparams = init_params(jax.random.PRNGKey(0), ecfg)
+        L = 64  # tokens; typical short search query padded bucket
+        ids_stack = jnp.asarray(
+            rng.integers(4, ecfg.vocab_size, (N_ITERS, 1, L)), jnp.int32)
+        emask = jnp.ones((1, L), jnp.int32)
+
+        enc = jax.jit(lambda ids, p: encode_tokens(p, ecfg, ids, emask))
+        _fetch([enc(ids_stack[0], eparams)])
+        t0 = time.perf_counter()
+        eouts = [enc(ids, eparams) for ids in ids_stack]
+        np.asarray(eouts[-1])  # in-order stream: one fetch forces all
+        encode_ms = (time.perf_counter() - t0) / N_ITERS * 1000
+
+        q1stack = jnp.asarray(qpool[:N_ITERS]).reshape(N_ITERS, 1, D)
+        _, dt1 = queued_qps(device_hybrid, q1stack, qt_j, qw_j, vecs, cols,
+                            terms, weights, spec)
+        search_ms = dt1 / N_ITERS * 1000
+        extra["encode_b1_ms"] = round(encode_ms, 3)
+        extra["search_b1_ms"] = round(search_ms, 3)
+        extra["p50_query_ms_device"] = round(encode_ms + search_ms, 3)
+        log(f"latency b1: encode {encode_ms:.2f} ms + search "
+            f"{search_ms:.2f} ms")
+    except Exception as e:
+        extra["latency_error"] = str(e)[:200]
+
+    # ---- large-batch throughput (index-serving shape) ----
+    try:
+        B2 = 256
+        q2 = jnp.asarray(
+            np.vstack([qpool] * ((B2 * 8) // n_pool + 1))[: B2 * 8]
+        ).reshape(8, B2, D)
+        qps2, _ = queued_qps(device_hybrid, q2, qt_j, qw_j, vecs, cols,
+                             terms, weights, spec)
+        extra["hybrid_qps_b256"] = round(qps2, 1)
+        log(f"b256: {qps2:.0f} qps; int8 variant")
+    except Exception as e:
+        extra["b256_error"] = str(e)[:200]
 
     # ---- int8 storage variant (halves dense HBM traffic) ----
     try:
-        scale = jnp.max(jnp.abs(jnp.asarray(vecs_np)), axis=1) / 127.0
-        v8 = jnp.clip(jnp.round(jnp.asarray(vecs_np) / scale[:, None]),
+        scale = jnp.max(jnp.abs(vecs_dev), axis=1) / 127.0
+        v8 = jnp.clip(jnp.round(vecs_dev / scale[:, None]),
                       -127, 127).astype(jnp.int8)
         scales = scale[None, :].astype(jnp.float32)
         w16 = weights.astype(jnp.bfloat16)
 
-        def int8_hybrid(q):
-            d = dense_scan_scores(q, v8, cols, spec, scales)
-            s = sparse_scan_scores(qt_j, qw_j, terms, w16, cols, spec)
-            return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W,
-                               limit=LIMIT)
-
-        out = int8_hybrid(qpool_j[:B])
-        _fetch([out])
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            start = (i * B) % (n_pool - B)
-            outs.append(int8_hybrid(
-                jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
-        _fetch(outs)
-        extra["int8_hybrid_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
-        _, gids8 = int8_hybrid(qpool_j[:2])
+        qps8, _ = queued_qps(device_hybrid, qstack, qt_j, qw_j, v8, cols,
+                             terms, w16, spec, scales)
+        extra["int8_hybrid_qps"] = round(qps8, 1)
+        _, gids8 = device_hybrid(qstack[0][:2], qt_j, qw_j, v8, cols, terms,
+                                 w16, spec, scales)
         gids8 = np.asarray(gids8)
         ov = np.mean([
             len(set(gids8[b].tolist())
@@ -236,34 +294,30 @@ def main():
         extra["int8_error"] = str(e)[:200]
 
     # ---- IVF variant (probe-limited dense; BASELINE config 4 shape) ----
+    log(f"int8 done ({extra.get('int8_hybrid_qps')}); building IVF")
     try:
         from voitta_rag_tpu.index.ivf import IVFIndex
         from voitta_rag_tpu.ops.topk import masked_topk
 
-        gids_all = np.arange(N, dtype=np.int64)
-        ivf = IVFIndex.build(vecs_np, cols_np.T, gids_all, n_cells=512,
+        gids_all = np.arange(N, dtype=np.int32)
+        t0 = time.perf_counter()
+        ivf = IVFIndex.build(vecs_dev, cols.T, gids_all, n_cells=512,
                              kmeans_iters=3, skew_factor=2.0)
+        jax.block_until_ready(ivf.vecs3)
+        extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
         NPROBE = 32
 
         def ivf_dense(q):
             s, g = ivf.search_scores(q, spec, nprobe=NPROBE)
-            vals, pos = masked_topk(s, LIMIT)
+            vals, pos = masked_topk(s, LIMIT, approx=True)
             return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0), axis=1)
 
-        out = ivf_dense(qpool_j[:B])
-        _fetch([out])
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            start = (i * B) % (n_pool - B)
-            outs.append(ivf_dense(
-                jax.lax.dynamic_slice_in_dim(qpool_j, start, B)))
-        _fetch(outs)
-        extra["ivf_dense_qps"] = round(n_iters * B / (time.perf_counter() - t0), 1)
+        qps_ivf, _ = queued_qps(lambda q: ivf_dense(q), qstack)
+        extra["ivf_dense_qps"] = round(qps_ivf, 1)
         # recall vs exact flat dense top-10 on 8 queries
-        _, giv = ivf_dense(qpool_j[:8])
+        _, giv = ivf_dense(qstack[0][:8])
         giv = np.asarray(giv)
-        d_exact = np.asarray(dense_scan_scores(qpool_j[:8], vecs, cols, spec))
+        d_exact = np.asarray(dense_scan_scores(qstack[0][:8], vecs, cols, spec))
         oracle = np.argsort(-d_exact, axis=1)[:, :LIMIT]
         extra["ivf_recall10"] = round(float(np.mean([
             len(set(giv[b].tolist()) & set(oracle[b].tolist())) / LIMIT

@@ -49,7 +49,7 @@ def test_sparse_scores_match_oracle(use_pallas):
     spec = make_filter_spec()
     scores = np.asarray(
         sparse_scan_scores(jnp.asarray(q_terms), jnp.asarray(q_vals),
-                           jnp.asarray(terms), jnp.asarray(weights),
+                           jnp.asarray(terms.T), jnp.asarray(weights.T),
                            jnp.asarray(cols), spec, use_pallas=use_pallas)
     )[0]
     np.testing.assert_allclose(scores, oracle_scores(q_terms, q_vals, terms, weights),
@@ -61,7 +61,7 @@ def test_sparse_filter_masks():
     spec = make_filter_spec(include_folder_ids=[2])
     scores = np.asarray(
         sparse_scan_scores(jnp.asarray(q_terms), jnp.asarray(q_vals),
-                           jnp.asarray(terms), jnp.asarray(weights),
+                           jnp.asarray(terms.T), jnp.asarray(weights.T),
                            jnp.asarray(cols), spec, use_pallas=True)
     )[0]
     assert np.all(scores[cols[COL_FOLDER] != 2] <= NEG_INF / 2)

@@ -110,7 +110,8 @@ def test_hybrid_sharded_matches_unsharded_fusion(mesh):
     d = dense_scan_scores(q_of(dense, 5), jnp.asarray(flat_vecs),
                           jnp.asarray(flat_cols), spec, use_pallas=False)
     s = sparse_scan_scores(jnp.asarray(qt), jnp.asarray(qw),
-                           jnp.asarray(flat_terms), jnp.asarray(flat_weights),
+                           jnp.asarray(flat_terms.T),
+                           jnp.asarray(flat_weights.T),
                            jnp.asarray(flat_cols), spec, use_pallas=False)
     exp_scores, exp_gids = hybrid_fuse(d, jnp.broadcast_to(s, d.shape), 0.4,
                                        limit=10)

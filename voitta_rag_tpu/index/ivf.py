@@ -193,9 +193,9 @@ class IVFIndex:
     @classmethod
     def build(
         cls,
-        dense: np.ndarray,
-        col_rows: np.ndarray,
-        gids: np.ndarray,
+        dense: np.ndarray | jax.Array,
+        col_rows: np.ndarray | jax.Array,
+        gids: np.ndarray | jax.Array,
         n_cells: int,
         *,
         kmeans_iters: int = 10,
@@ -203,50 +203,75 @@ class IVFIndex:
         seed: int = 0,
         dtype: str = "bfloat16",
     ) -> "IVFIndex":
-        """Build from live rows: dense [N, D] unit f32, col_rows [N, NUM_COLS],
-        gids [N] global row ids into the owning store."""
-        n, d = dense.shape
+        """Build from live rows: dense [N, D] unit vectors, col_rows
+        [N, NUM_COLS], gids [N] global row ids into the owning store.
+
+        The bulk data never round-trips through the host: k-means and the
+        cell packing (gather + scatter into the [C, cell_cap, D] layout) run
+        on device. The host only pulls the [N] assignment vector and computes
+        the permutation indices (a few MB of int32), which matters when the
+        host is small or device transfers ride a remote tunnel.
+        """
+        dense_j = dense if isinstance(dense, jax.Array) else jnp.asarray(dense)
+        n, d = dense_j.shape
         assert n_cells >= 2 and n >= n_cells
-        centroids, assign = spherical_kmeans(
-            jnp.asarray(dense), n_cells, iters=kmeans_iters, seed=seed)
+        centroids, assign = spherical_kmeans(dense_j, n_cells,
+                                             iters=kmeans_iters, seed=seed)
         assign = np.asarray(assign)
 
         cell_cap = round_up(max(int(skew_factor * n / n_cells), 128), 128)
-        vecs3 = np.zeros((n_cells, cell_cap, d), np.float32)
-        cols3 = np.zeros((n_cells, NUM_COLS, cell_cap), np.int32)
-        gid3 = np.full((n_cells, cell_cap), -1, np.int32)
 
-        # Vectorized cell packing: stable sort by cell, rank within cell.
+        # Packing permutation on host (int arithmetic on the [N] assignment):
+        # stable sort by cell, rank within cell, overflow to the residual.
         order = np.argsort(assign, kind="stable")
         cell_sorted = assign[order]
         counts = np.bincount(assign, minlength=n_cells)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pos_in_cell = np.arange(n) - starts[cell_sorted]
         fits = pos_in_cell < cell_cap
-        src = order[fits]
-        vecs3[cell_sorted[fits], pos_in_cell[fits]] = dense[src]
-        cols3[cell_sorted[fits], :, pos_in_cell[fits]] = col_rows[src]
-        gid3[cell_sorted[fits], pos_in_cell[fits]] = gids[src]
-
-        rest_src = order[~fits]
+        src = order[fits].astype(np.int32)
+        dest = (cell_sorted[fits] * cell_cap + pos_in_cell[fits]).astype(np.int32)
+        rest_src = order[~fits].astype(np.int32)
         r = round_up(max(len(rest_src), 1), 128)
-        rest_vecs = np.zeros((r, d), np.float32)
-        rest_cols = np.zeros((NUM_COLS, r), np.int32)
-        rest_gid = np.full(r, -1, np.int32)
-        if len(rest_src):
-            rest_vecs[: len(rest_src)] = dense[rest_src]
-            rest_cols[:, : len(rest_src)] = col_rows[rest_src].T
-            rest_gid[: len(rest_src)] = gids[rest_src]
 
         store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        cols_j = (col_rows if isinstance(col_rows, jax.Array)
+                  else jnp.asarray(col_rows)).astype(jnp.int32)
+        gids_j = (gids if isinstance(gids, jax.Array)
+                  else jnp.asarray(gids)).astype(jnp.int32)
+        src_j, dest_j = jnp.asarray(src), jnp.asarray(dest)
+
+        vecs3 = (jnp.zeros((n_cells * cell_cap, d), store_dt)
+                 .at[dest_j].set(jnp.take(dense_j, src_j, axis=0)
+                                 .astype(store_dt))
+                 .reshape(n_cells, cell_cap, d))
+        cols3 = (jnp.zeros((n_cells * cell_cap, NUM_COLS), jnp.int32)
+                 .at[dest_j].set(jnp.take(cols_j, src_j, axis=0))
+                 .reshape(n_cells, cell_cap, NUM_COLS)
+                 .transpose(0, 2, 1))
+        gid3 = (jnp.full((n_cells * cell_cap,), -1, jnp.int32)
+                .at[dest_j].set(jnp.take(gids_j, src_j))
+                .reshape(n_cells, cell_cap))
+
+        rest_vecs = jnp.zeros((r, d), store_dt)
+        rest_cols = jnp.zeros((r, NUM_COLS), jnp.int32)
+        rest_gid = jnp.full((r,), -1, jnp.int32)
+        if len(rest_src):
+            rs = jnp.asarray(rest_src)
+            k = len(rest_src)
+            rest_vecs = rest_vecs.at[:k].set(
+                jnp.take(dense_j, rs, axis=0).astype(store_dt))
+            rest_cols = rest_cols.at[:k].set(jnp.take(cols_j, rs, axis=0))
+            rest_gid = rest_gid.at[:k].set(jnp.take(gids_j, rs))
+
         return cls(
             centroids=centroids,
-            vecs3=jnp.asarray(vecs3, store_dt),
-            cols3=jnp.asarray(cols3),
-            gid3=jnp.asarray(gid3),
-            rest_vecs=jnp.asarray(rest_vecs, store_dt),
-            rest_cols=jnp.asarray(rest_cols),
-            rest_gid=jnp.asarray(rest_gid),
+            vecs3=vecs3,
+            cols3=cols3,
+            gid3=gid3,
+            rest_vecs=rest_vecs,
+            rest_cols=rest_cols.T,
+            rest_gid=rest_gid,
         )
 
     def search_scores(

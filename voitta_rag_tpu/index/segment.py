@@ -4,7 +4,9 @@ One segment holds up to ``capacity`` chunk rows as:
 
 - ``vecs``  [cap, D]  unit-normalized dense embeddings (bf16 / f32 / int8),
 - ``scales``[1, cap]  per-row dequant scales (int8 mode only),
-- ``terms`` [cap, S]  top-S BM25 term ids, ``weights`` [cap, S] f32,
+- ``terms`` [S, cap]  top-S BM25 term ids, ``weights`` [S, cap] f32
+  (slot-major so the row axis is the TPU lane dimension — see
+  ops/sparse_scan.py),
 - ``cols``  [NUM_COLS, cap] int32 filter columns (ops/filters.py layout).
 
 Mutation strategy (the reference's Qdrant handles upsert/delete internally;
@@ -46,7 +48,8 @@ def _updaters(bucket: int):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def set_cols(cols, rows, vals):
-        # cols [NUM_COLS, cap]; vals [n, NUM_COLS]
+        # cols [K, cap] row-minor buffers (filter cols, terms, weights);
+        # vals [n, K]
         return cols.at[:, rows].set(vals.T, mode="drop")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -83,8 +86,8 @@ class Segment:
         self.vecs = jnp.zeros((capacity, dim), store_dt)
         self.scales = (jnp.zeros((1, capacity), jnp.float32)
                        if dtype == "int8" else None)
-        self.terms = jnp.full((capacity, sparse_slots), -1, jnp.int32)
-        self.weights = jnp.zeros((capacity, sparse_slots), jnp.float32)
+        self.terms = jnp.full((sparse_slots, capacity), -1, jnp.int32)
+        self.weights = jnp.zeros((sparse_slots, capacity), jnp.float32)
         self.cols = jnp.zeros((NUM_COLS, capacity), jnp.int32)
         # Host mirrors: allocation decisions + BM25 df bookkeeping on delete.
         self.valid_np = np.zeros(capacity, bool)
@@ -149,10 +152,10 @@ class Segment:
 
         tv = np.full((b, self.sparse_slots), -1, np.int32)
         tv[:n] = terms
-        self.terms = set_rows(self.terms, rows_p, jnp.asarray(tv))
+        self.terms = set_cols(self.terms, rows_p, jnp.asarray(tv))
         wv = np.zeros((b, self.sparse_slots), np.float32)
         wv[:n] = weights
-        self.weights = set_rows(self.weights, rows_p, jnp.asarray(wv))
+        self.weights = set_cols(self.weights, rows_p, jnp.asarray(wv))
 
         cv = np.zeros((b, NUM_COLS), np.int32)
         cv[:n] = col_rows
@@ -209,8 +212,13 @@ class Segment:
                   int(data["sparse_slots"]), str(data["dtype"]))
         store_dt = seg.vecs.dtype
         seg.vecs = jnp.asarray(data["vecs"], store_dt)
-        seg.terms = jnp.asarray(data["terms"])
-        seg.weights = jnp.asarray(data["weights"])
+        terms = np.asarray(data["terms"])
+        weights = np.asarray(data["weights"])
+        if terms.shape[0] == seg.capacity != seg.sparse_slots:
+            # Legacy row-major [cap, S] snapshot: migrate to slot-major.
+            terms, weights = terms.T, weights.T
+        seg.terms = jnp.asarray(np.ascontiguousarray(terms))
+        seg.weights = jnp.asarray(np.ascontiguousarray(weights))
         seg.cols = jnp.asarray(data["cols"])
         if "scales" in data and seg.scales is not None:
             seg.scales = jnp.asarray(data["scales"])
@@ -218,7 +226,7 @@ class Segment:
         seg._free = [int(x) for x in data["free"]]
         cols_host = np.asarray(data["cols"])
         seg.valid_np = cols_host[COL_VALID] > 0
-        seg.terms_np = np.asarray(data["terms"])
+        seg.terms_np = np.ascontiguousarray(terms.T)  # host mirror: [cap, S]
         from voitta_rag_tpu.ops.filters import COL_DOC
         seg.doc_np = cols_host[COL_DOC].astype(np.int32)
         return seg

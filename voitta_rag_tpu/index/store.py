@@ -287,22 +287,29 @@ class TpuVectorStore:
         n_cells = n_cells or settings.ivf_cells
         with self._lock:
             self._ensure_open()
+            # Gather live rows ON DEVICE (only the row-index vectors cross
+            # the host boundary — segments can be GBs, indices are MBs).
+            import jax.numpy as jnp
+
             live_vecs, live_cols, live_gids = [], [], []
             for si, seg in enumerate(self._segments):
-                rows = np.nonzero(seg.valid_np)[0]
+                rows = np.nonzero(seg.valid_np)[0].astype(np.int32)
                 if len(rows) == 0:
                     continue
-                v = np.asarray(seg.vecs, np.float32)[rows]
+                rows_j = jnp.asarray(rows)
+                v = jnp.take(seg.vecs, rows_j, axis=0)
                 if seg.dtype == "int8":
-                    v = v * np.asarray(seg.scales)[0][rows][:, None]
-                live_vecs.append(v)
-                live_cols.append(np.asarray(seg.cols).T[rows])
-                live_gids.append(rows + si * self.segment_capacity)
+                    v = (v.astype(jnp.float32)
+                         * jnp.take(seg.scales[0], rows_j)[:, None])
+                live_vecs.append(v.astype(jnp.float32))
+                live_cols.append(jnp.take(seg.cols, rows_j, axis=1).T)
+                live_gids.append(jnp.asarray(
+                    rows + si * self.segment_capacity))
             if not live_vecs:
                 raise ValueError("no live rows to build IVF from")
-            dense = np.concatenate(live_vecs)
-            cols = np.concatenate(live_cols)
-            gids = np.concatenate(live_gids)
+            dense = jnp.concatenate(live_vecs)
+            cols = jnp.concatenate(live_cols)
+            gids = jnp.concatenate(live_gids)
             if n_cells <= 1 or len(dense) < max(n_cells, 256):
                 raise ValueError(
                     f"need >= max(n_cells, 256) rows for IVF "

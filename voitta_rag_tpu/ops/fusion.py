@@ -31,9 +31,20 @@ from voitta_rag_tpu.ops.pallas_utils import NEG_INF
 from voitta_rag_tpu.ops.topk import VALID_THRESHOLD
 
 
+#: Above this row width, candidate selection uses ``jax.lax.approx_max_k``
+#: (TPU-optimized partial reduction, ~2-4x faster than the sort-based exact
+#: TopK at 1M rows). The ``limit * prefetch_multiplier`` over-fetch keeps the
+#: final top-``limit`` recall far above the per-op 0.95 target — mirroring
+#: the reference, whose dense candidates come from approximate HNSW anyway.
+APPROX_TOPK_THRESHOLD = 1 << 16
+
+
 def _candidates(scores_row: jax.Array, p: int):
     """Top-p (value, index, valid) of one score row."""
-    vals, idxs = jax.lax.top_k(scores_row, p)
+    if scores_row.shape[-1] >= APPROX_TOPK_THRESHOLD:
+        vals, idxs = jax.lax.approx_max_k(scores_row, p)
+    else:
+        vals, idxs = jax.lax.top_k(scores_row, p)
     valid = vals > VALID_THRESHOLD
     return vals, idxs, valid
 

@@ -171,10 +171,11 @@ class ShardedIndex:
         # Always allocated (tiny) so shard_map arg structure is static; the
         # dense kernel only reads it for int8 segments.
         self.scales = jax.device_put(jnp.zeros((n, 1, cap), jnp.float32), sh())
+        # Slot-major [S, cap] per shard (lane-dense; see ops/sparse_scan.py).
         self.terms = jax.device_put(
-            jnp.full((n, cap, sparse_slots), TERM_PAD, jnp.int32), sh())
+            jnp.full((n, sparse_slots, cap), TERM_PAD, jnp.int32), sh())
         self.weights = jax.device_put(
-            jnp.zeros((n, cap, sparse_slots), jnp.float32), sh())
+            jnp.zeros((n, sparse_slots, cap), jnp.float32), sh())
         self.cols = jax.device_put(jnp.zeros((n, NUM_COLS, cap), jnp.int32), sh())
         self._next = np.zeros(n, np.int64)
         self._free: list[list[int]] = [[] for _ in range(n)]
@@ -258,10 +259,10 @@ class ShardedIndex:
 
         tv = np.full((b, self.sparse_slots), TERM_PAD, np.int32)
         tv[:n] = terms
-        self.terms = _scatter_rows(self.terms, si, ri, jnp.asarray(tv))
+        self.terms = _scatter_cols(self.terms, si, ri, jnp.asarray(tv))
         wv = np.zeros((b, self.sparse_slots), np.float32)
         wv[:n] = weights
-        self.weights = _scatter_rows(self.weights, si, ri, jnp.asarray(wv))
+        self.weights = _scatter_cols(self.weights, si, ri, jnp.asarray(wv))
         cv = np.zeros((b, NUM_COLS), np.int32)
         cv[:n] = col_rows
         self.cols = _scatter_cols(self.cols, si, ri, jnp.asarray(cv))
