@@ -146,11 +146,13 @@ def queued_qps(fn, qstack, *args):
     round-trip (~26 ms here) is paid once, not once per batch (fetching all
     outputs makes a 1M-row scan look 3x slower than it is)."""
     _fetch([fn(qstack[0], *args)])  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(q, *args) for q in qstack]
-    np.asarray(jax.tree.leaves(outs[-1])[0])
-    dt = time.perf_counter() - t0
-    return qstack.shape[0] * qstack.shape[1] / dt, dt
+    best = float("inf")
+    for _ in range(2):  # first loop after a compile carries residual host
+        t0 = time.perf_counter()    # work (cache writes); report the best
+        outs = [fn(q, *args) for q in qstack]
+        np.asarray(jax.tree.leaves(outs[-1])[0])
+        best = min(best, time.perf_counter() - t0)
+    return qstack.shape[0] * qstack.shape[1] / best, best
 
 
 def measure_rtt_ms(n=6):
@@ -241,10 +243,13 @@ def main():
 
         enc = jax.jit(lambda ids, p: encode_tokens(p, ecfg, ids, emask))
         _fetch([enc(ids_stack[0], eparams)])
-        t0 = time.perf_counter()
-        eouts = [enc(ids, eparams) for ids in ids_stack]
-        np.asarray(eouts[-1])  # in-order stream: one fetch forces all
-        encode_ms = (time.perf_counter() - t0) / N_ITERS * 1000
+        encode_ms = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            eouts = [enc(ids, eparams) for ids in ids_stack]
+            np.asarray(eouts[-1])  # in-order stream: one fetch forces all
+            encode_ms = min(encode_ms,
+                            (time.perf_counter() - t0) / N_ITERS * 1000)
 
         q1stack = jnp.asarray(qpool[:N_ITERS]).reshape(N_ITERS, 1, D)
         _, dt1 = queued_qps(device_hybrid, q1stack, qt_j, qw_j, vecs, cols,
@@ -305,23 +310,30 @@ def main():
                              kmeans_iters=3, skew_factor=2.0)
         jax.block_until_ready(ivf.vecs3)
         extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
-        NPROBE = 32
 
-        def ivf_dense(q):
-            s, g = ivf.search_scores(q, spec, nprobe=NPROBE)
-            vals, pos = masked_topk(s, LIMIT, approx=True)
-            return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0), axis=1)
+        def mk_ivf(nprobe):
+            def ivf_dense(q):
+                s, g = ivf.search_scores(q, spec, nprobe=nprobe)
+                vals, pos = masked_topk(s, LIMIT, approx=True)
+                return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0),
+                                                 axis=1)
+            return ivf_dense
 
-        qps_ivf, _ = queued_qps(lambda q: ivf_dense(q), qstack)
-        extra["ivf_dense_qps"] = round(qps_ivf, 1)
-        # recall vs exact flat dense top-10 on 8 queries
-        _, giv = ivf_dense(qstack[0][:8])
-        giv = np.asarray(giv)
-        d_exact = np.asarray(dense_scan_scores(qstack[0][:8], vecs, cols, spec))
+        d_exact = np.asarray(dense_scan_scores(qstack[0][:8], vecs, cols,
+                                               spec))
         oracle = np.argsort(-d_exact, axis=1)[:, :LIMIT]
-        extra["ivf_recall10"] = round(float(np.mean([
-            len(set(giv[b].tolist()) & set(oracle[b].tolist())) / LIMIT
-            for b in range(8)])), 3)
+        # Synthetic isotropic vectors have no cluster structure — the worst
+        # case for IVF recall — so report the recall/qps CURVE over nprobe.
+        for nprobe in (32, 128):
+            ivf_dense = mk_ivf(nprobe)
+            qps_ivf, _ = queued_qps(ivf_dense, qstack)
+            _, giv = ivf_dense(qstack[0][:8])
+            giv = np.asarray(giv)
+            rec = float(np.mean([
+                len(set(giv[b].tolist()) & set(oracle[b].tolist())) / LIMIT
+                for b in range(8)]))
+            extra[f"ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
+            extra[f"ivf_recall10_np{nprobe}"] = round(rec, 3)
     except Exception as e:
         extra["ivf_error"] = str(e)[:200]
 

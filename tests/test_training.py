@@ -82,7 +82,7 @@ def test_sharded_train_step_dp4_tp2():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
 
     # Sharding survived the step: a tp-sharded kernel is still tp-sharded.
-    k = sh_params["layers"][0]["mlp"]["up"]["kernel"]
+    k = sh_params["layers"]["mlp"]["up"]["kernel"]
     assert "tp" in str(k.sharding.spec)
 
     # Second step runs and loss stays finite.

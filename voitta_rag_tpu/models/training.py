@@ -39,33 +39,31 @@ from voitta_rag_tpu.parallel.mesh import DP_AXIS, TP_AXIS
 # ---------------------------------------------------------------------------
 
 def param_specs(params: Params) -> Any:
-    """PartitionSpec pytree: Megatron TP sharding for the encoder params."""
+    """PartitionSpec pytree: Megatron TP sharding for the encoder params.
 
-    def attn_specs():
-        return {
-            "q": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
-            "k": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
-            "v": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
-            "o": {"kernel": P(TP_AXIS, None), "bias": P()},
-            "ln": {"scale": P(), "bias": P()},
-        }
-
-    def mlp_specs():
-        return {
-            "up": {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)},
-            "down": {"kernel": P(TP_AXIS, None), "bias": P()},
-            "ln": {"scale": P(), "bias": P()},
-        }
-
+    Layer params are stacked on a leading layer axis (encoder.stack_layers),
+    so every per-layer spec carries a leading ``None``: qkv/up kernels
+    column-sharded on the output dim, o/down kernels row-sharded on the
+    input dim, norms and embeddings replicated.
+    """
+    attn_specs = {
+        "q": {"kernel": P(None, None, TP_AXIS), "bias": P(None, TP_AXIS)},
+        "k": {"kernel": P(None, None, TP_AXIS), "bias": P(None, TP_AXIS)},
+        "v": {"kernel": P(None, None, TP_AXIS), "bias": P(None, TP_AXIS)},
+        "o": {"kernel": P(None, TP_AXIS, None), "bias": P(None)},
+        "ln": {"scale": P(None), "bias": P(None)},
+    }
+    mlp_specs = {
+        "up": {"kernel": P(None, None, TP_AXIS), "bias": P(None, TP_AXIS)},
+        "down": {"kernel": P(None, TP_AXIS, None), "bias": P(None)},
+        "ln": {"scale": P(None), "bias": P(None)},
+    }
     return {
         "embeddings": {
             "word": P(), "position": P(), "token_type": P(),
             "ln": {"scale": P(), "bias": P()},
         },
-        "layers": [
-            {"attn": attn_specs(), "mlp": mlp_specs()}
-            for _ in params["layers"]
-        ],
+        "layers": {"attn": attn_specs, "mlp": mlp_specs},
     }
 
 

@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from voitta_rag_tpu.models.encoder import EncoderConfig, Params
+from voitta_rag_tpu.models.encoder import EncoderConfig, Params, stack_layers
 
 
 def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -76,11 +76,11 @@ def params_from_state_dict(
             "token_type": a("embeddings.token_type_embeddings.weight"),
             "ln": ln("embeddings.LayerNorm"),
         },
-        "layers": [],
     }
+    layers = []
     for i in range(cfg.num_layers):
         pre = f"encoder.layer.{i}"
-        params["layers"].append({
+        layers.append({
             "attn": {
                 "q": dense(f"{pre}.attention.self.query"),
                 "k": dense(f"{pre}.attention.self.key"),
@@ -94,6 +94,7 @@ def params_from_state_dict(
                 "ln": ln(f"{pre}.output.LayerNorm"),
             },
         })
+    params["layers"] = stack_layers(layers)
     return params
 
 
@@ -150,22 +151,41 @@ def save_checkpoint(path: str | Path, cfg: EncoderConfig, params: Params) -> Non
 
 
 def load_checkpoint(path: str | Path) -> tuple[EncoderConfig, Params]:
-    """Load a checkpoint written by :func:`save_checkpoint`."""
+    """Load a checkpoint written by :func:`save_checkpoint`. Legacy
+    checkpoints with list-of-layers keys (``layers/0/attn/...``) are stacked
+    on load."""
     import json
 
     path = Path(path)
     cfg = EncoderConfig(**json.loads(
         (path / "encoder_config.json").read_text()))
     dt = jnp.dtype(cfg.dtype)
+    params: Params = {}
     with np.load(path / "encoder.npz") as data:
-        params: Params = {"embeddings": {"ln": {}}, "layers": [
-            {"attn": {"q": {}, "k": {}, "v": {}, "o": {}, "ln": {}},
-             "mlp": {"up": {}, "down": {}, "ln": {}}}
-            for _ in range(cfg.num_layers)]}
         for key in data.files:
             parts = key.split("/")
             node = params
-            for p in parts[:-1]:
-                node = node[int(p)] if p.isdigit() else node[p]
-            node[parts[-1]] = jnp.asarray(data[key], dt)
+            for i, p in enumerate(parts[:-1]):
+                nxt = parts[i + 1]
+                key_p = int(p) if p.isdigit() else p
+                if isinstance(node, list):
+                    while len(node) <= key_p:
+                        node.append(None)
+                    if node[key_p] is None:
+                        node[key_p] = [] if nxt.isdigit() else {}
+                    node = node[key_p]
+                else:
+                    if key_p not in node:
+                        node[key_p] = [] if nxt.isdigit() else {}
+                    node = node[key_p]
+            leaf = jnp.asarray(data[key], dt)
+            if isinstance(node, list):
+                idx = int(parts[-1])
+                while len(node) <= idx:
+                    node.append(None)
+                node[idx] = leaf
+            else:
+                node[parts[-1]] = leaf
+    if isinstance(params.get("layers"), list):  # legacy layout
+        params["layers"] = stack_layers(params["layers"])
     return cfg, params
