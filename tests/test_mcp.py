@@ -235,3 +235,103 @@ def test_resolve_url(mcp_env):
         finally:
             await client.close()
     run(body())
+
+def test_chunk_range_cap_and_folder_recursion(mcp_env):
+    async def body():
+        from voitta_rag_tpu.services.indexing import get_indexing_service
+
+        root = mcp_env
+        d = root / "big"
+        (d / "nested" / "deep").mkdir(parents=True)
+        # Long file → many chunks (chunk_size default 512 chars).
+        (d / "long.md").write_text(
+            "\n\n".join(f"paragraph {i} about wombats and telescopes " * 4
+                        for i in range(120)))
+        (d / "nested" / "n.md").write_text("nested text about comets " * 5)
+        get_indexing_service().index_folder("big")
+
+        client = await make_client()
+        try:
+            # 20-chunk cap (reference mcp_server.py:659-782).
+            res = await call_tool(client, "get_chunk_range",
+                                  {"file_path": "big/long.md",
+                                   "first_chunk": 0, "last_chunk": 50})
+            sc = res["structuredContent"]
+            assert sc["success"], sc
+            assert sc["truncated_to_limit"] is True
+            assert sc["chunks_returned"] <= 20
+            assert sc["actual_last_chunk"] - sc["actual_first_chunk"] <= 19
+
+            # Beyond-file range → explanatory error.
+            res = await call_tool(client, "get_chunk_range",
+                                  {"file_path": "big/long.md",
+                                   "first_chunk": 100000,
+                                   "last_chunk": 100001})
+            sc = res["structuredContent"]
+            assert not sc["success"] and "beyond" in sc["error"]
+
+            # Recursive activation counts subfolders.
+            res = await call_tool(client, "set_folder_active",
+                                  {"folder_path": "big", "is_active": True},
+                                  user="dave")
+            sc = res["structuredContent"]
+            assert sc["success"] and sc["subfolders_updated"] == 2
+
+            # Subfolder settings were written (states listing only covers
+            # folders with an index-status row, matching the reference).
+            db = dbmod.get_db()
+            user = db.get_or_create_user("dave")
+            rows = db.query(
+                "SELECT folder_path, search_active FROM user_folder_settings "
+                "WHERE user_id=?", (user.id,))
+            settings = {r["folder_path"]: bool(r["search_active"])
+                        for r in rows}
+            assert settings.get("big/nested") is True
+            assert settings.get("big/nested/deep") is True
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_search_date_filter_and_dislike(mcp_env):
+    async def body():
+        import os
+
+        from voitta_rag_tpu.services.indexing import get_indexing_service
+
+        root = mcp_env
+        d = root / "dated"
+        d.mkdir()
+        old, new = d / "old.md", d / "new.md"
+        old.write_text("glaciers retreating in patagonia " * 5)
+        new.write_text("glaciers advancing in alaska " * 5)
+        os.utime(old, (1262304000, 1262304000))   # 2010-01-01
+        os.utime(new, (1893456000, 1893456000))   # 2030-01-01
+        get_indexing_service().index_folder("dated")
+
+        client = await make_client()
+        try:
+            res = await call_tool(client, "search", {
+                "query": "glaciers", "date_start": "2020-01-01",
+                "date_field": "modified"})
+            hits = res["structuredContent"]["result"]
+            assert hits and all(h["file_path"] == "dated/new.md"
+                                for h in hits)
+
+            res = await call_tool(client, "search", {
+                "query": "glaciers", "date_end": "2020-01-01",
+                "date_field": "modified"})
+            hits = res["structuredContent"]["result"]
+            assert hits and all(h["file_path"] == "dated/old.md"
+                                for h in hits)
+
+            # dislike_memory decrements/records dislikes.
+            res = await call_tool(client, "create_memory",
+                                  {"content": "m"}, user="erin")
+            mid = res["structuredContent"]["memory_id"]
+            res = await call_tool(client, "dislike_memory",
+                                  {"memory_id": mid}, user="erin")
+            assert res["structuredContent"]["dislikes"] == 1
+        finally:
+            await client.close()
+    run(body())
