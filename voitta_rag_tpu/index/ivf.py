@@ -294,21 +294,39 @@ def _ivf_search_scores(q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
     from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
 
     B = q.shape[0]
-    cap = vecs3.shape[1]
-    # Cell selection from the (replicated, small) centroid table. For B > 1
-    # the union of per-query probes is capped at B * nprobe distinct cells;
-    # queries are probed independently via vmap.
+    C, cap, _ = vecs3.shape
+    # Cell selection from the (replicated, small) centroid table.
     cell_sims = q.astype(jnp.float32) @ centroids.T           # [B, C]
     _, cells = jax.lax.top_k(cell_sims, nprobe)               # [B, nprobe]
 
-    def one_query(q1, cells1):
-        scores = probe_scan_scores(q1[None], cells1, vecs3, cols3, spec,
-                                   nprobe=nprobe)             # [1, nprobe*cap]
-        gids = jnp.take(gid3, cells1, axis=0).reshape(-1)     # [nprobe*cap]
-        scores = jnp.where(gids[None, :] >= 0, scores, NEG_INF)
-        return scores[0], gids
+    # Batch-dedup the probed cells: each unique cell's block is DMA'd and
+    # scored ONCE for the whole query batch (a per-query loop re-reads hot
+    # cells B times — B * nprobe * cap rows of HBM traffic instead of
+    # U * cap). U is the static cap on distinct cells; overflow slots repeat
+    # a sentinel and are masked out per query below.
+    U = min(B * nprobe, C)
+    flat = jnp.sort(cells.reshape(-1))                        # [B * nprobe]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    slot = jnp.where(first, jnp.cumsum(first) - 1, U)         # dests; dup -> U
+    ucells = (jnp.full((U + 1,), C, jnp.int32)
+              .at[slot].set(flat.astype(jnp.int32), mode="drop")[:U])
+    # Unfilled slots (when < U distinct cells) scan cell 0 but are masked
+    # out entirely — otherwise a pad slot would duplicate a genuinely
+    # probed cell 0 and top-k could return duplicate rows.
+    pad = ucells == C
+    ucells = jnp.where(pad, 0, ucells)
 
-    probe_scores, probe_gids = jax.vmap(one_query)(q, cells)  # [B, P], [B, P]
+    scores = probe_scan_scores(q, ucells, vecs3, cols3, spec,
+                               nprobe=U)                      # [B, U*cap]
+    ugids = jnp.take(gid3, ucells, axis=0)                    # [U, cap]
+    # member[b, u]: did query b probe unique cell u? (pad slots never count)
+    member = jnp.any(
+        ucells[None, :, None] == cells[:, None, :], axis=-1) & ~pad[None, :]
+    valid = member[:, :, None] & (ugids[None, :, :] >= 0)     # [B, U, cap]
+    probe_scores = jnp.where(valid.reshape(B, -1), scores, NEG_INF)
+    probe_gids = jnp.broadcast_to(ugids.reshape(-1)[None, :],
+                                  probe_scores.shape)
 
     rest_scores = dense_scan_scores(q, rest_vecs, rest_cols, spec)  # [B, R]
     rest_scores = jnp.where(rest_gid[None, :] >= 0, rest_scores, NEG_INF)

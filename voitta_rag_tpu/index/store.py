@@ -18,6 +18,7 @@ encode-to-candidates is one jittable function (see
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import uuid
 from pathlib import Path
@@ -492,8 +493,12 @@ class TpuVectorStore:
         with self._lock:
             self._ensure_open()
             for i, seg in enumerate(self._segments):
-                np.savez_compressed(self.index_dir / f"segment_{i:04d}.npz",
-                                    **seg.to_host())
+                final = self.index_dir / f"segment_{i:04d}.npz"
+                tmp = final.with_suffix(".npz.tmp")
+                # Write-then-rename: a crash (or a concurrent reader) mid-
+                # write must never leave a corrupt spill at the final path.
+                np.savez_compressed(tmp, **seg.to_host())
+                os.replace(tmp, final)
             self._unsaved_mutations = 0
 
     def save_if_dirty(self, min_mutations: int = 1) -> bool:
