@@ -494,9 +494,11 @@ class TpuVectorStore:
             self._ensure_open()
             for i, seg in enumerate(self._segments):
                 final = self.index_dir / f"segment_{i:04d}.npz"
-                tmp = final.with_suffix(".npz.tmp")
                 # Write-then-rename: a crash (or a concurrent reader) mid-
                 # write must never leave a corrupt spill at the final path.
+                # (savez appends ".npz" to paths without it, so the temp
+                # name must already end in .npz.)
+                tmp = final.with_name(f"segment_{i:04d}.tmp.npz")
                 np.savez_compressed(tmp, **seg.to_host())
                 os.replace(tmp, final)
             self._unsaved_mutations = 0
