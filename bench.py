@@ -337,6 +337,61 @@ def main():
     except Exception as e:
         extra["ivf_error"] = str(e)[:200]
 
+    # ---- 10M-row scale probe (BASELINE config 4 shape on ONE chip) ----
+    # int8 storage (3.84 GB), filtered hybrid, entirely device-resident —
+    # no host transfers, so this adds ~1 min, not another corpus pull.
+    if on_tpu:
+        log("10M-scale probe")
+        try:
+            # Free the 1M working set first (HBM is 16 GB). Rebinding to
+            # None drops the device references (del on locals() is a no-op
+            # inside a function).
+            vecs = terms = weights = cols = vecs_dev = None
+            v8 = scales = w16 = ivf = None  # try-block locals, may be unset
+            import gc
+
+            gc.collect()
+
+            N10 = 10 * 1024 * 1024
+            blocks = []
+            sc_blocks = []
+            kb = jax.random.split(jax.random.PRNGKey(7), 8)
+            gen = jax.jit(lambda k: jax.random.normal(
+                k, (N10 // 8, D), jnp.float32))
+            q8 = jax.jit(lambda v: (
+                jnp.clip(jnp.round(v / (jnp.max(jnp.abs(v), axis=1,
+                                                keepdims=True) / 127.0)),
+                         -127, 127).astype(jnp.int8),
+                (jnp.max(jnp.abs(v), axis=1) / 127.0).astype(jnp.float32)))
+            for kk in kb:
+                blk = gen(kk)
+                blk = blk / jnp.linalg.norm(blk, axis=1, keepdims=True)
+                v8b, scb = q8(blk)
+                blocks.append(v8b)
+                sc_blocks.append(scb)
+                del blk
+            vecs10 = jnp.concatenate(blocks)
+            scales10 = jnp.concatenate(sc_blocks)[None, :]
+            del blocks, sc_blocks
+            k2 = jax.random.split(jax.random.PRNGKey(8), 3)
+            folder10 = jax.random.randint(k2[0], (N10,), 0, N_FOLDERS,
+                                          jnp.int32)
+            cols10 = (jnp.zeros((NUM_COLS, N10), jnp.int32)
+                      .at[COL_VALID].set(1).at[COL_FOLDER].set(folder10))
+            terms10 = jax.random.randint(k2[1], (S, N10), 0, 1_000_000,
+                                         jnp.int32)
+            weights10 = jax.random.uniform(k2[2], (S, N10), jnp.bfloat16)
+            jax.block_until_ready((vecs10, cols10, terms10, weights10))
+
+            qps10, dt10 = queued_qps(device_hybrid, qstack, qt_j, qw_j,
+                                     vecs10, cols10, terms10, weights10,
+                                     spec, scales10)
+            extra["hybrid_qps_10M_int8"] = round(qps10, 1)
+            extra["hybrid_ms_per_batch_10M"] = round(dt10 / N_ITERS * 1000, 2)
+            log(f"10M int8 hybrid: {qps10:.0f} qps")
+        except Exception as e:
+            extra["scale10M_error"] = str(e)[:200]
+
     result = {
         "metric": "filtered_hybrid_search_qps_1M_384d" + ("" if on_tpu else "_cpu"),
         "value": round(tpu_qps, 1),
