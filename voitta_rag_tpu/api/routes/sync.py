@@ -240,8 +240,220 @@ async def confluence_spaces(request: web.Request, user) -> web.Response:
     return web.json_response({"spaces": spaces})
 
 
+# ---------------------------------------------------------------------------
+# OAuth popup flow for connector credentials (reference sync.py:278-473):
+# GET /api/sync/oauth/auth?folder_path=X  -> {"auth_url": ...}
+# GET /api/sync/oauth/callback?code&state -> stores refresh token, notifies
+# the opener tab over WebSocket, returns a self-closing page.
+# ---------------------------------------------------------------------------
+
+_OAUTH_SOURCES = {
+    "sharepoint": {"tenant_id": "sp_tenant_id", "client_id": "sp_client_id",
+                   "client_secret": "sp_client_secret",
+                   "refresh_token": "sp_refresh_token",
+                   "ws_event": "sharepoint_connected"},
+    "azure_devops": {"tenant_id": "ado_tenant_id",
+                     "client_id": "ado_client_id",
+                     "client_secret": "ado_client_secret",
+                     "refresh_token": "ado_refresh_token",
+                     "ws_event": "azure_devops_connected"},
+    "google_drive": {"client_id": "gd_client_id",
+                     "client_secret": "gd_client_secret",
+                     "refresh_token": "gd_refresh_token",
+                     "ws_event": "google_drive_connected"},
+    "box": {"client_id": "box_client_id", "client_secret": "box_client_secret",
+            "refresh_token": "box_refresh_token",
+            "ws_event": "box_connected"},
+}
+
+
+def _oauth_redirect_uri() -> str:
+    from voitta_rag_tpu.config import get_settings
+
+    return f"{get_settings().base_url}/api/sync/oauth/callback"
+
+
+@require_user
+async def oauth_auth(request: web.Request, user) -> web.Response:
+    """Unified OAuth2 initiation — dispatches by source_type."""
+    import base64
+
+    folder_path = request.query.get("folder_path", "")
+    src = get_db().get_sync_source(folder_path)
+    if not src or src.source_type not in _OAUTH_SOURCES:
+        return json_error(404, "OAuth sync source not found")
+    cfg = _OAUTH_SOURCES[src.source_type]
+    client_id = getattr(src, cfg["client_id"], None)
+    if not client_id:
+        return json_error(
+            400, "Save configuration (client ID, client secret) before "
+                 "connecting")
+    state = base64.urlsafe_b64encode(folder_path.encode()).decode()
+    redirect = _oauth_redirect_uri()
+    if src.source_type == "google_drive":
+        from voitta_rag_tpu.services.sync.google_drive import get_auth_url
+        url = get_auth_url(client_id, redirect, state)
+    elif src.source_type == "box":
+        from voitta_rag_tpu.services.sync.box import get_auth_url
+        url = get_auth_url(client_id, redirect, state)
+    else:
+        tenant = getattr(src, cfg["tenant_id"], None)
+        if not tenant:
+            return json_error(400, "Save configuration (tenant ID, client "
+                                   "ID, etc.) before connecting")
+        from voitta_rag_tpu.services.sync.msgraph import get_auth_url
+        if src.source_type == "azure_devops":
+            from voitta_rag_tpu.services.sync.azure_devops import ADO_SCOPE
+            url = get_auth_url(tenant, client_id, redirect, state,
+                               scope=f"offline_access {ADO_SCOPE}")
+        else:
+            url = get_auth_url(tenant, client_id, redirect, state)
+    return web.json_response({"auth_url": url})
+
+
+async def oauth_callback(request: web.Request) -> web.Response:
+    """Unified OAuth2 callback — exchanges the code, stores the refresh
+    token, and notifies the UI over WebSocket."""
+    import base64
+
+    code = request.query.get("code")
+    state = request.query.get("state", "")
+    if not code:
+        return json_error(400, "Missing code")
+    try:
+        folder_path = base64.urlsafe_b64decode(state.encode()).decode()
+    except Exception:
+        return json_error(400, "Invalid state parameter")
+    db = get_db()
+    src = db.get_sync_source(folder_path)
+    if not src or src.source_type not in _OAUTH_SOURCES:
+        return json_error(404, "OAuth sync source not found")
+    cfg = _OAUTH_SOURCES[src.source_type]
+    redirect = _oauth_redirect_uri()
+    loop = asyncio.get_running_loop()
+    try:
+        if src.source_type == "google_drive":
+            from voitta_rag_tpu.services.sync.google_drive import (
+                exchange_code_for_tokens)
+            tokens = await loop.run_in_executor(None, lambda: (
+                exchange_code_for_tokens(src.gd_client_id,
+                                         src.gd_client_secret, code,
+                                         redirect)))
+        elif src.source_type == "box":
+            from voitta_rag_tpu.services.sync.box import (
+                exchange_code_for_tokens)
+            tokens = await loop.run_in_executor(None, lambda: (
+                exchange_code_for_tokens(src.box_client_id,
+                                         src.box_client_secret, code,
+                                         redirect)))
+        else:
+            from voitta_rag_tpu.services.sync.msgraph import (
+                exchange_code_for_tokens)
+            scope = "offline_access https://graph.microsoft.com/.default"
+            if src.source_type == "azure_devops":
+                from voitta_rag_tpu.services.sync.azure_devops import ADO_SCOPE
+                scope = f"offline_access {ADO_SCOPE}"
+            tokens = await loop.run_in_executor(None, lambda: (
+                exchange_code_for_tokens(
+                    getattr(src, cfg["tenant_id"]),
+                    getattr(src, cfg["client_id"]),
+                    getattr(src, cfg["client_secret"]), code, redirect,
+                    scope=scope)))
+    except Exception as e:
+        return json_error(400, f"Token exchange failed: {e}")
+    db.update_sync_source(folder_path,
+                          **{cfg["refresh_token"]: tokens["refresh_token"]})
+
+    from voitta_rag_tpu.services.watcher import file_watcher
+
+    file_watcher.broadcast({"type": cfg["ws_event"], "path": folder_path})
+    return web.Response(
+        text="<html><body><script>window.close()</script>"
+             "<p>Connected! You can close this tab.</p></body></html>",
+        content_type="text/html")
+
+
+@require_user
+async def gdrive_folders(request: web.Request, user) -> web.Response:
+    """Root-level Drive folders for a connected source (sync.py:495-520)."""
+    rel = tail_path(request)
+    src = get_db().get_sync_source(rel)
+    if not src or src.source_type != "google_drive":
+        return json_error(404, "Google Drive source not found")
+    if not src.gd_refresh_token:
+        return json_error(400, "Google Drive not connected yet")
+    from voitta_rag_tpu.services.sync.google_drive import list_root_folders
+
+    loop = asyncio.get_running_loop()
+    try:
+        data = await loop.run_in_executor(None, lambda: list_root_folders(
+            src.gd_client_id, src.gd_client_secret, src.gd_refresh_token))
+    except Exception as e:
+        return json_error(400, str(e))
+    return web.json_response(data)
+
+
+@require_user
+async def sharepoint_sites(request: web.Request, user) -> web.Response:
+    """All SharePoint sites visible to the connected user (sync.py:575-610)."""
+    rel = tail_path(request)
+    src = get_db().get_sync_source(rel)
+    if not src or src.source_type != "sharepoint":
+        return json_error(404, "SharePoint source not found")
+    if not src.sp_refresh_token:
+        return json_error(400, "SharePoint not connected yet")
+    from voitta_rag_tpu.services.sync.msgraph import list_sites
+
+    loop = asyncio.get_running_loop()
+    try:
+        sites = await loop.run_in_executor(None, lambda: list_sites(
+            src.sp_tenant_id, src.sp_client_id, src.sp_client_secret,
+            src.sp_refresh_token))
+    except Exception as e:
+        return json_error(400, str(e))
+    return web.json_response({"sites": sites})
+
+
+@require_user
+async def browse_host_dirs(request: web.Request, user) -> web.Response:
+    """Host directory browser for filesystem sources (local mode only,
+    reference sync.py:612-663)."""
+    from pathlib import Path
+
+    from voitta_rag_tpu.config import get_settings
+
+    if get_settings().docker_mode:
+        return json_error(403,
+                          "Directory browsing is not available in Docker mode")
+    raw = request.query.get("path", "/")
+    target = Path(raw).expanduser().resolve()
+    if not target.is_dir():
+        return json_error(404, f"Directory not found: {raw}")
+    entries = []
+    try:
+        for child in sorted(target.iterdir(), key=lambda x: x.name.lower()):
+            if not child.is_dir() or child.name.startswith("."):
+                continue
+            try:
+                has_children = any(
+                    c.is_dir() and not c.name.startswith(".")
+                    for c in child.iterdir())
+            except PermissionError:
+                has_children = False
+            entries.append({"name": child.name, "path": str(child),
+                            "has_children": has_children})
+    except PermissionError:
+        return json_error(403, f"Permission denied: {raw}")
+    return web.json_response(entries)
+
+
 def setup(app: web.Application) -> None:
     app.router.add_get("/api/sync/types", sync_types)
+    app.router.add_get("/api/sync/oauth/auth", oauth_auth)
+    app.router.add_get("/api/sync/oauth/callback", oauth_callback)
+    app.router.add_get("/api/sync/browse-host-dirs", browse_host_dirs)
+    app.router.add_get("/api/sync/{path:.*}/gdrive-folders", gdrive_folders)
+    app.router.add_get("/api/sync/{path:.*}/sp-sites", sharepoint_sites)
     app.router.add_get("/api/sync/{path:.*}/branches", github_branches)
     app.router.add_get("/api/sync/{path:.*}/jira-projects", jira_projects)
     app.router.add_get("/api/sync/{path:.*}/confluence-spaces",

@@ -17,6 +17,31 @@ logger = logging.getLogger(__name__)
 API = "https://api.box.com/2.0"
 
 
+def get_auth_url(client_id: str, redirect_uri: str, state: str) -> str:
+    """Authorization-code URL for the OAuth popup flow
+    (reference box.py get_auth_url / sync.py:390-453)."""
+    from urllib.parse import urlencode
+
+    return "https://account.box.com/api/oauth2/authorize?" + urlencode({
+        "client_id": client_id,
+        "redirect_uri": redirect_uri,
+        "response_type": "code",
+        "state": state,
+    })
+
+
+def exchange_code_for_tokens(client_id: str, client_secret: str, code: str,
+                             redirect_uri: str) -> dict:
+    resp = httpx.post("https://api.box.com/oauth2/token", data={
+        "client_id": client_id,
+        "client_secret": client_secret,
+        "code": code,
+        "grant_type": "authorization_code",
+        "redirect_uri": redirect_uri}, timeout=30)
+    resp.raise_for_status()
+    return resp.json()
+
+
 class BoxConnector(BaseSyncConnector):
     def _access_token(self, source) -> str:
         resp = httpx.post("https://api.box.com/oauth2/token", data={

@@ -62,6 +62,53 @@ def _jwt_assertion(sa: dict, scope: str) -> str:
     return (signing_input + b"." + b64(sig)).decode()
 
 
+def get_auth_url(client_id: str, redirect_uri: str, state: str) -> str:
+    """Authorization-code URL for the OAuth popup flow
+    (reference google_drive.py get_auth_url / sync.py:390-453)."""
+    from urllib.parse import urlencode
+
+    return "https://accounts.google.com/o/oauth2/v2/auth?" + urlencode({
+        "client_id": client_id,
+        "redirect_uri": redirect_uri,
+        "response_type": "code",
+        "scope": "https://www.googleapis.com/auth/drive.readonly",
+        "access_type": "offline",
+        "prompt": "consent",
+        "state": state,
+    })
+
+
+def exchange_code_for_tokens(client_id: str, client_secret: str, code: str,
+                             redirect_uri: str) -> dict:
+    resp = httpx.post("https://oauth2.googleapis.com/token", data={
+        "client_id": client_id,
+        "client_secret": client_secret,
+        "code": code,
+        "grant_type": "authorization_code",
+        "redirect_uri": redirect_uri}, timeout=30)
+    resp.raise_for_status()
+    return resp.json()
+
+
+def list_root_folders(client_id: str, client_secret: str,
+                      refresh_token: str) -> dict:
+    """Root-level Drive folders for the folder picker
+    (reference sync.py:495-520)."""
+    resp = httpx.post("https://oauth2.googleapis.com/token", data={
+        "client_id": client_id, "client_secret": client_secret,
+        "refresh_token": refresh_token,
+        "grant_type": "refresh_token"}, timeout=30)
+    resp.raise_for_status()
+    token = resp.json()["access_token"]
+    resp = httpx.get(f"{DRIVE}/files", params={
+        "q": "'root' in parents and trashed = false and "
+             "mimeType = 'application/vnd.google-apps.folder'",
+        "fields": "files(id, name)", "pageSize": 1000,
+    }, headers={"Authorization": f"Bearer {token}"}, timeout=60)
+    resp.raise_for_status()
+    return {"folders": resp.json().get("files", [])}
+
+
 class GoogleDriveConnector(BaseSyncConnector):
     def _access_token(self, source) -> str:
         scope = "https://www.googleapis.com/auth/drive.readonly"

@@ -61,6 +61,8 @@
         toast(`Index ${msg.status}: ${msg.folder}`);
         clearTimeout(debounce);
         debounce = setTimeout(refreshList, 800);
+      } else if (msg.type && msg.type.endsWith("_connected")) {
+        toast(`${msg.type.replace("_connected", "")} connected: ${msg.path}`);
       }
     };
     ws.onclose = () => setTimeout(initWebSocket, 5000);
@@ -178,6 +180,7 @@
       `<form id="sync-form"></form>` +
       `<div class="modal-actions">` +
       `<button id="sync-save">Save</button>` +
+      `<button id="sync-connect" class="hidden">Connect…</button>` +
       (existing ? `<button id="sync-trigger">Sync now</button>` +
                   `<button id="sync-remove" class="danger">Remove source</button>` : "") +
       `</div>` +
@@ -196,8 +199,23 @@
         schema.secrets.map((f) =>
           fieldRow(f, existing && cur === t ? existing[f] : "", true)).join("");
     }
-    typeSel.onchange = renderForm;
+    const OAUTH_TYPES = ["sharepoint", "azure_devops", "google_drive", "box"];
+    const connectBtn = body.querySelector("#sync-connect");
+    function refreshConnect() {
+      connectBtn.classList.toggle(
+        "hidden", !(existing && OAUTH_TYPES.includes(typeSel.value)));
+    }
+    connectBtn.onclick = async () => {
+      try {
+        const r = await api("GET",
+          `/api/sync/oauth/auth?folder_path=${encodeURIComponent(path)}`);
+        window.open(r.auth_url, "voitta-oauth", "width=600,height=700");
+        toast("Complete the sign-in in the popup");
+      } catch (e) { toast(e.message); }
+    };
+    typeSel.onchange = () => { renderForm(); refreshConnect(); };
     renderForm();
+    refreshConnect();
 
     body.querySelector("#sync-save").onclick = async () => {
       const t = typeSel.value;
