@@ -415,6 +415,45 @@ async def sharepoint_sites(request: web.Request, user) -> web.Response:
 
 
 @require_user
+async def acl_probe(request: web.Request, user) -> web.Response:
+    """Diagnostic: fetch ACL/permissions for a few files without triggering
+    a sync (reference sync.py:686-740; SharePoint only)."""
+    rel = tail_path(request)
+    src = get_db().get_sync_source(rel)
+    if not src:
+        return json_error(404, "No sync source for this folder")
+    if src.source_type != "sharepoint":
+        return json_error(400, "ACL probe only supports SharePoint")
+    try:
+        max_items = max(1, min(int(request.query.get("max_items", 3)), 20))
+    except ValueError:
+        max_items = 3
+
+    from voitta_rag_tpu.services.sync.sharepoint import SharePointConnector
+
+    connector = SharePointConnector()
+    try:
+        await connector.list_files(src)
+        items = list(connector._item_map.items())[:max_items]
+        if not items:
+            return web.json_response({"error": "No files found", "items": []})
+        client = connector._client_cache
+        loop = asyncio.get_running_loop()
+        results = []
+        for remote_path, meta in items:
+            try:
+                body = await loop.run_in_executor(None, client.get, (
+                    f"/drives/{meta['drive_id']}/items/{meta['item_id']}"
+                    f"/permissions"))
+                results.append({"file": remote_path, "permissions": body})
+            except Exception as e:
+                results.append({"file": remote_path, "error": str(e)})
+        return web.json_response({"items": results})
+    except Exception as e:
+        return json_error(400, str(e))
+
+
+@require_user
 async def browse_host_dirs(request: web.Request, user) -> web.Response:
     """Host directory browser for filesystem sources (local mode only,
     reference sync.py:612-663)."""
@@ -454,6 +493,7 @@ def setup(app: web.Application) -> None:
     app.router.add_get("/api/sync/browse-host-dirs", browse_host_dirs)
     app.router.add_get("/api/sync/{path:.*}/gdrive-folders", gdrive_folders)
     app.router.add_get("/api/sync/{path:.*}/sp-sites", sharepoint_sites)
+    app.router.add_get("/api/sync/{path:.*}/acl-probe", acl_probe)
     app.router.add_get("/api/sync/{path:.*}/branches", github_branches)
     app.router.add_get("/api/sync/{path:.*}/jira-projects", jira_projects)
     app.router.add_get("/api/sync/{path:.*}/confluence-spaces",
