@@ -11,8 +11,10 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -276,6 +278,114 @@ int voitta_term_ids(const char* text, int len, uint32_t* out, int cap) {
     }
   }
   return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WordPiece fast path (ASCII-only inputs; the Python tokenizer handles the
+// unicode tail). Mirrors models/tokenizer.py exactly for ASCII text:
+// basic_tokenize = drop control chars, split on whitespace + ASCII
+// punctuation, lowercase; then greedy longest-match-first WordPiece.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+std::unordered_map<std::string, int>& wp_vocab() {
+  static std::unordered_map<std::string, int> v;
+  return v;
+}
+
+inline bool wp_is_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+inline bool wp_is_space(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+         c == '\v';
+}
+
+// Greedy longest-match; returns false on unmatchable word (caller emits UNK).
+bool wp_word(const std::string& word, int unk_id, int max_word_chars,
+             std::vector<int>& out) {
+  if ((int)word.size() > max_word_chars) {
+    out.push_back(unk_id);
+    return true;
+  }
+  auto& vocab = wp_vocab();
+  size_t start = 0, n = word.size();
+  size_t first = out.size();
+  while (start < n) {
+    size_t end = n;
+    int cur = -1;
+    while (start < end) {
+      std::string piece = (start > 0 ? "##" : "") +
+                          word.substr(start, end - start);
+      auto it = vocab.find(piece);
+      if (it != vocab.end()) {
+        cur = it->second;
+        break;
+      }
+      end--;
+    }
+    if (cur < 0) {
+      out.resize(first);
+      out.push_back(unk_id);
+      return true;
+    }
+    out.push_back(cur);
+    start = end;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load the vocab: newline-separated tokens, id = line number. Returns count.
+int voitta_wp_load(const char* buf, long len) {
+  auto& vocab = wp_vocab();
+  vocab.clear();
+  int id = 0;
+  long start = 0;
+  for (long i = 0; i <= len; i++) {
+    if (i == len || buf[i] == '\n') {
+      vocab.emplace(std::string(buf + start, i - start), id++);
+      start = i + 1;
+    }
+  }
+  return (int)vocab.size();
+}
+
+// Tokenize ASCII text to WordPiece ids. Returns n ids written (<= cap), or
+// -1 if a non-ASCII byte is present (caller must use the Python path).
+int voitta_wp_encode(const char* text, int len, int unk_id,
+                     int max_word_chars, int32_t* out, int cap) {
+  std::vector<int> ids;
+  ids.reserve(len / 4 + 8);
+  std::string word;
+  for (int i = 0; i <= len; i++) {
+    unsigned char c = (i < len) ? (unsigned char)text[i] : ' ';
+    if (c >= 0x80) return -1;  // non-ASCII: Python handles unicode rules
+    if (i < len && !wp_is_space(c) && !wp_is_punct(c) && c > 0x20 &&
+        c != 0x7f) {
+      word += (char)(c >= 'A' && c <= 'Z' ? c - 'A' + 'a' : c);
+      continue;
+    }
+    if (!word.empty()) {
+      wp_word(word, unk_id, max_word_chars, ids);
+      word.clear();
+    }
+    if (i < len && wp_is_punct(c)) {
+      std::string p(1, (char)c);
+      wp_word(p, unk_id, max_word_chars, ids);
+    }
+  }
+  int n = (int)std::min((size_t)cap, ids.size());
+  for (int i = 0; i < n; i++) out[i] = ids[i];
+  return n;
 }
 
 }  // extern "C"

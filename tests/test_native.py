@@ -91,3 +91,47 @@ def test_query_embed_unique_unit_weights():
 
 def test_idf_monotonic():
     assert st.idf(1, 1000) > st.idf(100, 1000) > st.idf(999, 1000)
+
+
+def test_wordpiece_native_matches_python():
+    """The C++ WordPiece path must be id-for-id identical to the Python
+    tokenizer on ASCII inputs (non-ASCII falls back to Python)."""
+    import random
+
+    from voitta_rag_tpu.models.tokenizer import (
+        WordPieceTokenizer, basic_tokenize)
+    from voitta_rag_tpu.utils import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in ("the", "quick", "brown", "fox", "token", "##ization", "##s",
+              "un", "##believ", "##able", "!", ",", ".", "-", "123", "##45"):
+        vocab.setdefault(w, len(vocab))
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+        vocab.setdefault(c, len(vocab))
+        vocab.setdefault("##" + c, len(vocab))
+    tok = WordPieceTokenizer(vocab)
+    assert tok._native_ready()
+
+    rng = random.Random(0)
+    words = ["the", "quick", "unbelievable", "tokenizations", "fox!!",
+             "a-b-c", "12345", "zzz", "MiXeD", "trailing.", "(paren)",
+             "x" * 120]
+    for trial in range(50):
+        text = " ".join(rng.choices(words, k=rng.randint(1, 30)))
+        fast = tok.tokenize_ids(text)
+        slow = []
+        for t in basic_tokenize(text, True):
+            slow.extend(tok.wordpiece(t))
+        assert fast == slow, (text, fast, slow)
+
+    # Non-ASCII routes through Python (same answer either way).
+    text = "café naïve 東京 test"
+    ids = tok.tokenize_ids(text)
+    slow = []
+    for t in basic_tokenize(text, True):
+        slow.extend(tok.wordpiece(t))
+    assert ids == slow

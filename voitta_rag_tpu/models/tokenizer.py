@@ -81,6 +81,7 @@ class WordPieceTokenizer:
         self.unk_id = vocab.get(UNK, 1)
         self.cls_id = vocab.get(CLS, 2)
         self.sep_id = vocab.get(SEP, 3)
+        self._native_state: bool | None = None
 
     @classmethod
     def from_vocab_file(cls, path: str | Path, **kw) -> "WordPieceTokenizer":
@@ -117,10 +118,28 @@ class WordPieceTokenizer:
         return ids
 
     def tokenize_ids(self, text: str) -> list[int]:
-        ids: list[int] = []
+        # C++ fast path for ASCII inputs (native/voitta_native.cpp mirrors
+        # the ASCII subset of these rules exactly; tests/test_native.py).
+        if self.lowercase and self._native_ready():
+            from voitta_rag_tpu.utils import native
+
+            ids = native.wp_encode(text, self.unk_id, self.max_word_chars)
+            if ids is not None:
+                return ids
+        ids = []
         for tok in basic_tokenize(text, self.lowercase):
             ids.extend(self.wordpiece(tok))
         return ids
+
+    def _native_ready(self) -> bool:
+        if self._native_state is None:
+            try:
+                from voitta_rag_tpu.utils import native
+
+                self._native_state = native.wp_load(self.vocab, id(self))
+            except Exception:
+                self._native_state = False
+        return self._native_state
 
     def encode_batch(
         self, texts: list[str], max_len: int

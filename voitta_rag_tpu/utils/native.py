@@ -54,6 +54,13 @@ def _load():
         lib.voitta_murmur3_32.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                           ctypes.c_uint32]
         lib.voitta_murmur3_32.restype = ctypes.c_uint32
+        lib.voitta_wp_load.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.voitta_wp_load.restype = ctypes.c_int
+        lib.voitta_wp_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.voitta_wp_encode.restype = ctypes.c_int
         _lib = lib
         logger.info("Loaded native library %s", _LIB_PATH)
     except OSError as e:
@@ -78,3 +85,41 @@ def term_ids(text: str) -> list[int]:
 def murmur3_32(data: bytes, seed: int = 0) -> int:
     lib = _load()
     return int(lib.voitta_murmur3_32(data, len(data), seed))
+
+
+_wp_loaded_key: int | None = None
+
+
+def wp_load(vocab: dict[str, int], key: int) -> bool:
+    """Install a WordPiece vocab into the native lib (id = line number, so
+    the dict must be contiguously numbered — true for BERT vocab.txt)."""
+    global _wp_loaded_key
+    lib = _load()
+    if lib is None:
+        return False
+    if _wp_loaded_key == key:
+        return True
+    by_id = sorted(vocab.items(), key=lambda kv: kv[1])
+    if [i for _, i in by_id] != list(range(len(by_id))):
+        return False  # non-contiguous ids: native path unsupported
+    blob = "\n".join(t for t, _ in by_id).encode("utf-8")
+    if lib.voitta_wp_load(blob, len(blob)) != len(by_id):
+        return False
+    _wp_loaded_key = key
+    return True
+
+
+def wp_encode(text: str, unk_id: int, max_word_chars: int) -> list[int] | None:
+    """Native WordPiece encode; None → caller must use the Python path
+    (lib missing or non-ASCII input)."""
+    lib = _load()
+    if lib is None or not text.isascii():
+        return None
+    data = text.encode("ascii")
+    cap = len(data) + 8
+    buf = (ctypes.c_int32 * cap)()
+    n = lib.voitta_wp_encode(data, len(data), unk_id, max_word_chars, buf,
+                             cap)
+    if n < 0:
+        return None
+    return [int(buf[i]) for i in range(n)]
