@@ -50,8 +50,8 @@ class GithubConnector(BaseSyncConnector):
     # -- auth / URLs (reference github.py:22-54, 351-365) --------------------
     def _repo_url(self, source) -> str:
         repo = source.gh_repo or ""
-        if repo.startswith(("http://", "https://", "git@")):
-            base = repo
+        if repo.startswith(("http://", "https://", "git@", "file://", "/")):
+            base = repo  # full URL or local path (mirrors, air-gapped tests)
         else:
             base = f"https://github.com/{repo}.git"
         if source.gh_auth_method == "token" and source.gh_pat and \
