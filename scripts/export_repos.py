@@ -5,6 +5,11 @@ JSON format, secrets stripped."""
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys

@@ -10,6 +10,11 @@ The resulting checkpoint is loadable via EMBEDDING_MODEL_PATH.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys

@@ -6,6 +6,11 @@ project/date/keyword, create one memory per session via the MCP HTTP API."""
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys

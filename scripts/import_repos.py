@@ -18,6 +18,11 @@ Config format (reference README.md:402-411):
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys

@@ -6,6 +6,11 @@ rebuild SQLite from a full Qdrant scroll)."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
+import sys
 from collections import defaultdict
 
 

@@ -14,6 +14,11 @@ comparing the sparse-slot population.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import sys
 import time
