@@ -16,6 +16,19 @@ def html_to_markdown(html: str) -> str:
     soup = BeautifulSoup(html, "html.parser")
     for tag in soup(["script", "style", "head"]):
         tag.decompose()
+    # Inline formatting markers (html2text conventions the reference emits).
+    for tag in soup.find_all(["b", "strong"]):
+        tag.replace_with(f"**{tag.get_text(strip=True)}**")
+    for tag in soup.find_all(["i", "em"]):
+        tag.replace_with(f"*{tag.get_text(strip=True)}*")
+    for tag in soup.find_all("code"):
+        if tag.parent and tag.parent.name == "pre":
+            continue
+        tag.replace_with(f"`{tag.get_text(strip=True)}`")
+    for tag in soup.find_all("a"):
+        href = tag.get("href")
+        text = tag.get_text(" ", strip=True)
+        tag.replace_with(f"[{text}]({href})" if href else text)
     lines: list[str] = []
 
     def walk(el):
