@@ -251,6 +251,22 @@ def main():
             encode_ms = min(encode_ms,
                             (time.perf_counter() - t0) / N_ITERS * 1000)
 
+        # Index-build encode throughput (the reference's operative
+        # chunks/sec metric, scripts/build_sparse_vectors.py:221).
+        Bi, Li = 256, 128
+        istacks = jnp.asarray(
+            rng.integers(4, ecfg.vocab_size, (8, Bi, Li)), jnp.int32)
+        imask = jnp.ones((Bi, Li), jnp.int32)
+        enc_i = jax.jit(lambda ids, p: encode_tokens(p, ecfg, ids, imask))
+        np.asarray(enc_i(istacks[0], eparams))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            iouts = [enc_i(s, eparams) for s in istacks]
+            np.asarray(iouts[-1][..., :1])
+            best = min(best, time.perf_counter() - t0)
+        extra["encode_chunks_per_s"] = round(8 * Bi / best, 1)
+
         q1stack = jnp.asarray(qpool[:N_ITERS]).reshape(N_ITERS, 1, D)
         _, dt1 = queued_qps(device_hybrid, q1stack, qt_j, qw_j, vecs, cols,
                             terms, weights, spec)
