@@ -63,12 +63,44 @@ class TpuVectorStore:
         self._lock = threading.RLock()
         self._payloads: PayloadStore | None = None
         self._segments: list[Segment] | None = None
+        # Multi-chip mode: VOITTA_INDEX_SHARDS > 1 (or "auto" with multiple
+        # devices) stores rows in a mesh-sharded index instead of flat
+        # segments; searches run per-chip scans + all-gather top-k merge.
+        self._sharded = None
+        self._n_shards = self._resolve_shards(settings.index_shards)
         # IVF snapshot (read-optimized; invalidated by any mutation).
         self._ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
         self._ivf_dirty = True
         # Mutations since last save() (host spill/restore, SURVEY §5.4).
         self._unsaved_mutations = 0
+
+    @staticmethod
+    def _resolve_shards(setting: str) -> int:
+        """VOITTA_INDEX_SHARDS: explicit N, or "auto" = all TPU chips.
+
+        Auto only engages on real TPU backends — virtual CPU device counts
+        (tests force 8) must not flip a single-host deployment into sharded
+        mode.
+        """
+        if str(setting).lower() in ("", "auto", "0"):
+            try:
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    return len(jax.devices())
+            except Exception:
+                pass
+            return 1
+        try:
+            return max(1, int(setting))
+        except ValueError:
+            return 1
+
+    @property
+    def sharded_active(self) -> bool:
+        self._ensure_open()
+        return self._sharded is not None
 
     # -- lazy bootstrap (reference vector_store.py:66-115) -------------------
     @property
@@ -88,6 +120,32 @@ class TpuVectorStore:
             self.index_dir.mkdir(parents=True, exist_ok=True)
             self._payloads = PayloadStore(self.index_dir / "payloads.db")
             self._segments = []
+            if self._n_shards > 1:
+                from voitta_rag_tpu.parallel.mesh import index_mesh
+                from voitta_rag_tpu.parallel.sharded import ShardedIndex
+
+                mesh = index_mesh(self._n_shards)
+                spill = self.index_dir / "sharded.npz"
+                if spill.exists():
+                    with np.load(spill, allow_pickle=False) as data:
+                        self._sharded = ShardedIndex.from_host(
+                            mesh, dict(data))
+                    logger.info(
+                        "Loaded sharded index (%d shards, %d live chunks) "
+                        "for '%s'", self._n_shards, self.count(),
+                        self.collection_name)
+                else:
+                    # segment_capacity is the TOTAL row budget; each shard
+                    # holds its slice (lane-aligned).
+                    from voitta_rag_tpu.ops.pallas_utils import round_up
+
+                    cap = round_up(
+                        max(self.segment_capacity // self._n_shards, 128),
+                        128)
+                    self._sharded = ShardedIndex(
+                        mesh, cap, self.dimension,
+                        self.sparse_slots, self.segment_dtype)
+                return
             seg_files = sorted(self.index_dir.glob("segment_*.npz"))
             for f in seg_files:
                 with np.load(f, allow_pickle=False) as data:
@@ -162,22 +220,29 @@ class TpuVectorStore:
                 col_rows[i, COL_CHUNK_INDEX] = m.chunk_index
                 point_ids.append(str(uuid.uuid4()))
 
-            # Fill segments (may span several on overflow).
-            payload_rows = []
-            start = 0
-            while start < n:
-                seg = self._segment_with_space(1)
-                take = min(n - start, seg.rows_available())
-                rows = seg.allocate(take)
-                sl = slice(start, start + take)
-                seg.write_rows(rows, dense[sl], col_rows[sl], terms[sl],
-                               weights[sl])
-                for j, r in enumerate(rows):
-                    k = start + j
-                    payload_rows.append(
-                        (self._gid(seg, r), point_ids[k], texts[k],
-                         metadata_list[k]))
-                start += take
+            if self._sharded is not None:
+                gids = self._sharded.write_rows(dense, col_rows, terms,
+                                                weights)
+                payload_rows = [
+                    (int(g), point_ids[k], texts[k], metadata_list[k])
+                    for k, g in enumerate(gids)]
+            else:
+                # Fill segments (may span several on overflow).
+                payload_rows = []
+                start = 0
+                while start < n:
+                    seg = self._segment_with_space(1)
+                    take = min(n - start, seg.rows_available())
+                    rows = seg.allocate(take)
+                    sl = slice(start, start + take)
+                    seg.write_rows(rows, dense[sl], col_rows[sl], terms[sl],
+                                   weights[sl])
+                    for j, r in enumerate(rows):
+                        k = start + j
+                        payload_rows.append(
+                            (self._gid(seg, r), point_ids[k], texts[k],
+                             metadata_list[k]))
+                    start += take
             self._payloads.insert_chunks(payload_rows)
             if df_bump:
                 self._payloads.bump_term_dfs(df_bump)
@@ -189,6 +254,15 @@ class TpuVectorStore:
     def _delete_gids(self, gids: list[int]) -> int:
         if not gids:
             return 0
+        if self._sharded is not None:
+            # Sharded mode keeps no host term mirror: document frequencies go
+            # slightly stale on delete (IDF refreshes as terms re-enter on
+            # upserts; exact df rebuild happens on spill/restore cycles).
+            self._sharded.tombstone_gids(np.asarray(gids, np.int64))
+            self._payloads.delete_gids(gids)
+            self._ivf_dirty = True
+            self._unsaved_mutations += len(gids)
+            return len(gids)
         by_seg: dict[int, list[int]] = {}
         for g in gids:
             by_seg.setdefault(g // self.segment_capacity, []).append(
@@ -288,6 +362,10 @@ class TpuVectorStore:
         n_cells = n_cells or settings.ivf_cells
         with self._lock:
             self._ensure_open()
+            if self._sharded is not None:
+                raise ValueError(
+                    "IVF snapshots are per-chip; not supported in sharded "
+                    "mode (the sharded scan is already probe-free)")
             # Gather live rows ON DEVICE (only the row-index vectors cross
             # the host boundary — segments can be GBs, indices are MBs).
             import jax.numpy as jnp
@@ -365,7 +443,7 @@ class TpuVectorStore:
     ) -> list[StoredChunk]:
         """Dense or hybrid search (reference search signature + semantics)."""
         self._ensure_open()
-        if not self._segments or self.count() == 0:
+        if (self._sharded is None and not self._segments) or self.count() == 0:
             return []
         include_ids, exclude_ids, exclude_if_ids, impossible = (
             self._resolve_filter_ids(folder_filter, include_folders,
@@ -390,6 +468,10 @@ class TpuVectorStore:
         if has_sparse:
             qt, qw = self._sparse_query_arrays(sparse_query)
 
+        if self._sharded is not None:
+            return self._search_sharded(q, spec, qt, qw, limit,
+                                        sparse_weight, has_sparse)
+
         if self.ivf_active:
             return self._search_ivf(q, spec, qt, qw, limit, sparse_weight,
                                     has_sparse, fusion)
@@ -409,6 +491,17 @@ class TpuVectorStore:
         else:
             scores, gids = masked_topk(dense_scores, limit)
 
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+
+    def _search_sharded(self, q, spec, qt, qw, limit, sparse_weight,
+                        has_sparse):
+        """Multi-chip path: per-shard Pallas scans, local top-p, all-gather
+        candidate merge over ICI, replicated fusion (parallel/sharded.py)."""
+        scores, gids = self._sharded.search(
+            jnp.asarray(q), spec,
+            qt=qt if has_sparse else None, qw=qw if has_sparse else None,
+            sparse_weight=sparse_weight, limit=limit,
+            prefetch_multiplier=self.prefetch_multiplier)
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _search_ivf(self, q, spec, qt, qw, limit, sparse_weight, has_sparse,
@@ -481,7 +574,9 @@ class TpuVectorStore:
         return {
             "name": self.collection_name,
             "points_count": self.count(),
-            "segments": len(self._segments),
+            "segments": len(self._segments) if self._sharded is None
+            else self._sharded.n_shards,
+            "sharded": self._sharded is not None,
             "segment_capacity": self.segment_capacity,
             "dimension": self.dimension,
             "dtype": self.segment_dtype,
@@ -492,6 +587,13 @@ class TpuVectorStore:
     def save(self) -> None:
         with self._lock:
             self._ensure_open()
+            if self._sharded is not None:
+                final = self.index_dir / "sharded.npz"
+                tmp = self.index_dir / "sharded.tmp.npz"
+                np.savez_compressed(tmp, **self._sharded.to_host())
+                os.replace(tmp, final)
+                self._unsaved_mutations = 0
+                return
             for i, seg in enumerate(self._segments):
                 final = self.index_dir / f"segment_{i:04d}.npz"
                 # Write-then-rename: a crash (or a concurrent reader) mid-
@@ -519,6 +621,7 @@ class TpuVectorStore:
                 self._payloads.close()
             self._payloads = None
             self._segments = None
+            self._sharded = None
 
 
 _vector_store: TpuVectorStore | None = None

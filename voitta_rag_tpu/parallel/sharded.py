@@ -286,6 +286,46 @@ class ShardedIndex:
         for s, r in zip(shard_idx, rows):
             self._free[int(s)].append(int(r))
 
+    # -- persistence (host spill/restore, mirrors Segment.to_host) ----------
+    def to_host(self) -> dict:
+        vecs = self.vecs
+        if self.dtype == "bfloat16":
+            vecs = vecs.astype(jnp.float32)
+        return {
+            "n_shards": self.n_shards, "cap": self.cap, "dim": self.dim,
+            "sparse_slots": self.sparse_slots, "dtype": self.dtype,
+            "vecs": np.asarray(vecs), "scales": np.asarray(self.scales),
+            "terms": np.asarray(self.terms),
+            "weights": np.asarray(self.weights),
+            "cols": np.asarray(self.cols),
+            "next": self._next,
+            "free": np.asarray(
+                [[s, r] for s in range(self.n_shards)
+                 for r in self._free[s]], np.int64).reshape(-1, 2),
+        }
+
+    @classmethod
+    def from_host(cls, mesh: Mesh, data: dict) -> "ShardedIndex":
+        idx = cls(mesh, int(data["cap"]), int(data["dim"]),
+                  int(data["sparse_slots"]), str(data["dtype"]))
+        sh = NamedSharding(mesh, P(SHARD_AXIS))
+        put = lambda x, dt=None: jax.device_put(
+            jnp.asarray(x, dt) if dt else jnp.asarray(x), sh)
+        idx.vecs = put(data["vecs"], idx.vecs.dtype)
+        idx.scales = put(data["scales"])
+        idx.terms = put(data["terms"])
+        idx.weights = put(data["weights"])
+        idx.cols = put(data["cols"])
+        idx._next = np.asarray(data["next"], np.int64)
+        for s, r in np.asarray(data["free"]).reshape(-1, 2):
+            idx._free[int(s)].append(int(r))
+        return idx
+
+    @property
+    def live_count(self) -> int:
+        return int(np.asarray(
+            (self.cols[:, COL_VALID, :] > 0).sum()))
+
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
                limit=10, prefetch_multiplier=3, fusion=True):
         has_sparse = qt is not None

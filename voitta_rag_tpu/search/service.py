@@ -104,7 +104,8 @@ class SearchService:
     ) -> list[StoredChunk]:
         store = self.store
         store._ensure_open()
-        if not store.segments or store.count() == 0:
+        if store.count() == 0 or (not store.segments
+                                  and not store.sharded_active):
             return []
         if sparse_weight is None:
             sparse_weight = self.default_sparse_weight
@@ -136,6 +137,16 @@ class SearchService:
         if qt is None:
             qt = np.full((1, 1), TERM_PAD, np.int32)
             qw = np.zeros((1, 1), np.float32)
+
+        if store.sharded_active:
+            # Multi-chip path: encode, then per-shard scans + ICI merge.
+            with trace("search.encode"):
+                q = np.asarray(encode_tokens(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+            with trace("search.sharded"):
+                return store._search_sharded(
+                    q, spec, qt, qw, limit,
+                    jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
         if store.ivf_active:
             # IVF path: encode on device, then probe-limited store search.
