@@ -117,3 +117,91 @@ def test_overflow_goes_to_residual():
     got = set(np.asarray(out_gids)[0][np.asarray(pos)[0]].tolist())
     oracle = set(np.argsort(-(v @ v[17]))[:5].tolist())
     assert got == oracle
+
+
+def test_multi_assign_improves_recall_and_dedups():
+    rng = np.random.default_rng(5)
+    v = clustered_corpus(4000, 32, seed=5)
+    cols = cols_for(4000, rng)
+    gids = np.arange(4000, dtype=np.int64)
+    spec = make_filter_spec()
+    q_idx = rng.choice(4000, 20, replace=False)
+
+    def recall(idx, nprobe):
+        rs = []
+        for qi in q_idx:
+            q = jnp.asarray(v[qi][None])
+            vals, got = idx.search_candidates(q, spec, nprobe=nprobe,
+                                              limit=10)
+            got = np.asarray(got)[0]
+            live = got[got >= 0]
+            assert len(set(live.tolist())) == len(live), "duplicate gids"
+            oracle = set(np.argsort(-(v @ v[qi]))[:10].tolist())
+            rs.append(len(set(live.tolist()) & oracle) / 10)
+        return float(np.mean(rs))
+
+    idx1 = IVFIndex.build(v, cols, gids, n_cells=32, kmeans_iters=8,
+                          dtype="float32", assign_k=1)
+    idx2 = IVFIndex.build(v, cols, gids, n_cells=32, kmeans_iters=8,
+                          dtype="float32", assign_k=2)
+    r1, r2 = recall(idx1, 2), recall(idx2, 2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.85, r2
+
+
+def test_int8_cells_close_to_float():
+    rng = np.random.default_rng(6)
+    v = clustered_corpus(2000, 16, seed=6)
+    cols = cols_for(2000, rng)
+    gids = np.arange(2000, dtype=np.int64)
+    spec = make_filter_spec()
+    idx8 = IVFIndex.build(v, cols, gids, n_cells=16, kmeans_iters=8,
+                          dtype="int8")
+    assert idx8.vecs3.dtype == jnp.int8 and idx8.scales3 is not None
+    overlaps = []
+    for qi in rng.choice(2000, 10, replace=False):
+        q = jnp.asarray(v[qi][None])
+        _, got = idx8.search_candidates(q, spec, nprobe=16, limit=10)
+        got = set(np.asarray(got)[0].tolist()) - {-1}
+        oracle = set(np.argsort(-(v @ v[qi]))[:10].tolist())
+        overlaps.append(len(got & oracle) / 10)
+    assert np.mean(overlaps) >= 0.9, np.mean(overlaps)
+
+
+def test_int8_input_roundtrip():
+    # Building from an already-quantized corpus (the 10M serving shape).
+    rng = np.random.default_rng(7)
+    v = clustered_corpus(1000, 8, seed=7)
+    scale = np.abs(v).max(axis=1) / 127.0
+    v8 = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+    cols = cols_for(1000, rng)
+    gids = np.arange(1000, dtype=np.int64)
+    idx = IVFIndex.build(v8, cols, gids, n_cells=8, kmeans_iters=6,
+                         dtype="int8", scales=scale.astype(np.float32))
+    spec = make_filter_spec()
+    q = jnp.asarray(v[3][None])
+    vals, got = idx.search_candidates(q, spec, nprobe=8, limit=5)
+    got = np.asarray(got)[0]
+    oracle = np.argsort(-(v @ v[3]))[:5]
+    assert got[0] == oracle[0]
+    assert len(set(got.tolist()) & set(oracle.tolist())) >= 4
+
+
+def test_sampled_kmeans_trains_on_subset():
+    v = clustered_corpus(3000, 16, seed=8)
+    centroids, assign = spherical_kmeans(jnp.asarray(v), 16, iters=6,
+                                         train_sample=512)
+    counts = np.bincount(np.asarray(assign), minlength=16)
+    assert (counts > 0).sum() >= 12  # sampled training still covers clusters
+
+
+def test_dedup_candidates_keeps_best():
+    from voitta_rag_tpu.ops.topk import dedup_candidates
+
+    vals = jnp.asarray([[5.0, 4.0, 4.0, 3.0, NEG_INF]])
+    ids = jnp.asarray([[7, 9, 7, 9, -1]], dtype=jnp.int32)
+    v2, i2 = dedup_candidates(vals, ids)
+    v2, i2 = np.asarray(v2)[0], np.asarray(i2)[0]
+    assert i2[0] == 7 and v2[0] == 5.0
+    assert i2[1] == 9 and v2[1] == 4.0
+    assert (i2[2:] == -1).all()

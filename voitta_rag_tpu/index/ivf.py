@@ -16,6 +16,22 @@ no materialized candidate copy. Skew overflow beyond ``cell_cap`` lands in a
 flat residual block scanned on every query (bounded waste, exactness for the
 overflow set).
 
+Recall levers (why these exist — round 1 measured recall@10 of 0.2-0.5 with
+3 k-means iterations over isotropic data):
+
+- **Sampled, blocked k-means**: training runs 25 iterations on a device
+  subsample (full-corpus iterations at 10M x 768 are wasted work — centroid
+  estimates converge on ~256k points), and every E-step is blocked through
+  ``lax.scan`` so the ``[rows, C]`` similarity matrix never exceeds a block
+  (a full one is 300+ GB at 10M x 8192).
+- **Multi-assignment** (``assign_k``): each vector is replicated into its
+  top-k closest cells (ScaNN's "spilling"). A vector near a cell boundary is
+  findable through either neighbor, which is where single-assignment IVF
+  loses most of its recall. Memory cost is k x; with int8 cells, assign_k=2
+  still undercuts an f32 HNSW graph's footprint.
+- **int8 cells + per-slot scales**: halves probe bandwidth vs bf16; the
+  probe kernel dequantizes on the fly after the MXU dot.
+
 Mutation model: an IVF index is a read-optimized snapshot built from the
 live segments; fresh upserts land in the flat segments and periodic rebuilds
 fold them in (reference analogue: Qdrant's background HNSW indexing).
@@ -40,32 +56,119 @@ from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, pick_tile, 
 # spherical k-means (unit vectors, cosine assignment) — all MXU matmuls
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_cells", "iters"))
-def spherical_kmeans(
-    vecs: jax.Array, n_cells: int, iters: int = 10, seed: int = 0
-) -> tuple[jax.Array, jax.Array]:
-    """K-means on unit vectors; returns (centroids [C, D], assign [N])."""
-    n, d = vecs.shape
+def _block_rows_for(n_cells: int) -> int:
+    """Rows per E-step block: keep the [rows, C] similarity tile ~128 MB."""
+    return max(1024, min(1 << 17, (1 << 25) // max(n_cells, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells", "iters", "n_blocks"))
+def _kmeans_train(vecs, scales, n_cells: int, iters: int, n_blocks: int,
+                  seed: int):
+    """Lloyd iterations on (already sampled) rows, E-step blocked via scan.
+
+    vecs: [ns, D] any dtype (int8 dequantized per block via scales [ns]).
+    Returns centroids [C, D] f32 unit-norm.
+    """
+    ns, d = vecs.shape
+    br = ns // n_blocks
     key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.choice(key, n, (n_cells,), replace=False)
-    centroids = vecs[init_idx].astype(jnp.float32)
+    init_idx = jax.random.choice(key, ns, (n_cells,), replace=False)
+    init = jnp.take(vecs, init_idx, axis=0).astype(jnp.float32)
+    if scales is not None:
+        init = init * jnp.take(scales, init_idx)[:, None]
+    centroids = init / jnp.clip(
+        jnp.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+
+    vblocks = vecs[: n_blocks * br].reshape(n_blocks, br, d)
+    sblocks = (scales[: n_blocks * br].reshape(n_blocks, br)
+               if scales is not None else jnp.ones((n_blocks, br), jnp.float32))
+
+    def estep(centroids):
+        def body(carry, blk):
+            sums, counts = carry
+            v, s = blk
+            vf = v.astype(jnp.float32) * s[:, None]
+            sims = vf @ centroids.T                      # [br, C]
+            assign = jnp.argmax(sims, axis=1)
+            sums = sums + jax.ops.segment_sum(vf, assign,
+                                              num_segments=n_cells)
+            counts = counts + jax.ops.segment_sum(
+                jnp.ones((br,), jnp.float32), assign, num_segments=n_cells)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body, (jnp.zeros((n_cells, d), jnp.float32),
+                   jnp.zeros((n_cells,), jnp.float32)),
+            (vblocks, sblocks))
+        return sums, counts[:, None]
 
     def step(_, centroids):
-        sims = vecs.astype(jnp.float32) @ centroids.T          # [N, C]
-        assign = jnp.argmax(sims, axis=1)
-        # segment_sum instead of a one-hot matmul: avoids the [N, C] f32
-        # one-hot (4 GB at 1M x 1024) — sort+segment reduction instead.
-        sums = jax.ops.segment_sum(vecs.astype(jnp.float32), assign,
-                                   num_segments=n_cells)       # [C, D]
-        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign,
-                                     num_segments=n_cells)[:, None]
+        sums, counts = estep(centroids)
         new = jnp.where(counts > 0, sums / jnp.clip(counts, 1.0, None),
                         centroids)
-        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
-        return new / jnp.clip(norms, 1e-12, None)
+        return new / jnp.clip(jnp.linalg.norm(new, axis=1, keepdims=True),
+                              1e-12)
 
-    centroids = jax.lax.fori_loop(0, iters, step, centroids)
-    assign = jnp.argmax(vecs.astype(jnp.float32) @ centroids.T, axis=1)
+    return jax.lax.fori_loop(0, iters, step, centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_blocks"))
+def _assign_topk_cells(vecs, scales, centroids, k: int, n_blocks: int):
+    """Blocked top-k cell assignment for the full corpus → int32 [N, k]."""
+    n, d = vecs.shape
+    br = -(-n // n_blocks)
+    pad = n_blocks * br - n
+    vp = jnp.pad(vecs, ((0, pad), (0, 0)))
+    sp = (jnp.pad(scales, (0, pad)) if scales is not None
+          else jnp.ones((n_blocks * br,), jnp.float32))
+
+    def body(_, blk):
+        v, s = blk
+        vf = v.astype(jnp.float32) * s[:, None]
+        sims = vf @ centroids.T
+        if k == 1:
+            idx = jnp.argmax(sims, axis=1).astype(jnp.int32)[:, None]
+        else:
+            _, idx = jax.lax.top_k(sims, k)
+            idx = idx.astype(jnp.int32)
+        return None, idx
+
+    _, out = jax.lax.scan(body, None,
+                          (vp.reshape(n_blocks, br, d),
+                           sp.reshape(n_blocks, br)))
+    return out.reshape(n_blocks * br, k)[:n]
+
+
+def spherical_kmeans(
+    vecs: jax.Array,
+    n_cells: int,
+    iters: int = 25,
+    seed: int = 0,
+    *,
+    scales: jax.Array | None = None,
+    train_sample: int = 262144,
+) -> tuple[jax.Array, jax.Array]:
+    """K-means on unit vectors; returns (centroids [C, D] f32, assign [N]).
+
+    Trains on a random device subsample (min(N, train_sample) rows) and
+    assigns the full corpus in blocks — both never materialize more than a
+    block of the [N, C] similarity matrix.
+    """
+    n, _ = vecs.shape
+    ns = min(n, max(train_sample, n_cells * 4))
+    br = _block_rows_for(n_cells)
+    if ns < n:
+        idx = jax.random.choice(jax.random.PRNGKey(seed ^ 0x5EED), n, (ns,),
+                                replace=False)
+        train_v = jnp.take(vecs, idx, axis=0)
+        train_s = jnp.take(scales, idx) if scales is not None else None
+    else:
+        train_v, train_s = vecs, scales
+    n_blocks_t = max(1, ns // br)
+    centroids = _kmeans_train(train_v, train_s, n_cells, iters, n_blocks_t,
+                              seed)
+    n_blocks_a = max(1, -(-n // br))
+    assign = _assign_topk_cells(vecs, scales, centroids, 1, n_blocks_a)[:, 0]
     return centroids, assign
 
 
@@ -89,6 +192,19 @@ def _probe_kernel(cell_ids_ref, params_ref, inc_ref, exc_ref, excif_ref,
     out_ref[:] = jnp.where(mask[None, :], scores, NEG_INF)
 
 
+def _probe_kernel_int8(cell_ids_ref, params_ref, inc_ref, exc_ref, excif_ref,
+                       q_ref, vecs_ref, scales_ref, cols_ref, out_ref):
+    v = vecs_ref[0].astype(jnp.bfloat16)     # [tile, D]
+    q = q_ref[:].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = scores * scales_ref[0][None, :]  # per-slot dequant
+    mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
+                     cols_ref[0])
+    out_ref[:] = jnp.where(mask[None, :], scores, NEG_INF)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe",))
 def probe_scan_scores(
     q: jax.Array,
@@ -96,6 +212,7 @@ def probe_scan_scores(
     vecs3: jax.Array,
     cols3: jax.Array,
     spec: FilterSpec,
+    scales3: jax.Array | None = None,
     *,
     nprobe: int,
 ) -> jax.Array:
@@ -105,6 +222,7 @@ def probe_scan_scores(
         q: [B, D] query embeddings.
         cell_ids: int32 [nprobe] cells to scan (scalar-prefetched).
         vecs3: [C, cell_cap, D]; cols3: int32 [C, NUM_COLS, cell_cap].
+        scales3: f32 [C, cell_cap] per-slot dequant scales (int8 cells only).
 
     Returns:
         f32 [B, nprobe * cell_cap] scores, slot-major per probed cell.
@@ -113,58 +231,73 @@ def probe_scan_scores(
     C, cap, _ = vecs3.shape
     tile = pick_tile(cap, 512)
     tiles_per_cell = cap // tile
+    is_int8 = vecs3.dtype == jnp.int8
+    if is_int8:
+        assert scales3 is not None, "int8 IVF cells require scales3"
 
     if interpret_mode():
         # XLA fallback (CPU tests): gather probed blocks then score.
         v = jnp.take(vecs3, cell_ids, axis=0)          # [nprobe, cap, D]
         c = jnp.take(cols3, cell_ids, axis=0)          # [nprobe, NUM_COLS, cap]
-        v2 = v.reshape(nprobe * cap, D)
+        v2 = v.reshape(nprobe * cap, D).astype(jnp.float32)
         c2 = jnp.transpose(c, (1, 0, 2)).reshape(NUM_COLS, nprobe * cap)
-        vf = v2.astype(jnp.float32)
-        if vecs3.dtype == jnp.int8:
-            vf = vf  # int8 IVF uses pre-scaled vectors; see build()
-        scores = q.astype(jnp.float32) @ vf.T
+        if is_int8:
+            s = jnp.take(scales3, cell_ids, axis=0).reshape(nprobe * cap)
+            v2 = v2 * s[:, None]
+        scores = q.astype(jnp.float32) @ v2.T
         mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids,
                          spec.exc_if_ids, c2)
         return jnp.where(mask[None, :], scores, NEG_INF)
 
     grid = (nprobe, tiles_per_cell)
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i, j, cid: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(spec.inc_ids.shape, lambda i, j, cid: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(spec.exc_ids.shape, lambda i, j, cid: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(spec.exc_if_ids.shape, lambda i, j, cid: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, D), lambda i, j, cid: (0, 0),
+                     memory_space=pltpu.VMEM),
+        # DMA exactly the probed cell's blocks from HBM:
+        pl.BlockSpec((1, tile, D), lambda i, j, cid: (cid[i], j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids, q,
+                vecs3]
+    kernel = _probe_kernel
+    if is_int8:
+        in_specs.append(pl.BlockSpec((1, tile), lambda i, j, cid: (cid[i], j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scales3)
+        kernel = _probe_kernel_int8
+    in_specs.append(pl.BlockSpec((1, NUM_COLS, tile),
+                                 lambda i, j, cid: (cid[i], 0, j),
+                                 memory_space=pltpu.VMEM))
+    operands.append(cols3)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i, j, cid: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(spec.inc_ids.shape, lambda i, j, cid: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(spec.exc_ids.shape, lambda i, j, cid: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(spec.exc_if_ids.shape, lambda i, j, cid: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, D), lambda i, j, cid: (0, 0),
-                         memory_space=pltpu.VMEM),
-            # DMA exactly the probed cell's blocks from HBM:
-            pl.BlockSpec((1, tile, D), lambda i, j, cid: (cid[i], j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NUM_COLS, tile), lambda i, j, cid: (cid[i], 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (B, tile), lambda i, j, cid: (0, i * tiles_per_cell + j),
             memory_space=pltpu.VMEM),
     )
+    itemsize = 1 if is_int8 else vecs3.dtype.itemsize
     return pl.pallas_call(
-        _probe_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nprobe * cap), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * nprobe * cap * D,
-            bytes_accessed=nprobe * cap * (D * vecs3.dtype.itemsize
+            bytes_accessed=nprobe * cap * (D * itemsize
                                            + NUM_COLS * 4) + B * nprobe * cap * 4,
             transcendentals=0,
         ),
-    )(cell_ids, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
-      q, vecs3, cols3)
+    )(cell_ids, *operands)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +314,9 @@ class IVFIndex:
     rest_vecs: jax.Array   # [R, D]
     rest_cols: jax.Array   # [NUM_COLS, R]
     rest_gid: jax.Array    # [R] int32
+    scales3: jax.Array | None = None   # [C, cell_cap] f32 (int8 cells)
+    rest_scales: jax.Array | None = None  # [1, R] f32 (int8 cells)
+    assign_k: int = 1
 
     @property
     def n_cells(self) -> int:
@@ -198,53 +334,112 @@ class IVFIndex:
         gids: np.ndarray | jax.Array,
         n_cells: int,
         *,
-        kmeans_iters: int = 10,
+        kmeans_iters: int = 25,
         skew_factor: float = 2.0,
         seed: int = 0,
         dtype: str = "bfloat16",
+        scales: np.ndarray | jax.Array | None = None,
+        assign_k: int = 1,
+        train_sample: int = 262144,
     ) -> "IVFIndex":
-        """Build from live rows: dense [N, D] unit vectors, col_rows
-        [N, NUM_COLS], gids [N] global row ids into the owning store.
+        """Build from live rows: dense [N, D] unit vectors (f32/bf16, or int8
+        with per-row ``scales``), col_rows [N, NUM_COLS], gids [N] global row
+        ids into the owning store.
+
+        ``assign_k > 1`` replicates each row into its top-k cells (recall
+        lever; memory cost k x). Overflow policy: a row whose PRIMARY cell is
+        full spills to the exact residual block; secondary replicas that
+        don't fit are simply dropped (the primary copy already guarantees
+        findability).
 
         The bulk data never round-trips through the host: k-means and the
         cell packing (gather + scatter into the [C, cell_cap, D] layout) run
-        on device. The host only pulls the [N] assignment vector and computes
-        the permutation indices (a few MB of int32), which matters when the
-        host is small or device transfers ride a remote tunnel.
+        on device. The host only pulls the [N, assign_k] assignment matrix
+        and computes the permutation indices (a few MB of int32), which
+        matters when the host is small or device transfers ride a remote
+        tunnel.
         """
         dense_j = dense if isinstance(dense, jax.Array) else jnp.asarray(dense)
+        in_scales = (None if scales is None else
+                     (scales if isinstance(scales, jax.Array)
+                      else jnp.asarray(scales)).reshape(-1))
+        if dense_j.dtype == jnp.int8:
+            assert in_scales is not None, "int8 input requires scales [N]"
         n, d = dense_j.shape
         assert n_cells >= 2 and n >= n_cells
-        centroids, assign = spherical_kmeans(dense_j, n_cells,
-                                             iters=kmeans_iters, seed=seed)
-        assign = np.asarray(assign)
+        br = _block_rows_for(n_cells)
+        ns = min(n, max(train_sample, n_cells * 4))
+        if ns < n:
+            idx = jax.random.choice(jax.random.PRNGKey(seed ^ 0x5EED), n,
+                                    (ns,), replace=False)
+            train_v = jnp.take(dense_j, idx, axis=0)
+            train_s = (jnp.take(in_scales, idx)
+                       if in_scales is not None else None)
+        else:
+            train_v, train_s = dense_j, in_scales
+        centroids = _kmeans_train(train_v, train_s, n_cells, kmeans_iters,
+                                  max(1, ns // br), seed)
+        assign = np.asarray(_assign_topk_cells(
+            dense_j, in_scales, centroids, assign_k,
+            max(1, -(-n // br))))                      # [N, k] host
 
-        cell_cap = round_up(max(int(skew_factor * n / n_cells), 128), 128)
+        total = n * assign_k
+        cell_cap = round_up(max(int(skew_factor * total / n_cells), 128), 128)
 
-        # Packing permutation on host (int arithmetic on the [N] assignment):
-        # stable sort by cell, rank within cell, overflow to the residual.
-        order = np.argsort(assign, kind="stable")
-        cell_sorted = assign[order]
-        counts = np.bincount(assign, minlength=n_cells)
+        # Packing permutation on host (int arithmetic on the [N, k]
+        # assignment): priority-ordered stable sort by cell (primary
+        # assignments first within each cell), rank within cell, primary
+        # overflow to the residual, secondary overflow dropped.
+        rows_all = np.tile(np.arange(n, dtype=np.int64), assign_k)
+        cells_all = assign.T.reshape(-1).astype(np.int64)  # col-major: k=0 first
+        prio = np.repeat(np.arange(assign_k, dtype=np.int64), n)
+        order = np.lexsort((prio, cells_all))  # cell asc, then priority asc
+        cell_sorted = cells_all[order]
+        rows_sorted = rows_all[order]
+        prio_sorted = prio[order]
+        counts = np.bincount(cells_all, minlength=n_cells)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_in_cell = np.arange(n) - starts[cell_sorted]
+        pos_in_cell = np.arange(total) - starts[cell_sorted]
         fits = pos_in_cell < cell_cap
-        src = order[fits].astype(np.int32)
-        dest = (cell_sorted[fits] * cell_cap + pos_in_cell[fits]).astype(np.int32)
-        rest_src = order[~fits].astype(np.int32)
+        src = rows_sorted[fits].astype(np.int32)
+        dest = (cell_sorted[fits] * cell_cap
+                + pos_in_cell[fits]).astype(np.int32)
+        rest_mask = (~fits) & (prio_sorted == 0)
+        rest_src = rows_sorted[rest_mask].astype(np.int32)
         r = round_up(max(len(rest_src), 1), 128)
 
-        store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        store_int8 = dtype == "int8"
+        store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                    "int8": jnp.int8}[dtype]
         cols_j = (col_rows if isinstance(col_rows, jax.Array)
                   else jnp.asarray(col_rows)).astype(jnp.int32)
         gids_j = (gids if isinstance(gids, jax.Array)
                   else jnp.asarray(gids)).astype(jnp.int32)
         src_j, dest_j = jnp.asarray(src), jnp.asarray(dest)
 
+        src_vecs = jnp.take(dense_j, src_j, axis=0)
+        src_scales = None
+        if store_int8:
+            if dense_j.dtype == jnp.int8:
+                src_scales = jnp.take(in_scales, src_j)
+            else:  # quantize on the fly
+                sv = src_vecs.astype(jnp.float32)
+                src_scales = jnp.clip(jnp.max(jnp.abs(sv), axis=1), 1e-12,
+                                      None) / 127.0
+                src_vecs = jnp.clip(jnp.round(sv / src_scales[:, None]),
+                                    -127, 127).astype(jnp.int8)
+        elif dense_j.dtype == jnp.int8:
+            src_vecs = (src_vecs.astype(jnp.float32)
+                        * jnp.take(in_scales, src_j)[:, None])
+
         vecs3 = (jnp.zeros((n_cells * cell_cap, d), store_dt)
-                 .at[dest_j].set(jnp.take(dense_j, src_j, axis=0)
-                                 .astype(store_dt))
+                 .at[dest_j].set(src_vecs.astype(store_dt))
                  .reshape(n_cells, cell_cap, d))
+        scales3 = None
+        if store_int8:
+            scales3 = (jnp.zeros((n_cells * cell_cap,), jnp.float32)
+                       .at[dest_j].set(src_scales)
+                       .reshape(n_cells, cell_cap))
         cols3 = (jnp.zeros((n_cells * cell_cap, NUM_COLS), jnp.int32)
                  .at[dest_j].set(jnp.take(cols_j, src_j, axis=0))
                  .reshape(n_cells, cell_cap, NUM_COLS)
@@ -253,14 +448,17 @@ class IVFIndex:
                 .at[dest_j].set(jnp.take(gids_j, src_j))
                 .reshape(n_cells, cell_cap))
 
-        rest_vecs = jnp.zeros((r, d), store_dt)
+        rest_dt = jnp.bfloat16 if store_int8 else store_dt
+        rest_vecs = jnp.zeros((r, d), rest_dt)
         rest_cols = jnp.zeros((r, NUM_COLS), jnp.int32)
         rest_gid = jnp.full((r,), -1, jnp.int32)
         if len(rest_src):
             rs = jnp.asarray(rest_src)
             k = len(rest_src)
-            rest_vecs = rest_vecs.at[:k].set(
-                jnp.take(dense_j, rs, axis=0).astype(store_dt))
+            rv = jnp.take(dense_j, rs, axis=0)
+            if dense_j.dtype == jnp.int8:
+                rv = rv.astype(jnp.float32) * jnp.take(in_scales, rs)[:, None]
+            rest_vecs = rest_vecs.at[:k].set(rv.astype(rest_dt))
             rest_cols = rest_cols.at[:k].set(jnp.take(cols_j, rs, axis=0))
             rest_gid = rest_gid.at[:k].set(jnp.take(gids_j, rs))
 
@@ -272,6 +470,9 @@ class IVFIndex:
             rest_vecs=rest_vecs,
             rest_cols=rest_cols.T,
             rest_gid=rest_gid,
+            scales3=scales3,
+            rest_scales=None,
+            assign_k=assign_k,
         )
 
     def search_scores(
@@ -280,17 +481,38 @@ class IVFIndex:
         """Masked scores + gids over probed cells and the residual block.
 
         Returns (scores [B, nprobe*cell_cap + R], gids [same]) — feed into
-        masked_topk / fusion. Empty slots carry gid -1 and -inf score.
+        masked_topk / fusion. Empty slots carry gid -1 and -inf score. With
+        ``assign_k > 1`` a gid may appear more than once (replicas with equal
+        scores); use :meth:`search_candidates` for a deduplicated top list.
         """
         return _ivf_search_scores(
             q, self.centroids, self.vecs3, self.cols3, self.gid3,
-            self.rest_vecs, self.rest_cols, self.rest_gid, spec,
-            nprobe=min(nprobe, self.n_cells))
+            self.rest_vecs, self.rest_cols, self.rest_gid, self.scales3,
+            spec, nprobe=min(nprobe, self.n_cells))
+
+    def search_candidates(
+        self, q: jax.Array, spec: FilterSpec, *, nprobe: int, limit: int
+    ) -> tuple[jax.Array, jax.Array]:
+        """Deduplicated top-``limit`` candidates (vals [B, limit], gids)."""
+        from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
+
+        scores, gids = self.search_scores(q, spec, nprobe=nprobe)
+        # Over-fetch to survive dedup dropping replicas.
+        k = min(limit * max(self.assign_k, 1) + (8 if self.assign_k > 1 else 0),
+                scores.shape[-1])
+        vals, pos = masked_topk(scores, k,
+                                approx=scores.shape[-1] > (1 << 16))
+        cand_gids = jnp.where(pos >= 0,
+                              jnp.take_along_axis(
+                                  gids, jnp.maximum(pos, 0), axis=1), -1)
+        if self.assign_k > 1:
+            vals, cand_gids = dedup_candidates(vals, cand_gids)
+        return vals[:, :limit], cand_gids[:, :limit]
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe",))
 def _ivf_search_scores(q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
-                       rest_gid, spec: FilterSpec, *, nprobe: int):
+                       rest_gid, scales3, spec: FilterSpec, *, nprobe: int):
     from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
 
     B = q.shape[0]
@@ -317,7 +539,7 @@ def _ivf_search_scores(q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
     pad = ucells == C
     ucells = jnp.where(pad, 0, ucells)
 
-    scores = probe_scan_scores(q, ucells, vecs3, cols3, spec,
+    scores = probe_scan_scores(q, ucells, vecs3, cols3, spec, scales3,
                                nprobe=U)                      # [B, U*cap]
     ugids = jnp.take(gid3, ucells, axis=0)                    # [U, cap]
     # member[b, u]: did query b probe unique cell u? (pad slots never count)

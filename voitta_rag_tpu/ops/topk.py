@@ -47,3 +47,36 @@ def masked_topk(
         vals, idxs = jax.lax.top_k(scores, k)
     idxs = jnp.where(vals > VALID_THRESHOLD, idxs, -1).astype(jnp.int32)
     return vals, idxs
+
+
+@jax.jit
+def dedup_candidates(
+    vals: jax.Array, ids: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Drop duplicate ids from candidate lists, keeping the best value.
+
+    Multi-assignment IVF (index/ivf.py assign_k > 1) can return the same gid
+    more than once (replicas in different probed cells, equal scores). Sort
+    by (id asc, val desc), keep the first entry of each id run, then restore
+    value ordering. Entries with id < 0 stay invalid.
+
+    Args:
+        vals: f32 [B, K]; ids: int32 [B, K] (-1 = invalid).
+
+    Returns:
+        (vals [B, K], ids [B, K]) value-sorted, dup slots pushed to the tail
+        as (-inf, -1).
+    """
+    big = jnp.iinfo(jnp.int32).max
+    key_id = jnp.where(ids >= 0, ids, big)
+    ks, nvs, vs, is_ = jax.lax.sort(
+        (key_id, -vals, vals, ids), dimension=1, num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones(ks.shape[:1] + (1,), bool), ks[:, 1:] != ks[:, :-1]],
+        axis=1)
+    keep = first & (is_ >= 0)
+    vs = jnp.where(keep, vs, NEG_INF)
+    out_vals, pos = jax.lax.top_k(vs, vs.shape[-1])
+    out_ids = jnp.where(out_vals > VALID_THRESHOLD,
+                        jnp.take_along_axis(is_, pos, axis=1), -1)
+    return out_vals, out_ids.astype(jnp.int32)
