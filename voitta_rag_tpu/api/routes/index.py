@@ -24,19 +24,27 @@ async def trigger_index(request: web.Request, user) -> web.Response:
 
 @require_user
 async def optimize_index(request: web.Request, user) -> web.Response:
-    """Build/rebuild the IVF snapshot (probe-limited search at scale)."""
+    """Build/rebuild the read-optimized snapshots: the sparse inverted
+    postings, plus (when requested or configured) the IVF dense partition."""
     import asyncio
 
+    from voitta_rag_tpu.config import get_settings
     from voitta_rag_tpu.index.store import get_vector_store
 
     body = await request.json() if request.can_read_body else {}
     loop = asyncio.get_running_loop()
+    store = get_vector_store()
+    stats = {}
     try:
-        stats = await loop.run_in_executor(
-            None, lambda: get_vector_store().build_ivf(
-                n_cells=body.get("n_cells"), nprobe=body.get("nprobe")))
+        stats.update(await loop.run_in_executor(
+            None, store.build_postings))
+        if body.get("n_cells") or get_settings().ivf_cells:
+            stats.update(await loop.run_in_executor(
+                None, lambda: store.build_ivf(
+                    n_cells=body.get("n_cells"), nprobe=body.get("nprobe"))))
     except ValueError as e:
-        return web.json_response({"detail": str(e)}, status=400)
+        if not stats:
+            return web.json_response({"detail": str(e)}, status=400)
     return web.json_response({"status": "optimized", **stats})
 
 
@@ -49,6 +57,7 @@ async def engine_stats(request: web.Request) -> web.Response:
     return web.json_response({
         "collection": store.get_collection_info(),
         "ivf_active": store.ivf_active,
+        "postings_active": store.postings_active,
         "latency": prof_stats(),
     })
 

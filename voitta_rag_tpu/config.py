@@ -90,6 +90,11 @@ class Settings:
         self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
         # Hybrid over-fetch multiplier (reference limit*3, vector_store.py:636).
         self.prefetch_multiplier: int = int(os.getenv("VOITTA_PREFETCH_MULT", "3"))
+        # Sparse postings snapshot: per-term impact-ordered posting cap
+        # (index/postings.py; only the lowest-weight postings of very common
+        # terms are dropped beyond it).
+        self.sparse_max_postings: int = int(
+            os.getenv("VOITTA_SPARSE_MAX_POSTINGS", "4096"))
         # Mesh: number of index shards ("auto" = all local devices).
         self.index_shards: str = os.getenv("VOITTA_INDEX_SHARDS", "auto")
         # BM25 parameters (fastembed/Qdrant defaults).

@@ -72,6 +72,11 @@ class TpuVectorStore:
         self._ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
         self._ivf_dirty = True
+        # Sparse postings snapshot (read-optimized; invalidated likewise).
+        self._postings = None
+        self._postings_cols = None   # gid-indexed filter columns
+        self._postings_dirty = True
+        self._sparse_max_postings = settings.sparse_max_postings
         # Mutations since last save() (host spill/restore, SURVEY §5.4).
         self._unsaved_mutations = 0
 
@@ -247,6 +252,7 @@ class TpuVectorStore:
             if df_bump:
                 self._payloads.bump_term_dfs(df_bump)
             self._ivf_dirty = True
+            self._postings_dirty = True
             self._unsaved_mutations += n
         return point_ids
 
@@ -261,6 +267,7 @@ class TpuVectorStore:
             self._sharded.tombstone_gids(np.asarray(gids, np.int64))
             self._payloads.delete_gids(gids)
             self._ivf_dirty = True
+            self._postings_dirty = True
             self._unsaved_mutations += len(gids)
             return len(gids)
         by_seg: dict[int, list[int]] = {}
@@ -269,6 +276,16 @@ class TpuVectorStore:
                 g % self.segment_capacity)
         df_drop: dict[int, int] = {}
         for si, rows in by_seg.items():
+            if si >= len(self._segments):
+                # Payload/device divergence (e.g. an unclean shutdown spilled
+                # the SQLite payloads but not the device segments): the rows
+                # exist only in the payload DB. Deleting the payload rows
+                # below is the whole recovery — there is no device data to
+                # tombstone or df-account.
+                logger.warning(
+                    "delete: %d gids reference missing segment %d "
+                    "(payload-only rows; purging payloads)", len(rows), si)
+                continue
             seg = self._segments[si]
             rows_arr = np.asarray(rows, np.int32)
             for t_row in seg.terms_np[rows_arr]:
@@ -279,6 +296,7 @@ class TpuVectorStore:
         if df_drop:
             self._payloads.bump_term_dfs(df_drop)
         self._ivf_dirty = True
+        self._postings_dirty = True
         self._unsaved_mutations += len(gids)
         return len(gids)
 
@@ -409,6 +427,39 @@ class TpuVectorStore:
     def ivf_active(self) -> bool:
         return self._ivf is not None and not self._ivf_dirty
 
+    # -- sparse postings snapshot (index/postings.py) ------------------------
+    def build_postings(self) -> dict:
+        """Build/rebuild the inverted-postings sparse snapshot from live
+        rows. Like the IVF snapshot it is read-optimized: any mutation
+        invalidates it and sparse queries fall back to the exact slot scan
+        until the next build."""
+        from voitta_rag_tpu.index.postings import SparsePostings
+
+        with self._lock:
+            self._ensure_open()
+            if self._sharded is not None:
+                raise ValueError(
+                    "postings snapshots are per-chip; not supported in "
+                    "sharded mode")
+            if not self._segments:
+                raise ValueError("no live rows to build postings from")
+            terms = jnp.concatenate([s.terms for s in self._segments], axis=1)
+            weights = jnp.concatenate(
+                [s.weights for s in self._segments], axis=1)
+            # gid = segment_index * segment_capacity + row, so concatenating
+            # per-segment arrays in order yields gid-indexed layouts.
+            gids = jnp.arange(terms.shape[1], dtype=jnp.int32)
+            self._postings = SparsePostings.build(terms, weights, gids)
+            self._postings_cols = jnp.concatenate(
+                [s.cols for s in self._segments], axis=1)
+            self._postings_dirty = False
+            return {"postings": self._postings.n_live,
+                    "rows": int(terms.shape[1])}
+
+    @property
+    def postings_active(self) -> bool:
+        return self._postings is not None and not self._postings_dirty
+
     def _score_all_segments(self, q_dense, spec, qt=None, qw=None):
         """Concatenated masked scores over all segments.
 
@@ -472,9 +523,9 @@ class TpuVectorStore:
             return self._search_sharded(q, spec, qt, qw, limit,
                                         sparse_weight, has_sparse)
 
-        if self.ivf_active:
-            return self._search_ivf(q, spec, qt, qw, limit, sparse_weight,
-                                    has_sparse, fusion)
+        if self.ivf_active or (has_sparse and self.postings_active):
+            return self._search_snapshot(q, spec, qt, qw, limit,
+                                         sparse_weight, has_sparse, fusion)
 
         dense_scores, sparse_scores = self._score_all_segments(
             jnp.asarray(q), spec, qt, qw)
@@ -504,31 +555,54 @@ class TpuVectorStore:
             prefetch_multiplier=self.prefetch_multiplier)
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
-    def _search_ivf(self, q, spec, qt, qw, limit, sparse_weight, has_sparse,
-                    fusion):
-        """IVF-accelerated path: probed dense candidates + (optional) full
-        sparse scan, fused on the candidate lists."""
-        from voitta_rag_tpu.ops.fusion import hybrid_fuse_candidates
+    def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
+                         has_sparse, fusion):
+        """Read-optimized path: dense candidates from the IVF probe (or flat
+        scan) + sparse candidates from the inverted postings (or full slot
+        scan), fused on the candidate lists — the serving analogue of the
+        reference's Qdrant HNSW + sparse-index hybrid query
+        (services/vector_store.py:621-697)."""
+        from voitta_rag_tpu.ops.fusion import (
+            hybrid_fuse_candidates, rrf_fuse_candidates,
+        )
 
-        d_scores, d_gids = self._ivf.search_scores(
-            jnp.asarray(q), spec, nprobe=self._ivf_nprobe)
-        if has_sparse:
-            s_parts = []
-            for seg in self._segments:
-                s_parts.append(sparse_scan_scores(
-                    jnp.asarray(qt), jnp.asarray(qw), seg.terms, seg.weights,
-                    seg.cols, spec))
-            s_scores = jnp.concatenate(s_parts, axis=1)
-            s_ids = jnp.broadcast_to(
-                jnp.arange(s_scores.shape[1], dtype=jnp.int32)[None, :],
-                s_scores.shape)
-            scores, gids = hybrid_fuse_candidates(
-                d_scores, d_gids, s_scores, s_ids, sparse_weight,
-                limit=limit, prefetch_multiplier=self.prefetch_multiplier)
+        qj = jnp.asarray(q)
+        p = limit * self.prefetch_multiplier
+        if self.ivf_active:
+            d_vals, d_gids = self._ivf.search_candidates(
+                qj, spec, nprobe=self._ivf_nprobe, limit=p)
         else:
-            vals, pos = masked_topk(d_scores, limit)
-            gids = jnp.where(pos >= 0, d_gids[0][pos], -1)
-            scores = vals
+            dense_scores, _ = self._score_all_segments(qj, spec)
+            d_vals, d_gids = masked_topk(
+                dense_scores, min(p, dense_scores.shape[-1]),
+                approx=dense_scores.shape[-1] > (1 << 16))
+
+        if not has_sparse:
+            return self._materialize(np.asarray(d_vals)[0][:limit],
+                                     np.asarray(d_gids)[0][:limit])
+
+        if self.postings_active:
+            s_vals, s_gids = self._postings.candidates(
+                jnp.asarray(qt), jnp.asarray(qw), self._postings_cols, spec,
+                limit=p, max_postings=self._sparse_max_postings)
+        else:
+            s_parts = [sparse_scan_scores(
+                jnp.asarray(qt), jnp.asarray(qw), seg.terms, seg.weights,
+                seg.cols, spec) for seg in self._segments]
+            s_scores = jnp.concatenate(s_parts, axis=1)
+            s_vals, s_gids = masked_topk(
+                s_scores, min(p, s_scores.shape[-1]),
+                approx=s_scores.shape[-1] > (1 << 16))
+
+        fuse = rrf_fuse_candidates if fusion == "rrf" else None
+        if fuse is not None:
+            scores, gids = fuse(
+                d_vals, d_gids, s_vals, s_gids, limit=limit,
+                prefetch_multiplier=self.prefetch_multiplier)
+        else:
+            scores, gids = hybrid_fuse_candidates(
+                d_vals, d_gids, s_vals, s_gids, sparse_weight,
+                limit=limit, prefetch_multiplier=self.prefetch_multiplier)
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _materialize(self, scores: np.ndarray, gids: np.ndarray) -> list[StoredChunk]:

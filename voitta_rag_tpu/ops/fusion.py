@@ -170,6 +170,32 @@ def hybrid_fuse_candidates(
 
 
 @functools.partial(jax.jit, static_argnames=("limit", "prefetch_multiplier", "rrf_k"))
+def rrf_fuse_candidates(
+    d_vals: jax.Array,
+    d_ids: jax.Array,
+    s_vals: jax.Array,
+    s_ids: jax.Array,
+    *,
+    limit: int,
+    prefetch_multiplier: int = 3,
+    rrf_k: int = 60,
+) -> tuple[jax.Array, jax.Array]:
+    """Reciprocal-rank fusion over pre-gathered candidate lists [B, C]."""
+    p = min(limit * prefetch_multiplier, d_vals.shape[-1])
+    k = min(limit, 2 * p)
+
+    def fuse_row(dv, di, sv, si):
+        _, d_idx, d_valid = _candidates_from_lists(dv, di, p)
+        _, s_idx, s_valid = _candidates_from_lists(sv, si, p)
+        ranks = jnp.arange(1, p + 1, dtype=jnp.float32)
+        d_rrf = jnp.where(d_valid, 1.0 / (rrf_k + ranks), 0.0)
+        s_rrf = jnp.where(s_valid, 1.0 / (rrf_k + ranks), 0.0)
+        return _union_merge(d_idx, d_rrf, s_idx, s_rrf, d_valid, s_valid, k)
+
+    return jax.vmap(fuse_row)(d_vals, d_ids, s_vals, s_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "prefetch_multiplier", "rrf_k"))
 def rrf_fuse(
     dense_scores: jax.Array,
     sparse_scores: jax.Array,

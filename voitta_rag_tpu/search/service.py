@@ -148,13 +148,14 @@ class SearchService:
                     q, spec, qt, qw, limit,
                     jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-        if store.ivf_active:
-            # IVF path: encode on device, then probe-limited store search.
+        if store.ivf_active or (has_sparse and store.postings_active):
+            # Snapshot path: encode on device, then probe-limited dense +
+            # inverted-postings sparse candidates fused on lists.
             with trace("search.encode"):
                 q = np.asarray(encode_tokens(
                     params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
-            with trace("search.ivf"):
-                return store._search_ivf(
+            with trace("search.snapshot"):
+                return store._search_snapshot(
                     q, spec, qt, qw, limit,
                     jnp.asarray(sparse_weight, jnp.float32), has_sparse,
                     fusion)
