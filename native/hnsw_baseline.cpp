@@ -1,0 +1,248 @@
+// hnsw_baseline: a from-scratch single-threaded HNSW index (CPU).
+//
+// Purpose: an honest, in-process stand-in for the reference's CPU vector
+// engine (Qdrant's Rust HNSW, reference docker-compose.yml:2-9) so bench.py
+// can report a *real* recall/QPS baseline on this host instead of a NumPy
+// brute-force strawman. Implemented directly from the published algorithm
+// (Malkov & Yashunin, "Efficient and robust approximate nearest neighbor
+// search using Hierarchical Navigable Small World graphs", 2016): Alg. 1
+// (insert), Alg. 2 (search-layer), Alg. 4 (neighbor-selection heuristic).
+//
+// Similarity: inner product over unit vectors == cosine, matching the
+// engine's COSINE collections. Single-threaded by design (the bench host
+// has 1 vCPU; Qdrant on this host would be single-threaded too).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Hnsw {
+  int dim;
+  int max_elements;
+  int M;        // neighbors per node on layers > 0
+  int M0;       // neighbors on layer 0 (2*M, per the paper's recommendation)
+  int ef_construction;
+  double mult;  // level multiplier 1/ln(M)
+  std::mt19937 rng;
+
+  int count = 0;
+  int entry = -1;
+  int max_level = -1;
+
+  std::vector<float> data;             // [max_elements * dim]
+  std::vector<int> levels;             // node -> top level
+  // links[l][node] = neighbor list (flat, capped at M or M0).
+  std::vector<std::vector<std::vector<int>>> links;
+
+  const float* vec(int id) const { return data.data() + (size_t)id * dim; }
+
+  float dot(const float* a, const float* b) const {
+    float s = 0.f;
+    for (int i = 0; i < dim; i++) s += a[i] * b[i];
+    return s;
+  }
+
+  int cap_for(int level) const { return level == 0 ? M0 : M; }
+
+  std::vector<std::vector<int>>& layer(int l) {
+    while ((int)links.size() <= l)
+      links.emplace_back(max_elements);
+    return links[l];
+  }
+
+  // Algorithm 2: greedy best-first search on one layer. Returns up to ef
+  // (similarity, id) pairs, highest similarity first.
+  std::vector<std::pair<float, int>> search_layer(const float* q, int ep,
+                                                  int ef, int l,
+                                                  std::vector<int>& visited,
+                                                  int visit_tag) {
+    // max-heap of candidates by similarity; min-heap of results.
+    std::priority_queue<std::pair<float, int>> cand;
+    std::priority_queue<std::pair<float, int>,
+                        std::vector<std::pair<float, int>>,
+                        std::greater<>> result;
+    float d0 = dot(q, vec(ep));
+    cand.push({d0, ep});
+    result.push({d0, ep});
+    visited[ep] = visit_tag;
+    auto& lks = layer(l);
+    while (!cand.empty()) {
+      auto [sim, c] = cand.top();
+      if (sim < result.top().first && (int)result.size() >= ef) break;
+      cand.pop();
+      for (int nb : lks[c]) {
+        if (visited[nb] == visit_tag) continue;
+        visited[nb] = visit_tag;
+        float s = dot(q, vec(nb));
+        if ((int)result.size() < ef || s > result.top().first) {
+          cand.push({s, nb});
+          result.push({s, nb});
+          if ((int)result.size() > ef) result.pop();
+        }
+      }
+    }
+    std::vector<std::pair<float, int>> out;
+    out.reserve(result.size());
+    while (!result.empty()) { out.push_back(result.top()); result.pop(); }
+    std::reverse(out.begin(), out.end());  // best first
+    return out;
+  }
+
+  // Algorithm 4: heuristic neighbor selection — keep a candidate only if it
+  // is closer to the query than to every already-selected neighbor
+  // (diversifies links across cluster boundaries).
+  std::vector<int> select_neighbors(const float* q,
+                                    std::vector<std::pair<float, int>>& cand,
+                                    int m) {
+    std::vector<int> out;
+    for (auto& [sim, id] : cand) {  // cand is best-first
+      if ((int)out.size() >= m) break;
+      bool good = true;
+      for (int sel : out) {
+        if (dot(vec(id), vec(sel)) > sim) { good = false; break; }
+      }
+      if (good) out.push_back(id);
+    }
+    // Fill remaining slots with skipped candidates (keepPrunedConnections).
+    if ((int)out.size() < m) {
+      for (auto& [sim, id] : cand) {
+        if ((int)out.size() >= m) break;
+        if (std::find(out.begin(), out.end(), id) == out.end())
+          out.push_back(id);
+      }
+    }
+    return out;
+  }
+
+  std::vector<int> visited_buf;
+  int visit_tag = 0;
+
+  void add(const float* v) {
+    int id = count++;
+    std::memcpy(data.data() + (size_t)id * dim, v, dim * sizeof(float));
+    std::uniform_real_distribution<double> unif(0.0, 1.0);
+    double u = std::max(unif(rng), 1e-12);
+    int level = (int)(-std::log(u) * mult);
+    levels[id] = level;
+    layer(level);  // ensure layers exist
+
+    if (entry < 0) {
+      entry = id;
+      max_level = level;
+      return;
+    }
+    if ((int)visited_buf.size() < max_elements)
+      visited_buf.assign(max_elements, 0);
+
+    int ep = entry;
+    // Greedy descent on layers above the node's level.
+    for (int l = max_level; l > level; l--) {
+      bool changed = true;
+      float best = dot(v, vec(ep));
+      while (changed) {
+        changed = false;
+        for (int nb : layer(l)[ep]) {
+          float s = dot(v, vec(nb));
+          if (s > best) { best = s; ep = nb; changed = true; }
+        }
+      }
+    }
+    // Insert on layers min(level, max_level) .. 0.
+    for (int l = std::min(level, max_level); l >= 0; l--) {
+      ++visit_tag;
+      auto cand = search_layer(v, ep, ef_construction, l, visited_buf,
+                               visit_tag);
+      auto nbs = select_neighbors(v, cand, cap_for(l));
+      auto& lks = layer(l);
+      lks[id] = nbs;
+      // Back-links with pruning.
+      for (int nb : nbs) {
+        auto& nl = lks[nb];
+        nl.push_back(id);
+        int cap = cap_for(l);
+        if ((int)nl.size() > cap) {
+          std::vector<std::pair<float, int>> c;
+          c.reserve(nl.size());
+          const float* nv = vec(nb);
+          for (int x : nl) c.push_back({dot(nv, vec(x)), x});
+          std::sort(c.begin(), c.end(),
+                    [](auto& a, auto& b) { return a.first > b.first; });
+          nl = select_neighbors(nv, c, cap);
+        }
+      }
+      if (!cand.empty()) ep = cand[0].second;
+    }
+    if (level > max_level) { max_level = level; entry = id; }
+  }
+
+  int search(const float* q, int k, int ef, int* out_ids, float* out_sims) {
+    if (entry < 0) return 0;
+    if ((int)visited_buf.size() < max_elements)
+      visited_buf.assign(max_elements, 0);
+    int ep = entry;
+    for (int l = max_level; l > 0; l--) {
+      bool changed = true;
+      float best = dot(q, vec(ep));
+      while (changed) {
+        changed = false;
+        for (int nb : layer(l)[ep]) {
+          float s = dot(q, vec(nb));
+          if (s > best) { best = s; ep = nb; changed = true; }
+        }
+      }
+    }
+    ++visit_tag;
+    auto res = search_layer(q, ep, std::max(ef, k), 0, visited_buf,
+                            visit_tag);
+    int n = std::min((int)res.size(), k);
+    for (int i = 0; i < n; i++) {
+      out_ids[i] = res[i].second;
+      out_sims[i] = res[i].first;
+    }
+    return n;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_create(int dim, int max_elements, int M, int ef_construction,
+                  unsigned seed) {
+  auto* h = new Hnsw();
+  h->dim = dim;
+  h->max_elements = max_elements;
+  h->M = M;
+  h->M0 = 2 * M;
+  h->ef_construction = ef_construction;
+  h->mult = 1.0 / std::log((double)M);
+  h->rng.seed(seed);
+  h->data.resize((size_t)max_elements * dim);
+  h->levels.resize(max_elements, 0);
+  return h;
+}
+
+void hnsw_free(void* p) { delete (Hnsw*)p; }
+
+void hnsw_add_batch(void* p, const float* vecs, int n) {
+  auto* h = (Hnsw*)p;
+  for (int i = 0; i < n && h->count < h->max_elements; i++)
+    h->add(vecs + (size_t)i * h->dim);
+}
+
+int hnsw_search(void* p, const float* q, int k, int ef, int* out_ids,
+                float* out_sims) {
+  return ((Hnsw*)p)->search(q, k, ef, out_ids, out_sims);
+}
+
+int hnsw_size(void* p) { return ((Hnsw*)p)->count; }
+
+}  // extern "C"
