@@ -160,3 +160,66 @@ def test_write_sidecars_skips_empty(tmp_path):
     ts = json.loads((tmp_path / ".voitta_timestamps.json").read_text())
     assert ts == {}
     assert not (tmp_path / ".voitta_sources.json").exists()
+
+
+class RevConnector(BaseSyncConnector):
+    """Remote files with revision markers and NO hash (SharePoint shape)."""
+
+    def __init__(self, files: dict[str, tuple[bytes, str]],
+                 fail: set[str] | None = None):
+        self.files = files
+        self.fail = fail or set()
+        self.downloads: list[str] = []
+
+    async def list_files(self, source):
+        return [
+            RemoteFile(remote_path=p, size=len(b),
+                       modified_at="2026-01-02T03:04:05Z", remote_rev=rev)
+            for p, (b, rev) in sorted(self.files.items())
+        ]
+
+    async def download_file(self, source, remote_path, local_path):
+        if remote_path in self.fail:
+            raise RuntimeError("simulated download failure")
+        self.downloads.append(remote_path)
+        local_path.write_bytes(self.files[remote_path][0])
+
+
+def test_same_size_edit_resynced_via_revision(env):
+    fs, source = env
+    conn = RevConnector({"a.txt": (b"AAAA", "rev1")})
+    run(conn.sync(source, fs))
+    assert conn.downloads == ["a.txt"]
+
+    # Same size, same mtime string — only the revision marker changes.
+    conn.files["a.txt"] = (b"BBBB", "rev2")
+    run(conn.sync(source, fs))
+    assert conn.downloads == ["a.txt", "a.txt"]
+    assert (fs.resolve("mirror") / "a.txt").read_bytes() == b"BBBB"
+
+    # Unchanged revision skips.
+    stats = run(conn.sync(source, fs))
+    assert stats["skipped"] == 1 and conn.downloads.count("a.txt") == 2
+
+
+def test_revision_sidecar_persisted(env):
+    fs, source = env
+    conn = RevConnector({"a.txt": (b"x", "r9")})
+    run(conn.sync(source, fs))
+    revs = json.loads(
+        (fs.resolve("mirror") / ".voitta_revisions.json").read_text())
+    assert revs == {"a.txt": "r9"}
+
+
+def test_failed_download_not_marked_synced(env):
+    fs, source = env
+    conn = RevConnector({"a.txt": (b"x", "r1")}, fail={"a.txt"})
+    stats = run(conn.sync(source, fs))
+    assert stats["errors"] == 1
+    # The rev must NOT be recorded: the retry next sync must re-download.
+    revs = json.loads(
+        (fs.resolve("mirror") / ".voitta_revisions.json").read_text())
+    assert "a.txt" not in revs
+    conn.fail = set()
+    run(conn.sync(source, fs))
+    assert conn.downloads == ["a.txt"]

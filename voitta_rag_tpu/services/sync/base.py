@@ -27,6 +27,14 @@ class RemoteFile:
     content_hash: str | None = None
     created_at: str = ""
     source_url: str | None = None
+    #: Opaque remote revision marker (Graph quickXorHash/eTag, Confluence
+    #: version, etc.). When set, change detection compares it against the
+    #: ``.voitta_revisions.json`` sidecar from the previous sync — catching
+    #: same-size edits that a size-only comparison silently skips.
+    remote_rev: str | None = None
+
+
+REV_SIDECAR = ".voitta_revisions.json"
 
 
 class BaseSyncConnector(ABC):
@@ -48,11 +56,28 @@ class BaseSyncConnector(ABC):
         remote_paths = set()
         stats = {"downloaded": 0, "deleted": 0, "skipped": 0, "errors": 0}
 
+        rev_file = local_root / REV_SIDECAR
+        prev_revs: dict[str, str] = {}
+        if rev_file.exists():
+            try:
+                prev_revs = json.loads(rev_file.read_text())
+            except (OSError, json.JSONDecodeError):
+                prev_revs = {}
+        new_revs: dict[str, str] = {}
+
         for rf in remote_files:
             remote_paths.add(rf.remote_path)
             local_file = local_root / rf.remote_path
+            if rf.remote_rev:
+                new_revs[rf.remote_path] = rf.remote_rev
             if local_file.exists():
-                if rf.content_hash:
+                # Skip priority: remote revision marker (exact, catches
+                # same-size edits) > content hash > size.
+                if rf.remote_rev:
+                    if prev_revs.get(rf.remote_path) == rf.remote_rev:
+                        stats["skipped"] += 1
+                        continue
+                elif rf.content_hash:
                     local_hash = hashlib.sha256(
                         local_file.read_bytes()).hexdigest()
                     if local_hash == rf.content_hash:
@@ -68,6 +93,8 @@ class BaseSyncConnector(ABC):
             except Exception as e:
                 logger.error("Failed to download %s: %s", rf.remote_path, e)
                 stats["errors"] += 1
+                # Do not record the rev: next sync must retry the download.
+                new_revs.pop(rf.remote_path, None)
 
         keep = keep_extensions or set()
         for local_file in local_root.rglob("*"):
@@ -89,6 +116,13 @@ class BaseSyncConnector(ABC):
                     dirpath.rmdir()
                 except OSError:
                     pass
+
+        if (any(rf.remote_rev for rf in remote_files)
+                or new_revs or rev_file.exists()):
+            try:
+                rev_file.write_text(json.dumps(new_revs))
+            except OSError as e:
+                logger.warning("revision sidecar write failed: %s", e)
 
         write_sidecars(local_root, remote_files)
         logger.info("[SYNC] complete for %s: %s", folder_path, stats)

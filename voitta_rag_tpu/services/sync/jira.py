@@ -68,6 +68,78 @@ def _adf_to_text(body) -> str:
     return "".join(out).strip()
 
 
+def _safe_name(name: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_. " else "_"
+                   for c in name).strip().replace(" ", "-") or "unnamed"
+
+
+def _cell(text) -> str:
+    """Markdown-table-safe cell text."""
+    return str(text or "").replace("|", "/").replace("\n", " ")
+
+
+def render_board(board: dict, sprints: list[dict], project: str) -> str:
+    """Board summary with a sprint table (reference jira.py:505-535)."""
+    lines = [
+        f"# Board: {board.get('name', '')}",
+        "",
+        "| Field | Value |",
+        "|---|---|",
+        f"| ID | {board.get('id')} |",
+        f"| Type | {board.get('type', 'unknown')} |",
+        f"| Project | {project} |",
+        "",
+    ]
+    if sprints:
+        lines += ["## Sprints", "",
+                  "| Sprint | State | Start | End | Goal |",
+                  "|---|---|---|---|---|"]
+        for sp in sprints:
+            lines.append(
+                f"| {_cell(sp.get('name'))} | {_cell(sp.get('state'))} "
+                f"| {(sp.get('startDate') or '')[:10]} "
+                f"| {(sp.get('endDate') or '')[:10]} "
+                f"| {_cell(sp.get('goal'))} |")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def render_sprint(sprint: dict, board_name: str, issues: list[dict]) -> str:
+    """Sprint detail: metadata table, goal, issue table (reference
+    jira.py:538-609)."""
+    lines = [
+        f"# Sprint: {sprint.get('name', '')}",
+        "",
+        "| Field | Value |",
+        "|---|---|",
+        f"| ID | {sprint.get('id')} |",
+        f"| Board | {_cell(board_name)} |",
+        f"| State | {_cell(sprint.get('state'))} |",
+        f"| Start Date | {(sprint.get('startDate') or '')[:10]} |",
+        f"| End Date | {(sprint.get('endDate') or '')[:10]} |",
+    ]
+    complete = (sprint.get("completeDate") or "")[:10]
+    if complete:
+        lines.append(f"| Completed | {complete} |")
+    lines.append("")
+    if sprint.get("goal"):
+        lines += ["## Goal", "", sprint["goal"], ""]
+    if issues:
+        lines += ["## Issues", "",
+                  "| Key | Type | Summary | Status | Assignee |",
+                  "|---|---|---|---|---|"]
+        for it in issues:
+            f = it.get("fields", {})
+            lines.append(
+                f"| {it.get('key', '')} "
+                f"| {_cell((f.get('issuetype') or {}).get('name'))} "
+                f"| {_cell(f.get('summary'))} "
+                f"| {_cell((f.get('status') or {}).get('name'))} "
+                f"| {(f.get('assignee') or {}).get('displayName', 'Unassigned')} |")
+        lines.append("")
+    return "\n".join(lines)
+
+
 class JiraConnector(BaseSyncConnector):
     def _auth_headers(self, source) -> dict:
         if source.jira_auth_method == "cloud" and source.jira_email:
@@ -104,6 +176,69 @@ class JiraConnector(BaseSyncConnector):
             if start >= data.get("total", 0) or not data.get("issues"):
                 return issues
 
+    def _boards(self, source) -> list[tuple[str, str, dict]]:
+        """(rel_path, markdown, meta) for boards + sprints via the Agile API
+        (reference jira.py:453-615). Degrades to [] when the Agile API is
+        absent (Server without Jira Software, or permission-denied)."""
+        base = source.jira_url.rstrip("/")
+        agile = f"{base}/rest/agile/1.0"
+        headers = self._auth_headers(source)
+        params = {"maxResults": 50}
+        project = (source.jira_project or "").strip()
+        if project and project != "*" and "," not in project:
+            params["projectKeyOrId"] = project
+        try:
+            resp = httpx.get(f"{agile}/board", params=params, headers=headers,
+                             timeout=60)
+        except httpx.HTTPError as e:
+            logger.warning("Agile board API unreachable: %s", e)
+            return []
+        if resp.status_code != 200:
+            logger.warning("Agile board API unavailable (%s)",
+                           resp.status_code)
+            return []
+        out = []
+        for board in resp.json().get("values", []):
+            bid = board.get("id")
+            bname = board.get("name", f"Board-{bid}")
+            sprints: list[dict] = []
+            start = 0
+            while True:  # Kanban boards may not support sprints (non-200)
+                sp = httpx.get(f"{agile}/board/{bid}/sprint",
+                               params={"startAt": start, "maxResults": 50},
+                               headers=headers, timeout=60)
+                if sp.status_code != 200:
+                    break
+                data = sp.json()
+                batch = data.get("values", [])
+                sprints.extend(batch)
+                if data.get("isLast", True) or not batch:
+                    break
+                start += len(batch)
+            out.append((f"boards/{bid}-{_safe_name(bname)}.md",
+                        render_board(board, sprints, project or "*"),
+                        {"url": f"{base}/secure/RapidBoard.jspa?rapidView={bid}"}))
+            for spr in sprints:
+                sid = spr.get("id")
+                issues = []
+                try:
+                    ir = httpx.get(
+                        f"{agile}/sprint/{sid}/issue",
+                        params={"maxResults": 200,
+                                "fields": "key,summary,status,assignee,"
+                                          "issuetype"},
+                        headers=headers, timeout=60)
+                    if ir.status_code == 200:
+                        issues = ir.json().get("issues", [])
+                except httpx.HTTPError as e:
+                    logger.warning("sprint %s issues failed: %s", sid, e)
+                out.append((
+                    f"sprints/{sid}-{_safe_name(spr.get('name', str(sid)))}.md",
+                    render_sprint(spr, bname, issues),
+                    {"url": f"{base}/secure/RapidBoard.jspa?rapidView={bid}"
+                            f"&sprint={sid}"}))
+        return out
+
     async def list_files(self, source) -> list[RemoteFile]:
         loop = asyncio.get_running_loop()
         issues = await loop.run_in_executor(None, self._search, source)
@@ -122,6 +257,14 @@ class JiraConnector(BaseSyncConnector):
                 modified_at=f.get("updated", ""),
                 created_at=f.get("created", ""),
                 source_url=f"{base}/browse/{key}"))
+        if getattr(source, "jira_sync_boards", True):
+            for rel, content, meta in await loop.run_in_executor(
+                    None, self._boards, source):
+                self._content[rel] = content
+                out.append(RemoteFile(
+                    remote_path=rel, size=len(content.encode()),
+                    modified_at="", created_at="",
+                    source_url=meta.get("url", "")))
         return out
 
     async def download_file(self, source, remote_path: str,

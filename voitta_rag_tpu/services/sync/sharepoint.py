@@ -55,14 +55,23 @@ class SharePointConnector(BaseSyncConnector):
             if "folder" in child:
                 self._walk_drive(client, drive_id, child["id"], rel + "/", out)
             elif "file" in child:
+                # Graph hashes aren't sha256, so they can't feed
+                # content_hash — but quickXorHash (or cTag/eTag as weaker
+                # fallbacks) is an exact revision marker: comparing it to
+                # the previous sync's sidecar catches same-size edits that
+                # a size-only skip misses (reference sharepoint.py uses
+                # quickXorHash the same way).
                 hashes = child.get("file", {}).get("hashes", {})
+                rev = (hashes.get("quickXorHash")
+                       or child.get("cTag") or child.get("eTag") or None)
                 out.append((RemoteFile(
                     remote_path=rel,
                     size=child.get("size", 0),
                     modified_at=child.get("lastModifiedDateTime", ""),
                     created_at=child.get("createdDateTime", ""),
-                    content_hash=None,  # Graph hashes aren't sha256
+                    content_hash=None,
                     source_url=child.get("webUrl"),
+                    remote_rev=rev,
                 ), {"drive_id": drive_id, "item_id": child["id"],
                     "etag": child.get("eTag", "")}))
 
