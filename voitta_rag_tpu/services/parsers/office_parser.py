@@ -116,9 +116,7 @@ class XlsxParser(BaseParser):
 
     def parse(self, file_path: Path) -> ParserResult:
         if file_path.suffix.lower() == ".xls":
-            return ParserResult.failure(
-                "Legacy .xls (BIFF) parsing requires xlrd, which is not "
-                "available; convert to .xlsx")
+            return self._parse_xls(file_path)
         try:
             with zipfile.ZipFile(file_path) as zf:
                 meta = _core_properties(zf)
@@ -171,3 +169,29 @@ class XlsxParser(BaseParser):
             return ParserResult(content="\n\n".join(sections), metadata=meta)
         except Exception as e:
             return ParserResult.failure(f"Failed to parse XLSX: {e}")
+
+    @staticmethod
+    def _parse_xls(file_path: Path) -> ParserResult:
+        """Legacy BIFF workbook via the from-scratch OLE2/BIFF reader
+        (xls_biff.py; reference parses .xls through xlrd,
+        xlsx_parser.py:226)."""
+        from voitta_rag_tpu.services.parsers.xls_biff import parse_xls
+
+        try:
+            sheets = parse_xls(file_path.read_bytes())
+        except Exception as e:
+            return ParserResult.failure(f"Failed to parse XLS: {e}")
+        sections = []
+        for name, rows in sheets:
+            rows = rows[:MAX_ROWS_PER_SHEET]
+            if not rows:
+                continue
+            width = max(len(r) for r in rows)
+            rows = [r + [""] * (width - len(r)) for r in rows]
+            table = ["| " + " | ".join(rows[0]) + " |",
+                     "| " + " | ".join("---" for _ in range(width)) + " |"]
+            table += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+            sections.append(f"## {name}\n\n" + "\n".join(table))
+        if not sections:
+            return ParserResult.failure("XLS contains no extractable cells")
+        return ParserResult(content="\n\n".join(sections), metadata={})
