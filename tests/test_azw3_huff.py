@@ -39,14 +39,14 @@ def make_cdic_record(phrases):
 
 def test_huffcdic_unpack_bits():
     dec = _HuffCdic(make_huff_record(),
-                    [make_cdic_record([b"<p>He", b"llo "])])
+                    [make_cdic_record([b"<p>He", b"llo</p> "])])
     out = dec.unpack(bytes([0b10101010]))
-    assert out == (b"<p>He" + b"llo ") * 4
+    assert out == (b"<p>He" + b"llo</p> ") * 4
 
 
 def make_mobi_huff_file(tmp_path: Path) -> Path:
     text_rec = bytes([0b10101010])
-    decoded_len = len((b"<p>He" + b"llo ") * 4)
+    decoded_len = len((b"<p>He" + b"llo</p> ") * 4)
 
     rec0 = bytearray(0x100)
     struct.pack_into(">HHIH", rec0, 0, 0x4448, 0, decoded_len, 1)
@@ -57,7 +57,7 @@ def make_mobi_huff_file(tmp_path: Path) -> Path:
     struct.pack_into(">H", rec0, 0xF2, 0)       # extra data flags
 
     records = [bytes(rec0), text_rec, make_huff_record(),
-               make_cdic_record([b"<p>He", b"llo "])]
+               make_cdic_record([b"<p>He", b"llo</p> "])]
     header = bytearray(78 + 8 * len(records))
     header[60:68] = b"BOOKMOBI"
     struct.pack_into(">H", header, 76, len(records))
