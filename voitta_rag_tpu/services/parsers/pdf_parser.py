@@ -10,13 +10,19 @@ for the common case with the stdlib:
 - page tree walk to order pages,
 - FlateDecode content streams, ``Tj`` / ``TJ`` / ``'`` / ``"`` text
   operators, with ``BT/ET`` blocks and ``Td/TD/T*`` line-break heuristics,
+- per-page font resolution with the current font tracked through ``Tf``:
+  **ToUnicode CMaps** (bfchar/bfrange, 1- and 2-byte codespaces) map CID/
+  custom-encoded strings to real text, and ``/Encoding /Differences``
+  arrays map byte codes through glyph names (AGL-style: ``uniXXXX``/``uXXXX``
+  forms plus the common Latin name table),
 - WinAnsi/PDFDoc default encodings; hex and literal strings with escapes.
 
-Custom font encodings/CIDs degrade to best-effort text (garbled glyph maps
-are a known limitation vs MinerU). The bucketing generator API
-(``parse_in_buckets`` yielding per-bucket results with page metadata,
-reference pdf_parser.py:209-327) is preserved so the indexing service's
-progressive checkpointing works identically.
+Fonts with neither ToUnicode nor Differences degrade to best-effort text
+(true scanned/image PDFs still require OCR, which the reference outsources
+to MinerU). The bucketing generator API (``parse_in_buckets`` yielding
+per-bucket results with page metadata, reference pdf_parser.py:209-327) is
+preserved so the indexing service's progressive checkpointing works
+identically.
 """
 
 from __future__ import annotations
@@ -85,73 +91,209 @@ def _decode_stream(body: bytes) -> bytes | None:
     return None  # unsupported filter (DCT images etc.)
 
 
-_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
-            b"(": "(", b")": ")", b"\\": "\\"}
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
-def _literal_string(tok: bytes) -> str:
-    out = []
+def _literal_bytes(tok: bytes) -> bytes:
+    """Resolve escapes of a (...) literal → raw encoded bytes."""
+    out = bytearray()
     i = 0
     while i < len(tok):
         c = tok[i:i + 1]
         if c == b"\\" and i + 1 < len(tok):
             nxt = tok[i + 1:i + 2]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                out += _ESCAPES[nxt]
                 i += 2
                 continue
             if nxt.isdigit():  # octal
-                oct_digits = tok[i + 1:i + 4]
-                m = re.match(rb"[0-7]{1,3}", oct_digits)
+                m = re.match(rb"[0-7]{1,3}", tok[i + 1:i + 4])
                 if m:
-                    out.append(chr(int(m.group(0), 8)))
+                    out.append(int(m.group(0), 8) & 0xFF)
                     i += 1 + len(m.group(0))
                     continue
             i += 2
             continue
-        out.append(c.decode("latin-1"))
+        out += c
         i += 1
-    return "".join(out)
+    return bytes(out)
 
 
-def _hex_string(tok: bytes) -> str:
+def _hex_bytes(tok: bytes) -> bytes:
     h = re.sub(rb"\s", b"", tok)
     if len(h) % 2:
         h += b"0"
     try:
-        raw = bytes.fromhex(h.decode("ascii"))
+        return bytes.fromhex(h.decode("ascii"))
     except ValueError:
-        return ""
-    if raw[:2] in (b"\xfe\xff",):  # UTF-16BE
+        return b""
+
+
+def _default_decode(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":  # UTF-16BE BOM
         return raw[2:].decode("utf-16-be", errors="ignore")
     if len(raw) >= 2 and raw[0] == 0:  # heuristically UTF-16BE without BOM
         return raw.decode("utf-16-be", errors="ignore")
     return raw.decode("latin-1", errors="ignore")
 
 
+# -- glyph names (AGL-lite: the common Latin subset + uniXXXX/uXXXX forms) --
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "ccedilla": "ç", "ntilde": "ñ", "uuml": "ü",
+    "ouml": "ö", "auml": "ä", "szlig": "ß",
+    "oslash": "ø", "aring": "å", "ae": "æ",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™", "Euro": "€", "sterling": "£",
+    "yen": "¥", "cent": "¢", "section": "§",
+    "paragraph": "¶", "daggerdbl": "‡", "dagger": "†",
+    "exclamdown": "¡", "questiondown": "¿",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if len(name) == 1:  # /A /a /0 style direct names
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ToUnicode CMap stream → (code → text, code bytes).
+
+    Handles ``bfchar`` (src → UTF-16BE dst) and ``bfrange`` (lo/hi → base or
+    explicit array) sections; the code width comes from the codespace range
+    (or the src token width as fallback).
+    """
+    cmap: dict[int, str] = {}
+    width = 0
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if toks:
+            width = max(1, len(toks[0]) // 2)
+
+    def dst_text(h: bytes) -> str:
+        raw = bytes.fromhex(h.decode("ascii"))
+        if len(raw) % 2:
+            raw = b"\0" + raw
+        return raw.decode("utf-16-be", errors="ignore")
+
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec):
+            width = width or max(1, len(src) // 2)
+            cmap[int(src, 16)] = dst_text(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for m2 in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])", sec, re.S):
+            lo, hi = int(m2.group(1), 16), int(m2.group(2), 16)
+            width = width or max(1, len(m2.group(1)) // 2)
+            if m2.group(3) is not None:
+                base_hex = m2.group(3)
+                raw = bytes.fromhex(base_hex.decode("ascii"))
+                if len(raw) % 2:
+                    raw = b"\0" + raw
+                # Increment applies to the LAST UTF-16 code unit.
+                prefix = raw[:-2]
+                base = int.from_bytes(raw[-2:], "big")
+                for code in range(lo, min(hi, lo + 65535) + 1):
+                    unit = base + (code - lo)
+                    cmap[code] = (prefix + unit.to_bytes(2, "big")).decode(
+                        "utf-16-be", errors="ignore")
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m2.group(4))
+                for off, d in enumerate(dsts):
+                    cmap[lo + off] = dst_text(d)
+    return cmap, width or 1
+
+
+class _Font:
+    """Per-font decoder: ToUnicode CMap > Differences map > default."""
+
+    def __init__(self, cmap: dict[int, str] | None = None,
+                 code_bytes: int = 1,
+                 differences: dict[int, str] | None = None):
+        self.cmap = cmap
+        self.code_bytes = code_bytes
+        self.differences = differences
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            w = self.code_bytes
+            out = []
+            for i in range(0, len(raw) - w + 1, w):
+                code = int.from_bytes(raw[i:i + w], "big")
+                got = self.cmap.get(code)
+                if got is None and w == 1:
+                    got = chr(code)
+                out.append(got or "")
+            return "".join(out)
+        if self.differences is not None:
+            return "".join(
+                self.differences.get(b) or chr(b) for b in raw)
+        return _default_decode(raw)
+
+
+DEFAULT_FONT = _Font()
+
+
 _TEXT_OP_RE = re.compile(
     rb"(\((?:[^()\\]|\\.|\([^)]*\))*\))\s*(Tj|')"   # literal string + Tj/'
     rb"|<([0-9A-Fa-f\s]*)>\s*(Tj|')"                # hex string + Tj/'
     rb"|\[(.*?)\]\s*TJ"                             # array + TJ
+    rb"|/(\S+)\s+[\d.+-]+\s+Tf"                     # font selection
     rb"|(T\*|TD|Td|ET)", re.S)
 _ARRAY_ITEM_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?")
 
 
-def _extract_page_text(content: bytes) -> str:
+def _extract_page_text(content: bytes,
+                       fonts: dict[bytes, _Font] | None = None) -> str:
+    fonts = fonts or {}
+    font = DEFAULT_FONT
     out: list[str] = []
     for m in _TEXT_OP_RE.finditer(content):
         if m.group(1):
-            out.append(_literal_string(m.group(1)[1:-1]))
+            out.append(font.decode(_literal_bytes(m.group(1)[1:-1])))
         elif m.group(3) is not None:
-            out.append(_hex_string(m.group(3)))
+            out.append(font.decode(_hex_bytes(m.group(3))))
         elif m.group(5) is not None:
             for item in _ARRAY_ITEM_RE.finditer(m.group(5)):
                 tok = item.group(0)
                 if tok.startswith(b"("):
-                    out.append(_literal_string(tok[1:-1]))
+                    out.append(font.decode(_literal_bytes(tok[1:-1])))
                 elif tok.startswith(b"<"):
-                    out.append(_hex_string(tok[1:-1]))
+                    out.append(font.decode(_hex_bytes(tok[1:-1])))
                 else:
                     # Large negative kern ≈ inter-word space.
                     try:
@@ -159,6 +301,8 @@ def _extract_page_text(content: bytes) -> str:
                             out.append(" ")
                     except ValueError:
                         pass
+        elif m.group(6) is not None:  # Tf: switch the active font
+            font = fonts.get(m.group(6), DEFAULT_FONT)
         else:  # line-break operators
             if out and not out[-1].endswith("\n"):
                 out.append("\n")
@@ -175,6 +319,7 @@ class PdfDocument:
         data = path.read_bytes()
         self.objects = _parse_objects(data)
         self.pages = self._page_order()
+        self._font_cache: dict[int, dict[bytes, _Font]] = {}
 
     def _page_order(self) -> list[int]:
         page_objs = []
@@ -213,9 +358,68 @@ class PdfDocument:
     def page_count(self) -> int:
         return len(self.pages)
 
+    def _sub_dict(self, d: bytes, key: bytes) -> bytes:
+        """Value of ``key`` as a dict body: inline ``<<...>>`` or a ref."""
+        m = re.search(re.escape(key) + rb"\s*<<", d)
+        if m:
+            return _dict_of(d[m.end() - 2:])
+        refs = _refs(d, key)
+        if refs and refs[0] in self.objects:
+            return _dict_of(self.objects[refs[0]])
+        return b""
+
+    def _page_fonts(self, page_num: int) -> dict[bytes, _Font]:
+        """Resolve the page's /Resources /Font entries into decoders."""
+        if page_num in self._font_cache:
+            return self._font_cache[page_num]
+        fonts: dict[bytes, _Font] = {}
+        d = _dict_of(self.objects.get(page_num, b""))
+        res = self._sub_dict(d, b"/Resources")
+        font_dict = self._sub_dict(res, b"/Font")
+        for m in re.finditer(rb"/(\S+)\s+(\d+)\s+\d+\s+R", font_dict):
+            name, ref = m.group(1), int(m.group(2))
+            body = self.objects.get(ref)
+            if body is None:
+                continue
+            fd = _dict_of(body)
+            cmap = None
+            width = 1
+            tu = _refs(fd, b"/ToUnicode")
+            if tu and tu[0] in self.objects:
+                stream = _decode_stream(self.objects[tu[0]])
+                if stream:
+                    cmap, width = _parse_tounicode_cmap(stream)
+            if cmap is None and re.search(rb"/Subtype\s*/Type0\b", fd):
+                # Identity-mapped CID font without ToUnicode: 2-byte codes,
+                # undecodable to text — emit nothing rather than garbage.
+                fonts[name] = _Font(cmap={}, code_bytes=2)
+                continue
+            differences = None
+            if cmap is None:
+                enc = self._sub_dict(fd, b"/Encoding")
+                dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.S)
+                if dm:
+                    differences = {}
+                    code = 0
+                    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]<>(]+)",
+                                           dm.group(1)):
+                        if tok.group(1):
+                            code = int(tok.group(1))
+                        else:
+                            differences[code] = _glyph_to_unicode(
+                                tok.group(2).decode("latin-1"))
+                            code += 1
+            if cmap is not None or differences:
+                fonts[name] = _Font(cmap=cmap, code_bytes=width,
+                                    differences=differences)
+        self._font_cache[page_num] = fonts
+        return fonts
+
     def page_text(self, index: int) -> str:
-        body = self.objects.get(self.pages[index], b"")
+        page_num = self.pages[index]
+        body = self.objects.get(page_num, b"")
         d = _dict_of(body)
+        fonts = self._page_fonts(page_num)
         parts = []
         for ref in _refs(d, b"/Contents"):
             obj = self.objects.get(ref)
@@ -223,7 +427,7 @@ class PdfDocument:
                 continue
             stream = _decode_stream(obj)
             if stream:
-                parts.append(_extract_page_text(stream))
+                parts.append(_extract_page_text(stream, fonts))
         return "\n".join(p for p in parts if p)
 
 
