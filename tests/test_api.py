@@ -256,7 +256,11 @@ def test_details_endpoint(app_env):
             data = await resp.json()
             assert data["is_dir"]
             assert data["counts"]["files"] == 2
-            assert data["file_types"] == {".py": 1, ".md": 1}
+            stats = {s["extension"]: s for s in data["file_types"]}
+            assert set(stats) == {".py", ".md"}
+            assert stats[".py"]["total_count"] == 1
+            assert stats[".py"]["indexed_count"] == 0
+            assert stats[".md"]["chunk_count"] == 0
         finally:
             await client.close()
     run(body())

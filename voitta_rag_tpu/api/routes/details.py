@@ -46,13 +46,32 @@ async def details(request: web.Request) -> web.Response:
         out["indexed_files"] = len(recs)
         out["total_chunks"] = sum(max(r.chunk_count, 0) for r in recs)
         out["counts"] = fs.file_counts(rel)
-        # Per-extension stats (reference details.py:160-218).
+        # Per-extension stats joined with index state (reference
+        # details.py:160-218: total_count / indexed_count / chunk_count per
+        # extension, sorted by total descending).
+        def ext_of(name: str) -> str:
+            base = name.rsplit("/", 1)[-1]
+            dot = base.rfind(".")
+            return base[dot:].lower() if dot > 0 else "(no extension)"
+
         ext_counter: Counter = Counter()
         for f in fs.walk_files(rel):
-            ext = ("." + f.rsplit(".", 1)[-1].lower()) if "." in f.rsplit(
-                "/", 1)[-1] else "(none)"
-            ext_counter[ext] += 1
-        out["file_types"] = dict(ext_counter.most_common(20))
+            ext_counter[ext_of(f)] += 1
+        indexed_by_ext: dict[str, list[int]] = {}
+        for r in recs:
+            e = ext_of(r.file_path)
+            agg = indexed_by_ext.setdefault(e, [0, 0])
+            agg[0] += 1
+            agg[1] += abs(r.chunk_count)
+        out["file_types"] = [
+            {
+                "extension": ext,
+                "total_count": total,
+                "indexed_count": indexed_by_ext.get(ext, [0, 0])[0],
+                "chunk_count": indexed_by_ext.get(ext, [0, 0])[1],
+            }
+            for ext, total in ext_counter.most_common()
+        ]
         if user:
             project = db.get_active_project(user)
             if project.is_default:
