@@ -199,7 +199,7 @@ def _probe_kernel_int8(cell_ids_ref, params_ref, inc_ref, exc_ref, excif_ref,
     scores = jax.lax.dot_general(
         q, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    scores = scores * scales_ref[0][None, :]  # per-slot dequant
+    scores = scores * scales_ref[0, 0][None, :]  # per-slot dequant
     mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
                      cols_ref[0])
     out_ref[:] = jnp.where(mask[None, :], scores, NEG_INF)
@@ -222,7 +222,7 @@ def probe_scan_scores(
         q: [B, D] query embeddings.
         cell_ids: int32 [nprobe] cells to scan (scalar-prefetched).
         vecs3: [C, cell_cap, D]; cols3: int32 [C, NUM_COLS, cell_cap].
-        scales3: f32 [C, cell_cap] per-slot dequant scales (int8 cells only).
+        scales3: f32 [C, 1, cell_cap] per-slot dequant scales (int8 cells).
 
     Returns:
         f32 [B, nprobe * cell_cap] scores, slot-major per probed cell.
@@ -242,7 +242,8 @@ def probe_scan_scores(
         v2 = v.reshape(nprobe * cap, D).astype(jnp.float32)
         c2 = jnp.transpose(c, (1, 0, 2)).reshape(NUM_COLS, nprobe * cap)
         if is_int8:
-            s = jnp.take(scales3, cell_ids, axis=0).reshape(nprobe * cap)
+            s = jnp.take(scales3[:, 0], cell_ids, axis=0).reshape(
+                nprobe * cap)
             v2 = v2 * s[:, None]
         scores = q.astype(jnp.float32) @ v2.T
         mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids,
@@ -269,7 +270,11 @@ def probe_scan_scores(
                 vecs3]
     kernel = _probe_kernel
     if is_int8:
-        in_specs.append(pl.BlockSpec((1, tile), lambda i, j, cid: (cid[i], j),
+        # [C, 1, cap] (not [C, cap]): Mosaic requires the block's last two
+        # dims be (8k, 128k) or equal to the array dims; (1, 1, tile) against
+        # [C, 1, cap] satisfies that where (1, tile) against [C, cap] cannot.
+        in_specs.append(pl.BlockSpec((1, 1, tile),
+                                     lambda i, j, cid: (cid[i], 0, j),
                                      memory_space=pltpu.VMEM))
         operands.append(scales3)
         kernel = _probe_kernel_int8
@@ -314,7 +319,7 @@ class IVFIndex:
     rest_vecs: jax.Array   # [R, D]
     rest_cols: jax.Array   # [NUM_COLS, R]
     rest_gid: jax.Array    # [R] int32
-    scales3: jax.Array | None = None   # [C, cell_cap] f32 (int8 cells)
+    scales3: jax.Array | None = None   # [C, 1, cell_cap] f32 (int8 cells)
     rest_scales: jax.Array | None = None  # [1, R] f32 (int8 cells)
     assign_k: int = 1
 
@@ -439,7 +444,7 @@ class IVFIndex:
         if store_int8:
             scales3 = (jnp.zeros((n_cells * cell_cap,), jnp.float32)
                        .at[dest_j].set(src_scales)
-                       .reshape(n_cells, cell_cap))
+                       .reshape(n_cells, 1, cell_cap))
         cols3 = (jnp.zeros((n_cells * cell_cap, NUM_COLS), jnp.int32)
                  .at[dest_j].set(jnp.take(cols_j, src_j, axis=0))
                  .reshape(n_cells, cell_cap, NUM_COLS)
@@ -493,21 +498,39 @@ class IVFIndex:
     def search_candidates(
         self, q: jax.Array, spec: FilterSpec, *, nprobe: int, limit: int
     ) -> tuple[jax.Array, jax.Array]:
-        """Deduplicated top-``limit`` candidates (vals [B, limit], gids)."""
-        from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
+        """Deduplicated top-``limit`` candidates (vals [B, limit], gids).
 
-        scores, gids = self.search_scores(q, spec, nprobe=nprobe)
-        # Over-fetch to survive dedup dropping replicas.
-        k = min(limit * max(self.assign_k, 1) + (8 if self.assign_k > 1 else 0),
-                scores.shape[-1])
-        vals, pos = masked_topk(scores, k,
-                                approx=scores.shape[-1] > (1 << 16))
-        cand_gids = jnp.where(pos >= 0,
-                              jnp.take_along_axis(
-                                  gids, jnp.maximum(pos, 0), axis=1), -1)
-        if self.assign_k > 1:
-            vals, cand_gids = dedup_candidates(vals, cand_gids)
-        return vals[:, :limit], cand_gids[:, :limit]
+        One jitted program (probe + top-k + dedup): each extra dispatch
+        costs milliseconds through a remote-TPU tunnel, and even locally
+        splitting hides the scores from XLA's scheduler.
+        """
+        return _ivf_search_candidates(
+            q, self.centroids, self.vecs3, self.cols3, self.gid3,
+            self.rest_vecs, self.rest_cols, self.rest_gid, self.scales3,
+            spec, nprobe=min(nprobe, self.n_cells), limit=limit,
+            assign_k=self.assign_k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nprobe", "limit", "assign_k"))
+def _ivf_search_candidates(q, centroids, vecs3, cols3, gid3, rest_vecs,
+                           rest_cols, rest_gid, scales3, spec: FilterSpec,
+                           *, nprobe: int, limit: int, assign_k: int):
+    from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
+
+    scores, gids = _ivf_search_scores(
+        q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols, rest_gid,
+        scales3, spec, nprobe=nprobe)
+    # Over-fetch to survive dedup dropping replicas.
+    k = min(limit * max(assign_k, 1) + (8 if assign_k > 1 else 0),
+            scores.shape[-1])
+    vals, pos = masked_topk(scores, k, approx=scores.shape[-1] > (1 << 16))
+    cand_gids = jnp.where(pos >= 0,
+                          jnp.take_along_axis(
+                              gids, jnp.maximum(pos, 0), axis=1), -1)
+    if assign_k > 1:
+        vals, cand_gids = dedup_candidates(vals, cand_gids)
+    return vals[:, :limit], cand_gids[:, :limit]
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe",))

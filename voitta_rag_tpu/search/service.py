@@ -75,6 +75,80 @@ def fused_query(
     return masked_topk(dense_scores, limit)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
+                     "fusion", "nprobe", "assign_k", "max_postings",
+                     "use_ivf"),
+)
+def fused_snapshot_query(
+    params,
+    cfg: EncoderConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    # dense side: either IVF operands or flat segment tuples
+    ivf_ops: tuple | None,
+    seg_vecs: tuple,
+    seg_cols: tuple,
+    seg_scales: tuple,
+    # sparse side: postings arrays + gid-indexed cols
+    post_terms: jax.Array,
+    post_gids: jax.Array,
+    post_weights: jax.Array,
+    post_cols: jax.Array,
+    spec: FilterSpec,
+    qt: jax.Array,
+    qw: jax.Array,
+    sparse_weight: jax.Array,
+    *,
+    limit: int,
+    prefetch_multiplier: int,
+    has_sparse: bool,
+    fusion: str,
+    nprobe: int,
+    assign_k: int,
+    max_postings: int,
+    use_ivf: bool,
+):
+    """Encode + snapshot retrieval + fusion as ONE device program.
+
+    Every extra dispatch costs milliseconds through a remote-TPU tunnel (and
+    even locally costs a launch + scheduler barrier), so the serving hot
+    path — the p50 < 5 ms target (BASELINE.md) — is a single jitted program:
+    tokens in, (scores, gids) out.
+    """
+    from voitta_rag_tpu.index.ivf import _ivf_search_candidates
+    from voitta_rag_tpu.index.postings import postings_candidates
+    from voitta_rag_tpu.ops.fusion import (
+        hybrid_fuse_candidates, rrf_fuse_candidates,
+    )
+
+    q = encode_tokens(params, cfg, input_ids, attention_mask)  # [1, D]
+    p = limit * prefetch_multiplier
+    if use_ivf:
+        d_vals, d_gids = _ivf_search_candidates(
+            q, *ivf_ops, spec, nprobe=nprobe, limit=p, assign_k=assign_k)
+    else:
+        d_parts = [dense_scan_scores(q, v, c, spec, s)
+                   for v, c, s in zip(seg_vecs, seg_cols, seg_scales)]
+        dense_scores = jnp.concatenate(d_parts, axis=1)
+        d_vals, d_gids = masked_topk(
+            dense_scores, min(p, dense_scores.shape[-1]),
+            approx=dense_scores.shape[-1] > (1 << 16))
+    if not has_sparse:
+        return d_vals[:, :limit], d_gids[:, :limit]
+    s_vals, s_gids = postings_candidates(
+        qt, qw, post_terms, post_gids, post_weights, post_cols, spec,
+        limit=p, max_postings=max_postings)
+    if fusion == "rrf":
+        return rrf_fuse_candidates(d_vals, d_gids, s_vals, s_gids,
+                                   limit=limit,
+                                   prefetch_multiplier=prefetch_multiplier)
+    return hybrid_fuse_candidates(d_vals, d_gids, s_vals, s_gids,
+                                  sparse_weight, limit=limit,
+                                  prefetch_multiplier=prefetch_multiplier)
+
+
 class SearchService:
     """Query-text-in → StoredChunk-list-out, with the reference's filter and
     fusion semantics (mcp_server.py:373-526 behavior contract)."""
@@ -148,9 +222,50 @@ class SearchService:
                     q, spec, qt, qw, limit,
                     jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-        if store.ivf_active or (has_sparse and store.postings_active):
-            # Snapshot path: encode on device, then probe-limited dense +
-            # inverted-postings sparse candidates fused on lists.
+        use_ivf = store.ivf_active
+        use_postings = store.postings_active
+        if (use_ivf and not has_sparse) or (has_sparse and use_postings):
+            # Snapshot hot path: encode + probe-limited dense + inverted-
+            # postings sparse + fusion, ONE jitted dispatch.
+            ivf_ops = None
+            if use_ivf:
+                ivf = store._ivf
+                ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
+                           ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
+                           ivf.scales3)
+            if use_postings:
+                post = store._postings
+                post_arrays = (post.terms, post.gids, post.weights,
+                               store._postings_cols)
+            else:  # dense-only query: tiny placeholders, path unused
+                z = jnp.zeros((1,), jnp.int32)
+                post_arrays = (z, z, jnp.zeros((1,), jnp.float32),
+                               jnp.zeros((8, 1), jnp.int32))
+            segs = store.segments
+            with trace("search.snapshot"):
+                scores, gids = fused_snapshot_query(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                    ivf_ops,
+                    tuple(s.vecs for s in segs) if not use_ivf else (),
+                    tuple(s.cols for s in segs) if not use_ivf else (),
+                    tuple(s.scales for s in segs) if not use_ivf else (),
+                    *post_arrays,
+                    spec, jnp.asarray(qt), jnp.asarray(qw),
+                    jnp.asarray(sparse_weight, jnp.float32),
+                    limit=limit,
+                    prefetch_multiplier=self.prefetch_multiplier,
+                    has_sparse=has_sparse, fusion=fusion,
+                    nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
+                            if use_ivf else 0),
+                    assign_k=store._ivf.assign_k if use_ivf else 1,
+                    max_postings=store._sparse_max_postings,
+                    use_ivf=use_ivf)
+            with trace("search.materialize"):
+                return store._materialize(np.asarray(scores)[0],
+                                          np.asarray(gids)[0])
+        if use_ivf or (has_sparse and use_postings):
+            # Mixed snapshot states (e.g. IVF active, postings stale with a
+            # sparse query) fall back to the store's multi-dispatch path.
             with trace("search.encode"):
                 q = np.asarray(encode_tokens(
                     params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
