@@ -45,8 +45,19 @@ struct Hnsw {
   const float* vec(int id) const { return data.data() + (size_t)id * dim; }
 
   float dot(const float* a, const float* b) const {
-    float s = 0.f;
-    for (int i = 0; i < dim; i++) s += a[i] * b[i];
+    // Four independent accumulators so the compiler can vectorize the
+    // reduction without -ffast-math (strict float semantics block
+    // single-accumulator loops from using SIMD).
+    float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+    int i = 0;
+    for (; i + 4 <= dim; i += 4) {
+      s0 += a[i] * b[i];
+      s1 += a[i + 1] * b[i + 1];
+      s2 += a[i + 2] * b[i + 2];
+      s3 += a[i + 3] * b[i + 3];
+    }
+    float s = (s0 + s1) + (s2 + s3);
+    for (; i < dim; i++) s += a[i] * b[i];
     return s;
   }
 

@@ -54,6 +54,26 @@ async def file_info(request: web.Request) -> web.Response:
     })
 
 
+@require_user
+async def delete_file(request: web.Request, user) -> web.Response:
+    """Delete a single file; the watcher event purges its index entries."""
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+
+    rel = tail_path(request)
+    fs = get_filesystem_service()
+    try:
+        p = fs.resolve(rel)
+    except PermissionError:
+        return json_error(400, "invalid path")
+    if fs.mapping_for(rel):
+        return json_error(400, "cannot delete from a mapped folder")
+    if not p.exists() or not p.is_file():
+        return json_error(404, "file not found")
+    p.unlink()
+    return web.json_response({"deleted": rel})
+
+
 def setup(app: web.Application) -> None:
     app.router.add_post("/api/files/upload", upload)
     app.router.add_get("/api/files/info/{path:.*}", file_info)
+    app.router.add_delete("/api/files/{path:.*}", delete_file)

@@ -111,9 +111,19 @@ async def browse(request: web.Request) -> web.Response:
 
 
 async def browse_list(request: web.Request) -> web.Response:
+    """Rendered file-list rows for AJAX refresh (reference pages.py:381-402
+    returns the _file_list_items.html fragment); ``?format=json`` returns the
+    raw aggregation instead."""
     user = current_user(request)
     rel = request.query.get("path", "")
-    return web.json_response(gather_file_list_data(rel, user))
+    try:
+        data = gather_file_list_data(rel, user)
+    except (FileNotFoundError, NotADirectoryError, PermissionError):
+        return web.Response(text="", content_type="text/html")
+    if request.query.get("format") == "json":
+        return web.json_response(data)
+    tpl = request.app["jinja"].get_template("_file_list_items.html")
+    return web.Response(text=tpl.render(**data), content_type="text/html")
 
 
 def setup(app: web.Application) -> None:

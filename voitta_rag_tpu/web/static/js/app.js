@@ -40,7 +40,25 @@
     return resp.json();
   }
 
-  function refreshList() { location.reload(); }
+  // AJAX fragment refresh (reference pages.py:381-402): re-fetch only the
+  // file-list rows; handlers survive because they're delegated to the tbody.
+  const listBody = document.getElementById("file-list-body");
+  let refreshing = false;
+  async function refreshList() {
+    if (!listBody) { location.reload(); return; }
+    if (refreshing) return;
+    refreshing = true;
+    try {
+      const resp = await fetch(
+        `/api/browse-list?path=${encodeURIComponent(currentPath)}`);
+      if (!resp.ok) throw new Error(resp.statusText);
+      listBody.innerHTML = await resp.text();
+    } catch (_) {
+      location.reload();
+    } finally {
+      refreshing = false;
+    }
+  }
 
   // ---- WebSocket live events (reference app.js:45-274) ----
   function initWebSocket() {
@@ -298,81 +316,141 @@
     else toast("Upload failed");
   };
 
-  document.querySelectorAll("#file-list-body tr").forEach((row) => {
-    const path = row.dataset.path;
-    const isDir = row.dataset.dir === "True" || row.dataset.dir === "true";
-
-    const toggleSearch = row.querySelector(".toggle-search");
-    if (toggleSearch) toggleSearch.onchange = async () => {
+  // ---- details sidebar (reference app.js:513-915: state, file-type stats,
+  // sync info, metadata notes) ----
+  function esc(s) {
+    return String(s).replace(/&/g, "&amp;").replace(/</g, "&lt;")
+      .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
+  }
+  function fmtSize(n) {
+    if (n == null) return "";
+    if (n >= 1 << 30) return (n / (1 << 30)).toFixed(1) + " GB";
+    if (n >= 1 << 20) return (n / (1 << 20)).toFixed(1) + " MB";
+    if (n >= 1024) return (n / 1024).toFixed(1) + " KB";
+    return n + " B";
+  }
+  async function openDetails(path) {
+    const panel = document.getElementById("details-panel");
+    const d = await api("GET", `/api/details/${path}`);
+    let html = `<div class="details-head"><h3>${esc(path || "/")}</h3>` +
+      `<button id="details-close" title="Close">✕</button></div>`;
+    if (d.is_dir) {
+      html += `<dl class="details-grid">` +
+        `<dt>Index status</dt><dd><span class="status status-${esc(d.index_status)}">${esc(d.index_status)}</span></dd>` +
+        (d.index_error ? `<dt>Index error</dt><dd class="error">${esc(d.index_error)}</dd>` : "") +
+        `<dt>Indexed files</dt><dd>${d.indexed_files}</dd>` +
+        `<dt>Total chunks</dt><dd>${d.total_chunks}</dd>` +
+        (d.counts ? `<dt>Contents</dt><dd>${d.counts.files} files · ${d.counts.dirs} folders</dd>` : "") +
+        (typeof d.search_active === "boolean"
+          ? `<dt>Search</dt><dd>${d.search_active ? "active" : "off"}</dd>` : "") +
+        (typeof d.indexing_enabled === "boolean"
+          ? `<dt>Indexing</dt><dd>${d.indexing_enabled ? "enabled" : "off"}</dd>` : "") +
+        `</dl>`;
+      if (d.sync) {
+        html += `<h4>Sync</h4><dl class="details-grid">` +
+          `<dt>Source</dt><dd>${esc(d.sync.source_type)}</dd>` +
+          `<dt>Status</dt><dd><span class="status status-${esc(d.sync.sync_status || "none")}">${esc(d.sync.sync_status || "never")}</span></dd>` +
+          (d.sync.last_synced_at ? `<dt>Last sync</dt><dd>${esc(d.sync.last_synced_at)}</dd>` : "") +
+          (d.sync.sync_error ? `<dt>Error</dt><dd class="error">${esc(d.sync.sync_error)}</dd>` : "") +
+          `</dl>`;
+      }
+      if (d.file_types && d.file_types.length) {
+        html += `<h4>File types</h4><table class="type-stats">` +
+          `<tr><th>ext</th><th>files</th><th>indexed</th><th>chunks</th></tr>` +
+          d.file_types.slice(0, 12).map((s) =>
+            `<tr><td>${esc(s.extension)}</td><td>${s.total_count}</td>` +
+            `<td>${s.indexed_count}</td><td>${s.chunk_count}</td></tr>`
+          ).join("") + `</table>`;
+      }
+      html += `<div class="details-actions">` +
+        `<button id="reindex-btn">Force reindex</button>` +
+        `<button id="sync-btn">Sync now</button>` +
+        `<button id="sync-config-btn">Sync source…</button></div>`;
+    } else {
+      html += `<dl class="details-grid">` +
+        `<dt>Size</dt><dd>${fmtSize(d.size)}</dd>` +
+        `<dt>Modified</dt><dd>${d.modified_at
+          ? new Date(d.modified_at * 1000).toLocaleString() : ""}</dd>` +
+        `<dt>Indexed</dt><dd>${d.indexed ? "yes" : "no"}</dd>` +
+        `<dt>Chunks</dt><dd>${d.chunk_count}</dd>` +
+        (d.content_hash ? `<dt>Hash</dt><dd class="mono">${esc(d.content_hash.slice(0, 16))}…</dd>` : "") +
+        `</dl>`;
+    }
+    html += `<h4>Notes</h4>` +
+      `<textarea id="meta-text" rows="4">${esc((d.metadata && d.metadata.metadata) || "")}</textarea>` +
+      (d.metadata && d.metadata.updated_by
+        ? `<p class="meta-attrib">last edited by ${esc(d.metadata.updated_by)}</p>` : "") +
+      `<button id="meta-save">Save notes</button>`;
+    panel.innerHTML = html;
+    panel.classList.remove("hidden");
+    panel.querySelector("#details-close").onclick =
+      () => panel.classList.add("hidden");
+    panel.querySelector("#meta-save").onclick = async () => {
       try {
-        const r = await api("POST",
-          `/api/settings/folders/${path}/search-active`,
-          { search_active: toggleSearch.checked });
-        toast(`Search ${toggleSearch.checked ? "on" : "off"} ` +
-              `(+${r.subfolders_updated} subfolders)`);
-      } catch (e) { toast(e.message); toggleSearch.checked = !toggleSearch.checked; }
-    };
-
-    const toggleIndex = row.querySelector(".toggle-index");
-    if (toggleIndex) toggleIndex.onchange = async () => {
-      try {
-        await api("POST", `/api/settings/folders/${path}/indexing`,
-          { enabled: toggleIndex.checked });
-        toast(toggleIndex.checked ? "Indexing queued" : "Indexing disabled");
+        await api("PUT", `/api/metadata/${path}`,
+          { metadata: panel.querySelector("#meta-text").value });
+        toast("Notes saved");
       } catch (e) { toast(e.message); }
     };
-
-    const detailsBtn = row.querySelector(".details-btn");
-    if (detailsBtn) detailsBtn.onclick = async () => {
-      const panel = document.getElementById("details-panel");
+    const reindexBtn = panel.querySelector("#reindex-btn");
+    if (reindexBtn) reindexBtn.onclick = async () => {
       try {
-        const d = await api("GET", `/api/details/${path}`);
-        const rows = Object.entries(d)
-          .filter(([k, v]) => v !== null && typeof v !== "object")
-          .map(([k, v]) => `<dt>${k}</dt><dd>${v}</dd>`).join("");
-        panel.innerHTML =
-          `<h3>${path}</h3><dl>${rows}</dl>` +
-          (d.is_dir ? `<button id="reindex-btn">Force reindex</button>` : "") +
-          (d.is_dir ? ` <button id="sync-btn">Sync now</button>` : "") +
-          (d.is_dir ? ` <button id="sync-config-btn">Sync source…</button>` : "") +
-          `<h4>Notes</h4><textarea id="meta-text" rows="4" style="width:100%">` +
-          `${(d.metadata && d.metadata.metadata) || ""}</textarea>` +
-          `<button id="meta-save">Save notes</button> ` +
-          `<button id="details-close">Close</button>`;
-        panel.classList.remove("hidden");
-        panel.querySelector("#details-close").onclick =
-          () => panel.classList.add("hidden");
-        panel.querySelector("#meta-save").onclick = async () => {
-          await api("PUT", `/api/metadata/${path}`,
-            { metadata: panel.querySelector("#meta-text").value });
-          toast("Notes saved");
-        };
-        const reindexBtn = panel.querySelector("#reindex-btn");
-        if (reindexBtn) reindexBtn.onclick = async () => {
-          await api("POST", `/api/settings/folders/${path}/reindex`);
-          toast("Reindex queued");
-        };
-        const syncBtn = panel.querySelector("#sync-btn");
-        if (syncBtn) syncBtn.onclick = async () => {
-          try {
-            await api("POST", `/api/sync/${path}/trigger`);
-            toast("Sync started");
-          } catch (e) { toast(e.message); }
-        };
-        const syncConfigBtn = panel.querySelector("#sync-config-btn");
-        if (syncConfigBtn) syncConfigBtn.onclick =
-          () => openSyncModal(path).catch((e) => toast(e.message));
+        await api("POST", `/api/settings/folders/${path}/reindex`, {});
+        toast("Reindex queued");
       } catch (e) { toast(e.message); }
     };
-
-    const deleteBtn = row.querySelector(".delete-btn");
-    if (deleteBtn) deleteBtn.onclick = async () => {
-      if (!confirm(`Delete ${path}?`)) return;
+    const syncBtn = panel.querySelector("#sync-btn");
+    if (syncBtn) syncBtn.onclick = async () => {
       try {
-        if (isDir) await api("DELETE", `/api/folders/${path}`);
-        else toast("File deletion: remove via folder management");
-        refreshList();
+        await api("POST", `/api/sync/${path}/trigger`);
+        toast("Sync started");
       } catch (e) { toast(e.message); }
     };
-  });
+    const syncConfigBtn = panel.querySelector("#sync-config-btn");
+    if (syncConfigBtn) syncConfigBtn.onclick =
+      () => openSyncModal(path).catch((e) => toast(e.message));
+  }
+
+  // ---- file-list actions, DELEGATED to the tbody so AJAX-refreshed rows
+  // stay live without rebinding ----
+  if (listBody) {
+    listBody.addEventListener("change", async (ev) => {
+      const row = ev.target.closest("tr");
+      if (!row) return;
+      const path = row.dataset.path;
+      if (ev.target.classList.contains("toggle-search")) {
+        const box = ev.target;
+        try {
+          const r = await api("POST",
+            `/api/settings/folders/${path}/search-active`,
+            { search_active: box.checked });
+          toast(`Search ${box.checked ? "on" : "off"} ` +
+                `(+${r.subfolders_updated} subfolders)`);
+        } catch (e) { toast(e.message); box.checked = !box.checked; }
+      } else if (ev.target.classList.contains("toggle-index")) {
+        const box = ev.target;
+        try {
+          await api("POST", `/api/settings/folders/${path}/indexing`,
+            { enabled: box.checked });
+          toast(box.checked ? "Indexing queued" : "Indexing disabled");
+        } catch (e) { toast(e.message); }
+      }
+    });
+    listBody.addEventListener("click", async (ev) => {
+      const row = ev.target.closest("tr");
+      if (!row) return;
+      const path = row.dataset.path;
+      const isDir = /^t/i.test(row.dataset.dir || "");
+      if (ev.target.closest(".details-btn")) {
+        openDetails(path).catch((e) => toast(e.message));
+      } else if (ev.target.closest(".delete-btn")) {
+        if (!confirm(`Delete ${path}?`)) return;
+        try {
+          if (isDir) await api("DELETE", `/api/folders/${path}`);
+          else await api("DELETE", `/api/files/${path}`);
+          refreshList();
+        } catch (e) { toast(e.message); }
+      }
+    });
+  }
 })();
