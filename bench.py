@@ -1,29 +1,42 @@
-"""Headline benchmark: filtered hybrid search QPS on one chip.
+"""Headline benchmark: filtered hybrid search on one chip, vs a real CPU ANN
+baseline, at BASELINE.md's staged configs.
 
-Measures the full device query path of the framework — masked dense scan
-(Pallas, bf16) + sparse BM25 scan (slot-major VPU kernel) + in-kernel folder
-filtering + hybrid fusion (approx_max_k candidates) + top-k — over a
-synthetic 1M-chunk, 384-d corpus (BASELINE.md config 3 shape), batched 32
-queries per dispatch, as ONE jitted device program per batch.
-
-Baseline: the same hybrid search computed by an optimized CPU implementation
-(NumPy BLAS dense matmul + vectorized sparse scoring + fusion) on this host —
-the stand-in for the reference's CPU Qdrant stack (the reference publishes no
-numbers, BASELINE.md). vs_baseline = TPU QPS / CPU QPS.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+Sections (each logged to stderr; stdout carries ONE JSON line):
+1. 1M x 384 clustered corpus (utils/synth.py: mixture-on-the-sphere with
+   realistic intra-cluster cosine — isotropic vectors are the worst case for
+   every ANN method and say nothing about real embedding corpora).
+2. Headline: filtered hybrid QPS, B=32, bf16 flat scan + slot-major sparse
+   (the exact-scan serving shape; same metric name as round 1).
+3. int8 storage variant + recall vs the f32 oracle.
+4. IVF (C=4096 int8 cells): recall@10 + QPS across nprobe.
+5. Inverted postings sparse: build, b=1 and B=32 latency.
+6. p50 single-query latency: the fused single-dispatch program (encode +
+   dense + postings + fusion), reported two ways — wall-clock through the
+   remote tunnel AND device-side per-query time measured by chaining 32
+   sequential queries inside ONE dispatch via lax.scan (the number a locally
+   attached chip would see; the tunnel adds ~3-4 ms of RPC per dispatch that
+   is not device work).
+7. CPU HNSW baseline (native/hnsw_baseline.cpp — single-thread, this host):
+   recall@10 + QPS on a 50k subsample of the same corpus. vs_baseline =
+   headline TPU QPS / HNSW CPU QPS.
+8. 10M x 768 (BASELINE config 4 geometry) int8: flat hybrid QPS, postings,
+   and IVF (C=8192) recall/QPS. The IVF build regenerates the corpus
+   block-by-block from the same PRNG keys so the flat corpus (7.7 GB) and
+   the cell-major copy (8 GB) never coexist in 16 GB HBM.
 
 Timing notes (remote-TPU tunnel environment):
-- block_until_ready alone under-reports through the tunnel; only a host fetch
-  guarantees a dispatch ran. Executions are queued in order, so fetching the
-  LAST output forces all prior queued programs.
-- Large device constants must be passed as jit ARGUMENTS — closing over a
-  GB-scale corpus array embeds it as an XLA constant and hangs compilation.
+- block_until_ready alone under-reports through the tunnel; only a host
+  fetch guarantees a dispatch ran. Executions queue in order, so fetching
+  the LAST output forces all prior queued programs.
+- The first timed loop after a compile carries residual host work; report
+  the best of two loops.
+- Large device constants must be jit ARGUMENTS (a closed-over GB-scale
+  array becomes an XLA constant and remote compilation hangs).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -32,7 +45,6 @@ import numpy as np
 
 
 def log(msg: str) -> None:
-    """Progress to stderr; stdout carries only the final JSON line."""
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 from voitta_rag_tpu.utils.jax_setup import setup_jax
@@ -42,16 +54,27 @@ setup_jax()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from voitta_rag_tpu.index.ivf import (  # noqa: E402
+    IVFIndex, _assign_topk_cells, _block_rows_for, _kmeans_train,
+    _ivf_search_candidates,
+)
+from voitta_rag_tpu.index.postings import (  # noqa: E402
+    SparsePostings, postings_candidates,
+)
 from voitta_rag_tpu.ops.dense_scan import dense_scan_scores  # noqa: E402
 from voitta_rag_tpu.ops.sparse_scan import sparse_scan_scores, TERM_PAD  # noqa: E402
 from voitta_rag_tpu.ops.filters import (  # noqa: E402
     COL_FOLDER, COL_VALID, NUM_COLS, make_filter_spec,
 )
-from voitta_rag_tpu.ops.fusion import hybrid_fuse  # noqa: E402
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF  # noqa: E402
+from voitta_rag_tpu.ops.fusion import hybrid_fuse, hybrid_fuse_candidates  # noqa: E402
+from voitta_rag_tpu.ops.topk import masked_topk  # noqa: E402
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, round_up  # noqa: E402
+from voitta_rag_tpu.utils.synth import clustered_unit_vectors, mixture_queries  # noqa: E402
 
-N = 1_048_576  # 2^20 rows (scan-tile aligned)
+N = 1_048_576   # 2^20 rows (scan-tile aligned)
 D = 384
+TRUE_CLUSTERS = 4096
+INTRA_COS = 0.55  # calibrated: HNSW ~0.97 recall@ef32 — non-trivial, fair
 S = 32          # sparse slots per doc
 QT = 16         # query terms
 B = 32          # query batch per dispatch
@@ -60,21 +83,23 @@ N_FOLDERS = 64
 INCLUDE = [1, 2, 3, 5, 8, 13, 21, 34]  # folder-scope filter
 SPARSE_W = 0.1
 N_ITERS = 20
+VOCAB = 100_000
+IVF_CELLS = 4096
+MAX_POST = 512
+
+CORPUS_KEY = jax.random.PRNGKey(0)
 
 
 def build_corpus(seed=0):
-    """Generate the synthetic corpus ON DEVICE (host RNG for 400M floats
-    takes minutes on a small VM; jax.random on the accelerator is ~instant).
-    Host copies for the CPU baseline are pulled once, as fp16 where lossless
-    enough (the device->host pull rides a slow tunnel)."""
-    k = jax.random.split(jax.random.PRNGKey(seed), 4)
-    vecs = jax.random.normal(k[0], (N, D), jnp.float32)
-    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-    folder = jax.random.randint(k[1], (N,), 0, N_FOLDERS, jnp.int32)
+    """Clustered corpus ON DEVICE + host copies for the CPU oracle."""
+    vecs, _cid = clustered_unit_vectors(
+        CORPUS_KEY, N, D, n_clusters=TRUE_CLUSTERS, intra_cos=INTRA_COS)
+    k = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    folder = jax.random.randint(k[0], (N,), 0, N_FOLDERS, jnp.int32)
     cols = jnp.zeros((NUM_COLS, N), jnp.int32)
     cols = cols.at[COL_VALID].set(1).at[COL_FOLDER].set(folder)
-    terms = jax.random.randint(k[2], (S, N), 0, 100_000, jnp.int32)
-    weights = jax.random.uniform(k[3], (S, N), jnp.float32)
+    terms = jax.random.randint(k[1], (S, N), 0, VOCAB, jnp.int32)
+    weights = jax.random.uniform(k[2], (S, N), jnp.float32)
     rng = np.random.default_rng(seed)
     vecs_np = np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
     weights_np = np.asarray(weights.astype(jnp.float16)).astype(np.float32).T
@@ -84,16 +109,14 @@ def build_corpus(seed=0):
 
 @jax.jit
 def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec, scales=None):
-    """The full hybrid query as ONE device program (serving shape)."""
+    """The exact-scan hybrid query as ONE device program (serving shape)."""
     d = dense_scan_scores(q, vecs, cols, spec, scales)
     s = sparse_scan_scores(qt, qw, terms, weights, cols, spec)
     return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W, limit=LIMIT)
 
 
 def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
-    """NumPy/BLAS reference implementation of the same search (vectorized
-    sparse scoring via sorted-membership lookup — a fair CPU baseline).
-    terms/weights are row-major [N, S] host views."""
+    """NumPy/BLAS reference implementation of the same search."""
     d = q @ vecs.T                       # [B, N]
     d[:, ~inc_mask] = NEG_INF
     live = qt[0] != TERM_PAD
@@ -133,22 +156,17 @@ def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
 
 
 def _fetch(outs):
-    """Force-complete queued executions by pulling results to host."""
     for out in outs:
         for x in (out if isinstance(out, tuple) else (out,)):
             np.asarray(x)
 
 
 def queued_qps(fn, qstack, *args):
-    """Throughput via in-order queued dispatches: enqueue every batch, then
-    fetch ONE (small) output of the LAST batch. The device stream executes
-    in launch order, so that fetch forces every prior batch — and the tunnel
-    round-trip (~26 ms here) is paid once, not once per batch (fetching all
-    outputs makes a 1M-row scan look 3x slower than it is)."""
+    """Throughput via in-order queued dispatches; fetch once at the end."""
     _fetch([fn(qstack[0], *args)])  # compile + warm
     best = float("inf")
-    for _ in range(2):  # first loop after a compile carries residual host
-        t0 = time.perf_counter()    # work (cache writes); report the best
+    for _ in range(2):
+        t0 = time.perf_counter()
         outs = [fn(q, *args) for q in qstack]
         np.asarray(jax.tree.leaves(outs[-1])[0])
         best = min(best, time.perf_counter() - t0)
@@ -156,7 +174,6 @@ def queued_qps(fn, qstack, *args):
 
 
 def measure_rtt_ms(n=6):
-    """Round-trip time of a minimal dispatch+fetch (tunnel overhead)."""
     x = jnp.zeros((8, 8), jnp.float32)
     f = jax.jit(lambda a: a + 1.0)
     _fetch([f(x)])
@@ -166,35 +183,75 @@ def measure_rtt_ms(n=6):
     return (time.perf_counter() - t0) / n * 1000.0
 
 
+def recall_at10(got_ids: np.ndarray, oracle_ids: np.ndarray) -> float:
+    return float(np.mean([
+        len(set(got_ids[b].tolist()) & set(oracle_ids[b].tolist())) / LIMIT
+        for b in range(len(got_ids))]))
+
+
+def chained_device_ms(fn_one, xs, n_chain: int, *arrays) -> float:
+    """Device-side per-call time: run n_chain sequential calls inside ONE
+    dispatch (lax.scan is a sequential while loop), so per-dispatch tunnel /
+    launch overhead is amortized away. The scan carry consumes each output
+    so nothing is dead-code-eliminated. All large operands are passed as
+    ``arrays`` ARGUMENTS — closed-over device arrays become XLA constants
+    and GB-scale constants hang the remote compile."""
+
+    @jax.jit
+    def chain(xs, *arrays):
+        def body(carry, x):
+            vals, gids = fn_one(x, *arrays)
+            return (carry + jnp.sum(vals[:, 0])
+                    + jnp.sum(gids[:, 0].astype(jnp.float32)), None)
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return c
+
+    np.asarray(chain(xs, *arrays))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(chain(xs, *arrays))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_chain * 1000.0
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    log(f"backend={jax.default_backend()}; generating corpus")
+    extra = {"backend": jax.default_backend(),
+             "host_vcpus": __import__("os").cpu_count(),
+             "corpus_model": f"clustered(intra_cos={INTRA_COS}, "
+                             f"clusters={TRUE_CLUSTERS})"}
+    log(f"backend={jax.default_backend()}; generating clustered corpus")
     t_all = time.time()
     (vecs_dev, cols, terms, weights,
      vecs_np, cols_np, terms_np, weights_np, rng) = build_corpus()
     log(f"corpus ready ({time.time() - t_all:.0f}s)")
 
-    # Query pool (distinct queries per dispatch to defeat any exec caching).
+    # Query pools: from the same topic mixture as the corpus.
     n_pool = B * N_ITERS
-    qpool = rng.standard_normal((n_pool, D), dtype=np.float32)
-    qpool /= np.linalg.norm(qpool, axis=1, keepdims=True)
+    qpool = np.asarray(mixture_queries(
+        jax.random.PRNGKey(101), n_pool, D, n_clusters=TRUE_CLUSTERS,
+        intra_cos=INTRA_COS, center_key=CORPUS_KEY))
     qt = np.full((1, QT), TERM_PAD, np.int32)
-    qt[0, :QT] = rng.choice(100_000, QT, replace=False)
+    qt[0, :QT] = rng.choice(VOCAB, QT, replace=False)
     qw = np.zeros((1, QT), np.float32)
     qw[0, :QT] = rng.random(QT).astype(np.float32) + 0.2
 
     spec = make_filter_spec(include_folder_ids=INCLUDE)
+    pass_all = make_filter_spec()
     store_dt = jnp.bfloat16 if on_tpu else jnp.float32
-    vecs = vecs_dev.astype(store_dt)  # on-device cast, nothing crosses host
+    vecs = vecs_dev.astype(store_dt)
     qt_j, qw_j = jnp.asarray(qt), jnp.asarray(qw)
     qstack = jnp.asarray(qpool).reshape(N_ITERS, B, D)
 
-    log("compiling + timing headline hybrid program")
+    log("timing headline hybrid program (bf16 flat)")
     tpu_qps, dt = queued_qps(device_hybrid, qstack, qt_j, qw_j, vecs, cols,
                              terms, weights, spec)
     rtt_ms = measure_rtt_ms()
+    extra["tunnel_rtt_ms"] = round(rtt_ms, 2)
     log(f"headline: {tpu_qps:.0f} qps ({dt / N_ITERS * 1000:.2f} ms per "
-        f"{B}-query batch; tunnel rtt {rtt_ms:.1f} ms); computing CPU oracle")
+        f"{B}-query batch; tunnel rtt {rtt_ms:.1f} ms)")
 
     # Sanity: device result matches CPU oracle on one batch.
     inc_mask = np.isin(cols_np[COL_FOLDER], INCLUDE)
@@ -208,51 +265,168 @@ def main():
         cpu_ids = {int(i) for i, _ in cpu_top[b]}
         dev_ids = {int(g) for g in dev_gids[b] if g >= 0}
         agree += len(cpu_ids & dev_ids) / max(len(cpu_ids), 1)
-    recall_vs_cpu = agree / 2
+    extra["recall_vs_cpu_oracle"] = round(agree / 2, 3)
+    extra["batch"] = B
+    extra["limit"] = LIMIT
+    extra["corpus"] = N
+    extra["dim"] = D
 
-    # CPU baseline QPS (same search, BLAS + vectorized sparse), few queries.
-    n_cpu = 2
-    t0 = time.perf_counter()
-    cpu_hybrid(qpool[:n_cpu], qt, qw, vecs_np, cols_np, terms_np, weights_np,
-               inc_mask)
-    cpu_qps = n_cpu / (time.perf_counter() - t0)
+    # Exact dense oracle for recall measurements (unfiltered, f32).
+    n_oracle = 64
+    q_oracle = jnp.asarray(qpool[:n_oracle])
+    oracle_scores = dense_scan_scores(q_oracle, vecs_dev, cols, pass_all,
+                                      use_pallas=False)
+    _, oracle_ids = jax.lax.top_k(oracle_scores, LIMIT)
+    oracle_ids = np.asarray(oracle_ids)
 
-    extra = {
-        "batch": B, "limit": LIMIT, "corpus": N, "dim": D,
-        "cpu_baseline_qps": round(cpu_qps, 2),
-        "recall_vs_cpu_oracle": round(recall_vs_cpu, 3),
-        "backend": jax.default_backend(),
-        "tunnel_rtt_ms": round(rtt_ms, 2),
-        "host_vcpus": __import__("os").cpu_count(),
-    }
+    # ---- large-batch throughput ----
+    try:
+        B2 = 256
+        q2 = jnp.asarray(
+            np.vstack([qpool] * ((B2 * 8) // n_pool + 1))[: B2 * 8]
+        ).reshape(8, B2, D)
+        qps2, _ = queued_qps(device_hybrid, q2, qt_j, qw_j, vecs, cols,
+                             terms, weights, spec)
+        extra["hybrid_qps_b256"] = round(qps2, 1)
+        log(f"b256: {qps2:.0f} qps")
+    except Exception as e:
+        extra["b256_error"] = str(e)[:200]
 
-    # ---- p50 single-query latency, device-side (BASELINE north star:
-    # p50 < 5 ms including query embedding). Encoder (MiniLM geometry,
-    # 384-d to match the corpus) + B=1 filtered hybrid search.
-    log(f"cpu baseline {cpu_qps:.2f} qps; latency probe")
+    # ---- int8 storage variant ----
+    scale = jnp.max(jnp.abs(vecs_dev), axis=1) / 127.0
+    v8 = jnp.clip(jnp.round(vecs_dev / scale[:, None]),
+                  -127, 127).astype(jnp.int8)
+    scales = scale[None, :].astype(jnp.float32)
+    w16 = weights.astype(jnp.bfloat16)
+    try:
+        qps8, _ = queued_qps(device_hybrid, qstack, qt_j, qw_j, v8, cols,
+                             terms, w16, spec, scales)
+        extra["int8_hybrid_qps"] = round(qps8, 1)
+
+        @jax.jit
+        def int8_top(q):
+            sc = dense_scan_scores(q, v8, cols, pass_all, scales)
+            return masked_topk(sc, LIMIT, approx=True)
+
+        _, ids8 = int8_top(q_oracle)
+        extra["int8_recall10"] = round(recall_at10(np.asarray(ids8),
+                                                   oracle_ids), 3)
+        log(f"int8: {qps8:.0f} qps, recall {extra['int8_recall10']}")
+    except Exception as e:
+        extra["int8_error"] = str(e)[:200]
+
+    # ---- IVF (C=4096 int8 cells) ----
+    log("building IVF (C=4096, int8 cells)")
+    try:
+        gids_all = jnp.arange(N, dtype=jnp.int32)
+        t0 = time.perf_counter()
+        ivf = IVFIndex.build(vecs_dev, cols.T, gids_all, n_cells=IVF_CELLS,
+                             kmeans_iters=20, skew_factor=1.5, dtype="int8",
+                             assign_k=1)
+        jax.block_until_ready(ivf.vecs3)
+        extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+        for nprobe in (32, 64, 128):
+            def ivf_top(q, nprobe=nprobe):
+                return ivf.search_candidates(q, pass_all, nprobe=nprobe,
+                                             limit=LIMIT)
+
+            _, giv = ivf_top(q_oracle)
+            rec = recall_at10(np.asarray(giv), oracle_ids)
+            qps_ivf, _ = queued_qps(ivf_top, qstack)
+            extra[f"ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
+            extra[f"ivf_recall10_np{nprobe}"] = round(rec, 3)
+            log(f"IVF np={nprobe}: recall {rec:.3f}, {qps_ivf:.0f} qps")
+        ivf_ops_1m = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
+                      ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid, ivf.scales3)
+    except Exception as e:
+        extra["ivf_error"] = str(e)[:250]
+        ivf_ops_1m = None
+
+    # ---- inverted postings sparse ----
+    log("building sparse postings")
+    try:
+        t0 = time.perf_counter()
+        post = SparsePostings.build(terms, weights,
+                                    jnp.arange(N, dtype=jnp.int32),
+                                    weight_dtype=jnp.bfloat16)
+        jax.block_until_ready(post.terms)
+        extra["postings_build_s"] = round(time.perf_counter() - t0, 1)
+
+        def post_fn(qtqw):
+            return postings_candidates(
+                qtqw[0], qtqw[1], post.terms, post.gids, post.weights, cols,
+                spec, limit=LIMIT * 3, max_postings=MAX_POST)
+
+        def mk_q(bsz):
+            t = np.full((bsz, QT), TERM_PAD, np.int32)
+            w = np.zeros((bsz, QT), np.float32)
+            for i in range(bsz):
+                t[i] = rng.choice(VOCAB, QT, replace=False)
+                w[i] = rng.random(QT) + 0.2
+            return jnp.asarray(t), jnp.asarray(w)
+
+        q1s = [mk_q(1) for _ in range(N_ITERS)]
+        _fetch([post_fn(q1s[0])])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [post_fn(x) for x in q1s]
+            np.asarray(outs[-1][0])
+            best = min(best, time.perf_counter() - t0)
+        extra["postings_b1_ms"] = round(best / N_ITERS * 1000, 2)
+        log(f"postings b1 {extra['postings_b1_ms']} ms")
+    except Exception as e:
+        extra["postings_error"] = str(e)[:250]
+        post = None
+
+    # ---- p50 single-query latency: fused single-dispatch program ----
+    log("p50 fused query probe")
     try:
         from voitta_rag_tpu.models.encoder import (
             PRESETS, encode_tokens, init_params)
 
         ecfg = PRESETS["sentence-transformers/all-MiniLM-L6-v2"]
         eparams = init_params(jax.random.PRNGKey(0), ecfg)
-        L = 64  # tokens; typical short search query padded bucket
-        ids_stack = jnp.asarray(
-            rng.integers(4, ecfg.vocab_size, (N_ITERS, 1, L)), jnp.int32)
+        L = 64
         emask = jnp.ones((1, L), jnp.int32)
 
-        enc = jax.jit(lambda ids, p: encode_tokens(p, ecfg, ids, emask))
-        _fetch([enc(ids_stack[0], eparams)])
-        encode_ms = float("inf")
+        def fused_one(x, eparams, v8, cols, scales, pterms, pgids, pweights):
+            ids, qt1, qw1 = x
+            qv = encode_tokens(eparams, ecfg, ids, emask)
+            d = dense_scan_scores(qv, v8, cols, spec, scales)
+            d_vals, d_pos = masked_topk(d, LIMIT * 3, approx=True)
+            s_vals, s_gids = postings_candidates(
+                qt1, qw1, pterms, pgids, pweights, cols, spec,
+                limit=LIMIT * 3, max_postings=MAX_POST)
+            return hybrid_fuse_candidates(d_vals, d_pos, s_vals, s_gids,
+                                          SPARSE_W, limit=LIMIT)
+
+        big = (eparams, v8, cols, scales, post.terms, post.gids,
+               post.weights)
+        n_chain = 32
+        ids_stack = jnp.asarray(
+            rng.integers(4, ecfg.vocab_size, (n_chain, 1, L)), jnp.int32)
+        qts, qws = zip(*(mk_q(1) for _ in range(n_chain)))
+        xs = (ids_stack, jnp.stack(qts), jnp.stack(qws))
+        dev_ms = chained_device_ms(fused_one, xs, n_chain, *big)
+        extra["p50_query_ms_device"] = round(dev_ms, 3)
+
+        # Tunnel-inclusive wall time per dispatch, for honesty.
+        fused_jit = jax.jit(fused_one)
+        _fetch([fused_jit((ids_stack[0], qts[0], qws[0]), *big)])
+        best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            eouts = [enc(ids, eparams) for ids in ids_stack]
-            np.asarray(eouts[-1])  # in-order stream: one fetch forces all
-            encode_ms = min(encode_ms,
-                            (time.perf_counter() - t0) / N_ITERS * 1000)
+            outs = [fused_jit((ids_stack[i % n_chain], qts[i % n_chain],
+                               qws[i % n_chain]), *big)
+                    for i in range(N_ITERS)]
+            np.asarray(outs[-1][0])
+            best = min(best, time.perf_counter() - t0)
+        extra["p50_query_ms_tunnel"] = round(best / N_ITERS * 1000, 3)
+        log(f"p50 fused: device {dev_ms:.2f} ms / tunnel-inclusive "
+            f"{extra['p50_query_ms_tunnel']:.2f} ms")
 
-        # Index-build encode throughput (the reference's operative
-        # chunks/sec metric, scripts/build_sparse_vectors.py:221).
+        # Index-build encode throughput (reference's chunks/sec metric).
         Bi, Li = 256, 128
         istacks = jnp.asarray(
             rng.integers(4, ecfg.vocab_size, (8, Bi, Li)), jnp.int32)
@@ -262,160 +436,272 @@ def main():
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            iouts = [enc_i(s, eparams) for s in istacks]
+            iouts = [enc_i(s2, eparams) for s2 in istacks]
             np.asarray(iouts[-1][..., :1])
             best = min(best, time.perf_counter() - t0)
         extra["encode_chunks_per_s"] = round(8 * Bi / best, 1)
-
-        q1stack = jnp.asarray(qpool[:N_ITERS]).reshape(N_ITERS, 1, D)
-        _, dt1 = queued_qps(device_hybrid, q1stack, qt_j, qw_j, vecs, cols,
-                            terms, weights, spec)
-        search_ms = dt1 / N_ITERS * 1000
-        extra["encode_b1_ms"] = round(encode_ms, 3)
-        extra["search_b1_ms"] = round(search_ms, 3)
-        extra["p50_query_ms_device"] = round(encode_ms + search_ms, 3)
-        log(f"latency b1: encode {encode_ms:.2f} ms + search "
-            f"{search_ms:.2f} ms")
     except Exception as e:
-        extra["latency_error"] = str(e)[:200]
+        extra["latency_error"] = str(e)[:250]
 
-    # ---- large-batch throughput (index-serving shape) ----
+    # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
+    # HNSW; here a from-scratch C++ HNSW, single-thread on this host) ----
+    log("CPU HNSW baseline (50k subsample)")
+    hnsw_qps = None
     try:
-        B2 = 256
-        q2 = jnp.asarray(
-            np.vstack([qpool] * ((B2 * 8) // n_pool + 1))[: B2 * 8]
-        ).reshape(8, B2, D)
-        qps2, _ = queued_qps(device_hybrid, q2, qt_j, qw_j, vecs, cols,
-                             terms, weights, spec)
-        extra["hybrid_qps_b256"] = round(qps2, 1)
-        log(f"b256: {qps2:.0f} qps; int8 variant")
+        from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+
+        if available():
+            n_sub = 50_000
+            sub = vecs_np[:n_sub]
+            t0 = time.perf_counter()
+            h = HnswBaseline(D, n_sub, m=16, ef_construction=100)
+            h.add(sub)
+            extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+            sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
+                                    axis=1)[:, :LIMIT]
+            for ef in (32, 64):
+                t0 = time.perf_counter()
+                ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
+                dt_h = (time.perf_counter() - t0) / n_oracle
+                extra[f"hnsw_recall10_ef{ef}"] = round(
+                    recall_at10(ids_h, sub_oracle), 3)
+                extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
+                if ef == 32:
+                    hnsw_qps = 1 / dt_h
+            log(f"HNSW: recall {extra.get('hnsw_recall10_ef32')} at "
+                f"{extra.get('hnsw_qps_ef32')} qps (1 thread, 50k rows)")
+        else:
+            extra["hnsw_error"] = "native lib unavailable"
     except Exception as e:
-        extra["b256_error"] = str(e)[:200]
+        extra["hnsw_error"] = str(e)[:250]
 
-    # ---- int8 storage variant (halves dense HBM traffic) ----
-    try:
-        scale = jnp.max(jnp.abs(vecs_dev), axis=1) / 127.0
-        v8 = jnp.clip(jnp.round(vecs_dev / scale[:, None]),
-                      -127, 127).astype(jnp.int8)
-        scales = scale[None, :].astype(jnp.float32)
-        w16 = weights.astype(jnp.bfloat16)
-
-        qps8, _ = queued_qps(device_hybrid, qstack, qt_j, qw_j, v8, cols,
-                             terms, w16, spec, scales)
-        extra["int8_hybrid_qps"] = round(qps8, 1)
-        _, gids8 = device_hybrid(qstack[0][:2], qt_j, qw_j, v8, cols, terms,
-                                 w16, spec, scales)
-        gids8 = np.asarray(gids8)
-        ov = np.mean([
-            len(set(gids8[b].tolist())
-                & set(np.asarray(dev_gids)[b].tolist())) / LIMIT
-            for b in range(2)])
-        extra["int8_vs_bf16_overlap"] = round(float(ov), 3)
-    except Exception as e:  # keep the headline metric robust
-        extra["int8_error"] = str(e)[:200]
-
-    # ---- IVF variant (probe-limited dense; BASELINE config 4 shape) ----
-    log(f"int8 done ({extra.get('int8_hybrid_qps')}); building IVF")
-    try:
-        from voitta_rag_tpu.index.ivf import IVFIndex
-        from voitta_rag_tpu.ops.topk import masked_topk
-
-        gids_all = np.arange(N, dtype=np.int32)
-        t0 = time.perf_counter()
-        ivf = IVFIndex.build(vecs_dev, cols.T, gids_all, n_cells=512,
-                             kmeans_iters=3, skew_factor=2.0)
-        jax.block_until_ready(ivf.vecs3)
-        extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
-
-        def mk_ivf(nprobe):
-            def ivf_dense(q):
-                s, g = ivf.search_scores(q, spec, nprobe=nprobe)
-                vals, pos = masked_topk(s, LIMIT, approx=True)
-                return vals, jnp.take_along_axis(g, jnp.maximum(pos, 0),
-                                                 axis=1)
-            return ivf_dense
-
-        d_exact = np.asarray(dense_scan_scores(qstack[0][:8], vecs, cols,
-                                               spec))
-        oracle = np.argsort(-d_exact, axis=1)[:, :LIMIT]
-        # Synthetic isotropic vectors have no cluster structure — the worst
-        # case for IVF recall — so report the recall/qps CURVE over nprobe.
-        for nprobe in (32, 128):
-            ivf_dense = mk_ivf(nprobe)
-            qps_ivf, _ = queued_qps(ivf_dense, qstack)
-            _, giv = ivf_dense(qstack[0][:8])
-            giv = np.asarray(giv)
-            rec = float(np.mean([
-                len(set(giv[b].tolist()) & set(oracle[b].tolist())) / LIMIT
-                for b in range(8)]))
-            extra[f"ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
-            extra[f"ivf_recall10_np{nprobe}"] = round(rec, 3)
-    except Exception as e:
-        extra["ivf_error"] = str(e)[:200]
-
-    # ---- 10M-row scale probe (BASELINE config 4 shape on ONE chip) ----
-    # int8 storage (3.84 GB), filtered hybrid, entirely device-resident —
-    # no host transfers, so this adds ~1 min, not another corpus pull.
+    # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
     if on_tpu:
-        log("10M-scale probe")
         try:
-            # Free the 1M working set first (HBM is 16 GB). Rebinding to
-            # None drops the device references (del on locals() is a no-op
-            # inside a function).
-            vecs = terms = weights = cols = vecs_dev = None
-            v8 = scales = w16 = ivf = None  # try-block locals, may be unset
-            import gc
-
-            gc.collect()
-
-            N10 = 10 * 1024 * 1024
-            blocks = []
-            sc_blocks = []
-            kb = jax.random.split(jax.random.PRNGKey(7), 8)
-            gen = jax.jit(lambda k: jax.random.normal(
-                k, (N10 // 8, D), jnp.float32))
-            q8 = jax.jit(lambda v: (
-                jnp.clip(jnp.round(v / (jnp.max(jnp.abs(v), axis=1,
-                                                keepdims=True) / 127.0)),
-                         -127, 127).astype(jnp.int8),
-                (jnp.max(jnp.abs(v), axis=1) / 127.0).astype(jnp.float32)))
-            for kk in kb:
-                blk = gen(kk)
-                blk = blk / jnp.linalg.norm(blk, axis=1, keepdims=True)
-                v8b, scb = q8(blk)
-                blocks.append(v8b)
-                sc_blocks.append(scb)
-                del blk
-            vecs10 = jnp.concatenate(blocks)
-            scales10 = jnp.concatenate(sc_blocks)[None, :]
-            del blocks, sc_blocks
-            k2 = jax.random.split(jax.random.PRNGKey(8), 3)
-            folder10 = jax.random.randint(k2[0], (N10,), 0, N_FOLDERS,
-                                          jnp.int32)
-            cols10 = (jnp.zeros((NUM_COLS, N10), jnp.int32)
-                      .at[COL_VALID].set(1).at[COL_FOLDER].set(folder10))
-            terms10 = jax.random.randint(k2[1], (S, N10), 0, 1_000_000,
-                                         jnp.int32)
-            weights10 = jax.random.uniform(k2[2], (S, N10), jnp.bfloat16)
-            jax.block_until_ready((vecs10, cols10, terms10, weights10))
-
-            qps10, dt10 = queued_qps(device_hybrid, qstack, qt_j, qw_j,
-                                     vecs10, cols10, terms10, weights10,
-                                     spec, scales10)
-            extra["hybrid_qps_10M_int8"] = round(qps10, 1)
-            extra["hybrid_ms_per_batch_10M"] = round(dt10 / N_ITERS * 1000, 2)
-            log(f"10M int8 hybrid: {qps10:.0f} qps")
+            ten_m = bench_10m(extra, rng)
+            extra.update(ten_m)
         except Exception as e:
-            extra["scale10M_error"] = str(e)[:200]
+            extra["scale10M_error"] = str(e)[:300]
 
     result = {
         "metric": "filtered_hybrid_search_qps_1M_384d" + ("" if on_tpu else "_cpu"),
         "value": round(tpu_qps, 1),
         "unit": "qps",
-        "vs_baseline": round(tpu_qps / cpu_qps, 1),
+        "vs_baseline": round(tpu_qps / hnsw_qps, 1) if hnsw_qps else None,
         "extra": extra,
     }
     print(json.dumps(result))
+
+
+def bench_10m(extra_main, rng):
+    """10M x 768 int8 (BASELINE config 4 geometry): flat hybrid with
+    inverted-postings sparse, then IVF (C=8192) recall/QPS.
+
+    HBM staging on a 16 GB chip: postings build BEFORE the dense corpus
+    exists (its sort transients need ~6 GB); the IVF cell-major copy (8 GB)
+    is packed by REGENERATING the corpus block-by-block from the same PRNG
+    keys after the flat corpus is freed — the two 8 GB copies never coexist.
+    """
+    import gc
+    import math
+
+    log("10M x 768 section")
+    out = {}
+    N10, D10, S10 = 10 * 1024 * 1024, 768, 16
+    TC10, C10 = 8192, 8192
+    n_blocks = 16
+    bs = N10 // n_blocks
+
+    kc, _ = jax.random.split(jax.random.PRNGKey(77))
+    centers10 = jax.random.normal(kc, (TC10, D10), jnp.float32)
+    centers10 = centers10 / jnp.linalg.norm(centers10, axis=1, keepdims=True)
+    alpha10 = math.sqrt(D10 * INTRA_COS ** 2 / (1 - INTRA_COS ** 2))
+
+    @jax.jit
+    def gen_block10(k, centers10):
+        ka, kb = jax.random.split(k)
+        cid = jax.random.randint(ka, (bs,), 0, TC10, jnp.int32)
+        v = alpha10 * jnp.take(centers10, cid, axis=0) + jax.random.normal(
+            kb, (bs, D10), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        sc = jnp.max(jnp.abs(v), axis=1) / 127.0
+        v8b = jnp.clip(jnp.round(v / sc[:, None]), -127, 127).astype(jnp.int8)
+        return v8b, sc.astype(jnp.float32)
+
+    # --- sparse postings first (their sort transients want free HBM) ---
+    k2 = jax.random.split(jax.random.PRNGKey(79), 3)
+    folder10 = jax.random.randint(k2[0], (N10,), 0, N_FOLDERS, jnp.int32)
+    cols10 = (jnp.zeros((NUM_COLS, N10), jnp.int32)
+              .at[COL_VALID].set(1).at[COL_FOLDER].set(folder10))
+    terms10 = jax.random.randint(k2[1], (S10, N10), 0, 1_000_000, jnp.int32)
+    weights10 = jax.random.uniform(k2[2], (S10, N10), jnp.float32)
+    t0 = time.perf_counter()
+    post10 = SparsePostings.build(terms10, weights10,
+                                  jnp.arange(N10, dtype=jnp.int32),
+                                  weight_dtype=jnp.bfloat16)
+    jax.block_until_ready(post10.terms)
+    out["postings_build_10M_s"] = round(time.perf_counter() - t0, 1)
+    terms10 = weights10 = None
+    gc.collect()
+
+    # --- dense corpus ---
+    block_keys = jax.random.split(jax.random.PRNGKey(78), n_blocks)
+    t0 = time.time()
+    blocks, scs = [], []
+    for kk in block_keys:
+        v8b, scb = gen_block10(kk, centers10)
+        blocks.append(v8b)
+        scs.append(scb)
+    vecs10 = jnp.concatenate(blocks)
+    scales10 = jnp.concatenate(scs)[None, :]
+    del blocks, scs
+    jax.block_until_ready(vecs10)
+    log(f"10M corpus ready ({time.time() - t0:.0f}s)")
+
+    spec10 = make_filter_spec(include_folder_ids=INCLUDE)
+    pass10 = make_filter_spec()
+    # Queries from the same 10M mixture.
+    ka, kb2 = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(102), 1))
+    cidq = jax.random.randint(ka, (B * 8,), 0, TC10, jnp.int32)
+    q10 = alpha10 * jnp.take(centers10, cidq, axis=0) + jax.random.normal(
+        kb2, (B * 8, D10), jnp.float32)
+    q10 = q10 / jnp.linalg.norm(q10, axis=1, keepdims=True)
+    qstack10 = q10.reshape(8, B, D10)
+
+    def mk_q10():
+        t = np.full((1, QT), TERM_PAD, np.int32)
+        t[0] = rng.choice(1_000_000, QT, replace=False)
+        w = np.zeros((1, QT), np.float32)
+        w[0] = rng.random(QT) + 0.2
+        return jnp.asarray(t), jnp.asarray(w)
+
+    qt10, qw10 = mk_q10()
+
+    # The 10M serving hybrid: dense int8 scan + postings candidates + fusion
+    # (at this scale the postings path IS the sparse engine; the O(S*N) slot
+    # scan is the small-corpus/mutation fallback).
+    @jax.jit
+    def hybrid10(q, qt1, qw1, vecs10, scales10, cols10, pterms, pgids,
+                 pweights):
+        d = dense_scan_scores(q, vecs10, cols10, spec10, scales10)
+        d_vals, d_pos = masked_topk(d, LIMIT * 3, approx=True)
+        s_vals, s_gids = postings_candidates(
+            qt1, qw1, pterms, pgids, pweights, cols10, spec10,
+            limit=LIMIT * 3, max_postings=MAX_POST)
+        s_vals = jnp.broadcast_to(s_vals, (q.shape[0], s_vals.shape[1]))
+        s_gids = jnp.broadcast_to(s_gids, (q.shape[0], s_gids.shape[1]))
+        return hybrid_fuse_candidates(d_vals, d_pos, s_vals, s_gids,
+                                      SPARSE_W, limit=LIMIT)
+
+    qps10, dt10 = queued_qps(hybrid10, qstack10, qt10, qw10, vecs10,
+                             scales10, cols10, post10.terms, post10.gids,
+                             post10.weights)
+    out["hybrid_qps_10M_768d_int8"] = round(qps10, 1)
+    out["hybrid_ms_per_batch_10M_768d"] = round(dt10 / 8 * 1000, 2)
+    log(f"10M 768-d int8 hybrid (postings sparse): {qps10:.0f} qps")
+
+    # Oracle over the stored corpus (exact top-k over int8 scores).
+    n_oracle = 64
+
+    @jax.jit
+    def flat_top10(q, vecs10, scales10, cols10):
+        sc = dense_scan_scores(q, vecs10, cols10, pass10, scales10)
+        return masked_topk(sc, LIMIT)
+
+    _, oracle10 = flat_top10(q10[:n_oracle], vecs10, scales10, cols10)
+    oracle10 = np.asarray(oracle10)
+
+    # --- IVF: train on a sample, assign, then regenerate-and-scatter ---
+    log("10M IVF: sampled k-means")
+    br = _block_rows_for(C10)
+    ns = 262_144
+    idx_s = jax.random.choice(jax.random.PRNGKey(80), N10, (ns,),
+                              replace=False)
+    train_v = jnp.take(vecs10, idx_s, axis=0)
+    train_s = jnp.take(scales10[0], idx_s)
+    centroids = _kmeans_train(train_v, train_s, C10, 20, max(1, ns // br), 0)
+    train_v = train_s = None
+    assign = np.asarray(_assign_topk_cells(
+        vecs10, scales10[0], centroids, 1, max(1, -(-N10 // br))))[:, 0]
+    log("10M IVF: assignment done; packing via regeneration")
+
+    cell_cap = round_up(max(int(1.3 * N10 / C10), 128), 128)
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=C10)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_cell = np.arange(N10, dtype=np.int64) - starts[assign[order]]
+    fits = pos_in_cell < cell_cap
+    n_slots = C10 * cell_cap
+    dest_of_row = np.full(N10, n_slots, np.int64)  # OOB → dropped in scatter
+    dest_of_row[order[fits]] = (assign[order[fits]].astype(np.int64)
+                                * cell_cap + pos_in_cell[fits])
+    rest_rows = order[~fits]
+    n_rest = len(rest_rows)
+    rest_cap = round_up(max(n_rest, 1), 128)
+    rest_pos_of_row = np.full(N10, rest_cap, np.int64)  # OOB → dropped
+    rest_pos_of_row[rest_rows] = np.arange(n_rest)
+
+    # Free the flat corpus; rebuild per block and scatter with donation so
+    # the 8 GB buffers update in place.
+    vecs10 = scales10 = None
+    gc.collect()
+    vecs3 = jnp.zeros((n_slots, D10), jnp.int8)
+    scales3 = jnp.zeros((n_slots,), jnp.float32)
+    gid3 = jnp.full((n_slots,), -1, jnp.int32)
+    rest_vecs = jnp.zeros((rest_cap, D10), jnp.bfloat16)
+    rest_gid = jnp.full((rest_cap,), -1, jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def scatter_block(vecs3, scales3, gid3, rest_vecs, rest_gid, v8b, scb,
+                      dests, rests, gids_b):
+        vecs3 = vecs3.at[dests].set(v8b, mode="drop")
+        scales3 = scales3.at[dests].set(scb, mode="drop")
+        gid3 = gid3.at[dests].set(gids_b, mode="drop")
+        vf = v8b.astype(jnp.bfloat16) * scb[:, None].astype(jnp.bfloat16)
+        rest_vecs = rest_vecs.at[rests].set(vf, mode="drop")
+        rest_gid = rest_gid.at[rests].set(gids_b, mode="drop")
+        return vecs3, scales3, gid3, rest_vecs, rest_gid
+
+    for i, kk in enumerate(block_keys):
+        v8b, scb = gen_block10(kk, centers10)
+        lo = i * bs
+        vecs3, scales3, gid3, rest_vecs, rest_gid = scatter_block(
+            vecs3, scales3, gid3, rest_vecs, rest_gid, v8b, scb,
+            jnp.asarray(dest_of_row[lo:lo + bs]),
+            jnp.asarray(rest_pos_of_row[lo:lo + bs]),
+            jnp.arange(lo, lo + bs, dtype=jnp.int32))
+    vecs3 = vecs3.reshape(C10, cell_cap, D10)
+    scales3 = scales3.reshape(C10, 1, cell_cap)
+    gid3 = gid3.reshape(C10, cell_cap)
+    # Filter columns in cell-major order: gather from cols10 by gid.
+    g_safe = jnp.maximum(gid3.reshape(-1), 0)
+    cols3 = (jnp.take(cols10, g_safe, axis=1).T
+             .reshape(C10, cell_cap, NUM_COLS).transpose(0, 2, 1))
+    cols3 = cols3.at[:, COL_VALID, :].set(
+        jnp.where(gid3 >= 0, cols3[:, COL_VALID, :], 0))
+    rest_cols = jnp.take(cols10, jnp.maximum(rest_gid, 0), axis=1)
+    rest_cols = rest_cols.at[COL_VALID].set(
+        jnp.where(rest_gid >= 0, rest_cols[COL_VALID], 0))
+    jax.block_until_ready(vecs3)
+    out["ivf10_cells"] = C10
+    out["ivf10_cell_cap"] = cell_cap
+    out["ivf10_residual"] = n_rest
+    log(f"10M IVF packed (cap={cell_cap}, residual={n_rest})")
+
+    for nprobe in (64, 128, 256):
+        def ivf_top10(q, nprobe=nprobe):
+            return _ivf_search_candidates(
+                q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
+                rest_gid, scales3, pass10, nprobe=nprobe, limit=LIMIT,
+                assign_k=1)
+
+        _, giv = ivf_top10(q10[:n_oracle])
+        rec = recall_at10(np.asarray(giv), oracle10)
+        qps_ivf, _ = queued_qps(ivf_top10, qstack10)
+        out[f"ivf10_qps_np{nprobe}"] = round(qps_ivf, 1)
+        out[f"ivf10_recall10_np{nprobe}"] = round(rec, 3)
+        log(f"10M IVF np={nprobe}: recall {rec:.3f}, {qps_ivf:.0f} qps")
+    return out
 
 
 if __name__ == "__main__":
