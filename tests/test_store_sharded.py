@@ -94,8 +94,127 @@ def test_sharded_spill_restore(store, temp_root):
         s2.close()
 
 
-def test_sharded_rejects_ivf(store):
+def test_sharded_ivf_requires_rows(store):
     texts, dense, metas, sparse = make_batch(64, seed=3)
     store.store_chunks(texts, dense, metas, sparse)
     with pytest.raises(ValueError):
-        store.build_ivf(n_cells=4)
+        store.build_ivf(n_cells=4)  # < 256 live rows
+
+
+def test_sharded_delete_keeps_df_exact(store):
+    """Sharded deletes must decrement document frequencies exactly (the
+    round-1 implementation let IDF go stale; VERDICT.md weak #6)."""
+    texts, dense, metas, sparse = make_batch(64, seed=4)
+    store.store_chunks(texts, dense, metas, sparse)
+    # Term 100 appears in rows with i % 7 == 0 (10 of 64 rows).
+    assert store.payloads.term_dfs([100])[100] == 10
+    # f0 covers rows 0-3; rows 0 (term 100) among them.
+    store.delete_by_file("kb/f0.md")
+    dfs = store.payloads.term_dfs([100, 101, 102, 103])
+    # Recount over surviving rows i in [4, 64): i % 7 == 0.
+    expect = {t: sum(1 for i in range(4, 64) if 100 + i % 7 == t)
+              for t in (100, 101, 102, 103)}
+    assert dfs == expect
+
+
+@pytest.fixture()
+def big_store(temp_root, monkeypatch):
+    """Non-toy shard capacity: 8 shards x 8192 rows, 384-d."""
+    monkeypatch.setenv("VOITTA_INDEX_SHARDS", "8")
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", str(8 * 8192))
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "384")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    s = TpuVectorStore(index_dir=temp_root / "index")
+    yield s
+    s.close()
+    get_settings.cache_clear()
+
+
+def test_sharded_ivf_search(big_store):
+    """Per-chip IVF at non-toy capacity: recall vs the exact sharded scan."""
+    store = big_store
+    rng = np.random.default_rng(7)
+    n, dim = 4096, 384
+    # Clustered corpus so IVF has real structure to find.
+    centers = rng.standard_normal((32, dim)).astype(np.float32)
+    cid = rng.integers(0, 32, n)
+    dense = centers[cid] + 0.3 * rng.standard_normal((n, dim)).astype(np.float32)
+    texts = [f"chunk {i}" for i in range(n)]
+    metas = [ChunkMetadata(file_path=f"kb/f{i // 8}.md", file_name=f"f{i // 8}.md",
+                           folder_path="kb", index_folder="kb",
+                           chunk_index=i % 8, total_chunks=8,
+                           start_char=0, end_char=10,
+                           indexed_at="2026-08-16T00:00:00Z")
+             for i in range(n)]
+    for lo in range(0, n, 1024):
+        store.store_chunks(texts[lo:lo + 1024], dense[lo:lo + 1024],
+                           metas[lo:lo + 1024])
+    info = store.build_ivf(n_cells=64, nprobe=16)
+    assert info["shards"] == 8
+    assert info["rows"] == n
+    assert store.ivf_active
+
+    hits_exact, hits_ivf = [], []
+    for qi in (5, 777, 2048, 4000):
+        q = dense[qi] / np.linalg.norm(dense[qi])
+        # IVF path (active) vs exact flat sharded scan (forced by nprobe=None
+        # via direct ShardedIndex.search).
+        got = store.search(q, limit=10)
+        assert got and got[0].text == texts[qi]  # self-retrieval through IVF
+        hits_ivf.append({h.text for h in got})
+        from voitta_rag_tpu.ops.filters import make_filter_spec
+        import jax.numpy as jnp
+        scores, gids = store._sharded.search(
+            jnp.asarray(q.reshape(1, -1)), make_filter_spec(), limit=10)
+        live = [int(g) for g in np.asarray(gids)[0] if g >= 0]
+        chunks = store.payloads.get_chunks(live)
+        exact = {chunks[g].text for g in live if g in chunks}
+        hits_exact.append(exact)
+    recall = np.mean([len(a & b) / 10 for a, b in zip(hits_ivf, hits_exact)])
+    assert recall >= 0.9, recall
+
+    # Mutation invalidates the snapshot; exact scan takes over (still correct).
+    store.delete_by_file("kb/f0.md")
+    assert not store.ivf_active
+    q = dense[100] / np.linalg.norm(dense[100])
+    got = store.search(q, limit=3)
+    assert got and got[0].text == texts[100]
+
+    # Rebuild folds the tombstones in.
+    store.build_ivf(n_cells=64, nprobe=16)
+    assert store.ivf_active
+    q0 = dense[0] / np.linalg.norm(dense[0])
+    got = store.search(q0, limit=10)
+    assert all(h.metadata.file_path != "kb/f0.md" for h in got)
+
+
+def test_sharded_ivf_hybrid_and_filters(big_store):
+    store = big_store
+    rng = np.random.default_rng(8)
+    n, dim = 2048, 384
+    dense = rng.standard_normal((n, dim)).astype(np.float32)
+    texts = [f"chunk {i}" for i in range(n)]
+    sparse = [SparseVector(indices=[1000 + i % 50], values=[1.0])
+              for i in range(n)]
+    metas = [ChunkMetadata(file_path=f"{'a' if i < n // 2 else 'b'}/f{i}.md",
+                           file_name=f"f{i}.md",
+                           folder_path="a" if i < n // 2 else "b",
+                           index_folder="a" if i < n // 2 else "b",
+                           chunk_index=0, total_chunks=1,
+                           start_char=0, end_char=10,
+                           indexed_at="2026-08-16T00:00:00Z")
+             for i in range(n)]
+    store.store_chunks(texts, dense, metas, sparse)
+    store.build_ivf(n_cells=8, nprobe=4)
+
+    qi = 42
+    q = dense[qi] / np.linalg.norm(dense[qi])
+    # Hybrid through the sharded IVF path still self-retrieves.
+    got = store.search(q, limit=5, sparse_query=sparse[qi], sparse_weight=0.3)
+    assert got and got[0].text == texts[qi]
+    # Folder filter respected inside the probe kernel's mask.
+    got = store.search(q, limit=5, include_folders=["b"])
+    assert got and all(h.metadata.folder_path == "b" for h in got)

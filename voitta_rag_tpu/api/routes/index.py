@@ -36,8 +36,11 @@ async def optimize_index(request: web.Request, user) -> web.Response:
     store = get_vector_store()
     stats = {}
     try:
-        stats.update(await loop.run_in_executor(
-            None, store.build_postings))
+        # Sharded mode has no postings snapshot (the slot scan is already
+        # per-shard work); its optimize step is the per-chip IVF build.
+        if not store.sharded_active:
+            stats.update(await loop.run_in_executor(
+                None, store.build_postings))
         if body.get("n_cells") or get_settings().ivf_cells:
             stats.update(await loop.run_in_executor(
                 None, lambda: store.build_ivf(

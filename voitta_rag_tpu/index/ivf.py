@@ -172,6 +172,44 @@ def spherical_kmeans(
     return centroids, assign
 
 
+def pack_permutation(
+    assign: np.ndarray, n_cells: int, cell_cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side cell-major packing permutation (a few MB of int arithmetic).
+
+    Args:
+        assign: int [N, k] top-k cell assignment per row (column 0 = primary).
+        n_cells: C.
+        cell_cap: uniform slot budget per cell.
+
+    Returns:
+        (src, dest, prio, rest_src): scatter row ``src[i]`` into flat slot
+        ``dest[i]`` (= cell * cell_cap + position); ``prio[i]`` is which
+        assignment level (0 = primary) produced the pair. Rows whose PRIMARY
+        cell overflowed land in ``rest_src`` (exact residual); overflowing
+        secondary replicas are dropped (the primary copy guarantees
+        findability).
+    """
+    n, assign_k = assign.shape
+    total = n * assign_k
+    rows_all = np.tile(np.arange(n, dtype=np.int64), assign_k)
+    cells_all = assign.T.reshape(-1).astype(np.int64)  # col-major: k=0 first
+    prio = np.repeat(np.arange(assign_k, dtype=np.int64), n)
+    order = np.lexsort((prio, cells_all))  # cell asc, then priority asc
+    cell_sorted = cells_all[order]
+    rows_sorted = rows_all[order]
+    prio_sorted = prio[order]
+    counts = np.bincount(cells_all, minlength=n_cells)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_cell = np.arange(total) - starts[cell_sorted]
+    fits = pos_in_cell < cell_cap
+    src = rows_sorted[fits].astype(np.int32)
+    dest = (cell_sorted[fits] * cell_cap + pos_in_cell[fits]).astype(np.int32)
+    rest_mask = (~fits) & (prio_sorted == 0)
+    rest_src = rows_sorted[rest_mask].astype(np.int32)
+    return src, dest, prio_sorted[fits].astype(np.int32), rest_src
+
+
 # ---------------------------------------------------------------------------
 # probe kernel
 # ---------------------------------------------------------------------------
@@ -395,22 +433,7 @@ class IVFIndex:
         # assignment): priority-ordered stable sort by cell (primary
         # assignments first within each cell), rank within cell, primary
         # overflow to the residual, secondary overflow dropped.
-        rows_all = np.tile(np.arange(n, dtype=np.int64), assign_k)
-        cells_all = assign.T.reshape(-1).astype(np.int64)  # col-major: k=0 first
-        prio = np.repeat(np.arange(assign_k, dtype=np.int64), n)
-        order = np.lexsort((prio, cells_all))  # cell asc, then priority asc
-        cell_sorted = cells_all[order]
-        rows_sorted = rows_all[order]
-        prio_sorted = prio[order]
-        counts = np.bincount(cells_all, minlength=n_cells)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_in_cell = np.arange(total) - starts[cell_sorted]
-        fits = pos_in_cell < cell_cap
-        src = rows_sorted[fits].astype(np.int32)
-        dest = (cell_sorted[fits] * cell_cap
-                + pos_in_cell[fits]).astype(np.int32)
-        rest_mask = (~fits) & (prio_sorted == 0)
-        rest_src = rows_sorted[rest_mask].astype(np.int32)
+        src, dest, _, rest_src = pack_permutation(assign, n_cells, cell_cap)
         r = round_up(max(len(rest_src), 1), 128)
 
         store_int8 = dtype == "int8"

@@ -261,11 +261,18 @@ class TpuVectorStore:
         if not gids:
             return 0
         if self._sharded is not None:
-            # Sharded mode keeps no host term mirror: document frequencies go
-            # slightly stale on delete (IDF refreshes as terms re-enter on
-            # upserts; exact df rebuild happens on spill/restore cycles).
-            self._sharded.tombstone_gids(np.asarray(gids, np.int64))
+            # Sharded mode keeps no host term mirror: read the dying rows'
+            # terms back from the device (tiny gather) so document
+            # frequencies stay EXACT across sharded deletes.
+            gids_arr = np.asarray(gids, np.int64)
+            df_drop: dict[int, int] = {}
+            for t_row in self._sharded.gather_terms(gids_arr):
+                for t in set(int(x) for x in t_row if x != TERM_PAD):
+                    df_drop[t] = df_drop.get(t, 0) - 1
+            self._sharded.tombstone_gids(gids_arr)
             self._payloads.delete_gids(gids)
+            if df_drop:
+                self._payloads.bump_term_dfs(df_drop)
             self._ivf_dirty = True
             self._postings_dirty = True
             self._unsaved_mutations += len(gids)
@@ -381,9 +388,14 @@ class TpuVectorStore:
         with self._lock:
             self._ensure_open()
             if self._sharded is not None:
-                raise ValueError(
-                    "IVF snapshots are per-chip; not supported in sharded "
-                    "mode (the sharded scan is already probe-free)")
+                # Per-chip IVF: shared centroids, per-shard cell-major
+                # blocks, probes merged over ICI (parallel/sharded.py).
+                info = self._sharded.build_ivf(n_cells,
+                                               kmeans_iters=kmeans_iters)
+                if nprobe:
+                    self._ivf_nprobe = nprobe
+                self._ivf_dirty = False
+                return info
             # Gather live rows ON DEVICE (only the row-index vectors cross
             # the host boundary — segments can be GBs, indices are MBs).
             import jax.numpy as jnp
@@ -425,6 +437,8 @@ class TpuVectorStore:
 
     @property
     def ivf_active(self) -> bool:
+        if self._sharded is not None:
+            return self._sharded.ivf is not None and not self._ivf_dirty
         return self._ivf is not None and not self._ivf_dirty
 
     # -- sparse postings snapshot (index/postings.py) ------------------------
@@ -546,13 +560,15 @@ class TpuVectorStore:
 
     def _search_sharded(self, q, spec, qt, qw, limit, sparse_weight,
                         has_sparse):
-        """Multi-chip path: per-shard Pallas scans, local top-p, all-gather
-        candidate merge over ICI, replicated fusion (parallel/sharded.py)."""
+        """Multi-chip path: per-shard Pallas scans (probe-limited when a
+        per-chip IVF snapshot is live), local top-p, all-gather candidate
+        merge over ICI, replicated fusion (parallel/sharded.py)."""
         scores, gids = self._sharded.search(
             jnp.asarray(q), spec,
             qt=qt if has_sparse else None, qw=qw if has_sparse else None,
             sparse_weight=sparse_weight, limit=limit,
-            prefetch_multiplier=self.prefetch_multiplier)
+            prefetch_multiplier=self.prefetch_multiplier,
+            nprobe=self._ivf_nprobe if self.ivf_active else None)
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,

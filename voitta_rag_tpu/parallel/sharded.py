@@ -16,6 +16,7 @@ would use (ops/fusion.py:hybrid_fuse_candidates).
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import numpy as np
 import jax
@@ -26,8 +27,8 @@ from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
 from voitta_rag_tpu.ops.sparse_scan import sparse_scan_scores, TERM_PAD
 from voitta_rag_tpu.ops.filters import COL_DOC, COL_VALID, NUM_COLS, FilterSpec
 from voitta_rag_tpu.ops.fusion import hybrid_fuse_candidates, _candidates_from_lists
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF
-from voitta_rag_tpu.ops.topk import VALID_THRESHOLD
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, round_up
+from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, dedup_candidates, masked_topk
 from voitta_rag_tpu.parallel.mesh import SHARD_AXIS
 
 
@@ -126,6 +127,218 @@ def sharded_search(
               jnp.asarray(sparse_weight, jnp.float32))
 
 
+# ---------------------------------------------------------------------------
+# per-chip IVF (lifts the flat-scan ceiling at large per-shard capacities)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "nprobe", "limit", "prefetch_multiplier",
+                     "has_sparse", "use_fusion", "assign_k"),
+)
+def sharded_ivf_search(
+    mesh: Mesh,
+    q: jax.Array,
+    spec: FilterSpec,
+    centroids: jax.Array,
+    vecs3: jax.Array,
+    cols3: jax.Array,
+    gid3: jax.Array,
+    scales3: jax.Array,
+    rest_vecs: jax.Array,
+    rest_cols: jax.Array,
+    rest_gid: jax.Array,
+    terms: jax.Array,
+    weights: jax.Array,
+    cols_flat: jax.Array,
+    qt: jax.Array,
+    qw: jax.Array,
+    sparse_weight: jax.Array,
+    *,
+    nprobe: int,
+    limit: int,
+    prefetch_multiplier: int = 3,
+    has_sparse: bool = True,
+    use_fusion: bool = True,
+    assign_k: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Probe-limited sharded search: per-chip IVF scan + ICI candidate merge.
+
+    Centroids are replicated, so every chip selects the SAME ``nprobe`` cell
+    ids from the query (no communication) and probes them in its LOCAL
+    cell-major blocks; gid3 already stores store-global row ids, so the
+    gathered candidate union merges exactly like the flat sharded path. The
+    sparse side stays the exact slot scan over the flat arrays (postings
+    remain single-chip; the slot scan is already per-shard work).
+
+    Correctness caveat vs the flat sharded scan: per-chip recall is that of
+    the per-chip IVF probe (the union of per-chip probes is a superset of a
+    single-device IVF probe of the union — each chip probes nprobe cells of
+    its OWN partition, so sharding can only increase the probed fraction).
+    """
+    from voitta_rag_tpu.index.ivf import _ivf_search_scores
+
+    cap = cols_flat.shape[2]
+    p = limit * prefetch_multiplier
+
+    def body(q, params, inc, exc, excif, centroids, vecs3, cols3, gid3,
+             scales3, rest_vecs, rest_cols, rest_gid, terms, weights,
+             cols_flat, qt, qw, w):
+        local_spec = FilterSpec(params, inc, exc, excif)
+        is_int8 = vecs3.dtype == jnp.int8
+        scores, gids = _ivf_search_scores(
+            q, centroids, vecs3[0], cols3[0], gid3[0], rest_vecs[0],
+            rest_cols[0], rest_gid[0], scales3[0] if is_int8 else None,
+            local_spec, nprobe=nprobe)
+        k = min(p * max(assign_k, 1), scores.shape[-1])
+        d_vals, pos = masked_topk(scores, k,
+                                  approx=scores.shape[-1] > (1 << 16))
+        d_gids = jnp.where(
+            pos >= 0,
+            jnp.take_along_axis(gids, jnp.maximum(pos, 0), axis=1),
+            -1).astype(jnp.int32)
+        if assign_k > 1:
+            d_vals, d_gids = dedup_candidates(d_vals, d_gids)
+        d_vals, d_gids = d_vals[:, :p], d_gids[:, :p]
+        if has_sparse:
+            shard = jax.lax.axis_index(SHARD_AXIS)
+            s_scores = sparse_scan_scores(qt, qw, terms[0], weights[0],
+                                          cols_flat[0], local_spec)
+            s_scores = jnp.broadcast_to(s_scores, (q.shape[0], cap))
+            s_vals, s_rows = jax.lax.top_k(s_scores, min(p, cap))
+            s_gids = jnp.where(s_vals > VALID_THRESHOLD,
+                               shard * cap + s_rows, -1).astype(jnp.int32)
+        else:
+            s_vals = jnp.full_like(d_vals, NEG_INF)
+            s_gids = jnp.full_like(d_gids, -1)
+        # ---- ICI all-gather of per-chip candidates ----
+        d_vals, d_gids = _gather(d_vals), _gather(d_gids)
+        s_vals, s_gids = _gather(s_vals), _gather(s_gids)
+        if has_sparse and use_fusion:
+            return hybrid_fuse_candidates(
+                d_vals, d_gids, s_vals, s_gids, w,
+                limit=limit, prefetch_multiplier=prefetch_multiplier)
+
+        def row(dv, di):
+            vals, ids, valid = _candidates_from_lists(dv, di, limit)
+            return jnp.where(valid, vals, NEG_INF), jnp.where(valid, ids, -1)
+
+        return jax.vmap(row)(d_vals, d_gids)
+
+    shard_spec = P(SHARD_AXIS)
+    rep = P()
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            rep,                     # q
+            rep, rep, rep, rep,      # FilterSpec fields
+            rep,                     # centroids (replicated: tiny, read-only)
+            shard_spec, shard_spec, shard_spec, shard_spec,  # cell blocks
+            shard_spec, shard_spec, shard_spec,              # residual
+            shard_spec, shard_spec, shard_spec,  # terms, weights, cols_flat
+            rep, rep, rep,           # qt, qw, sparse_weight
+        ),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
+              centroids, vecs3, cols3, gid3, scales3, rest_vecs, rest_cols,
+              rest_gid, terms, weights, cols_flat, qt, qw,
+              jnp.asarray(sparse_weight, jnp.float32))
+
+
+@dataclass
+class ShardedIVF:
+    """Per-chip IVF snapshot over a ShardedIndex (read-optimized).
+
+    Shared f32 centroids (replicated — tiny, and identical cell selection on
+    every chip costs no communication); cell-major blocks, filter columns,
+    store-global row ids, and the exact overflow residual are all stacked
+    ``[n_shards, ...]`` and sharded on axis 0 like the flat arrays. The
+    reference's analogue is Qdrant's background-built HNSW graph
+    (services/vector_store.py:88-100).
+    """
+
+    centroids: jax.Array   # [C, D] f32, replicated
+    vecs3: jax.Array       # [n, C, cell_cap, D] sharded
+    cols3: jax.Array       # [n, C, NUM_COLS, cell_cap] int32
+    gid3: jax.Array        # [n, C, cell_cap] int32 store-gids (-1 = empty)
+    scales3: jax.Array     # [n, C, 1, cell_cap] f32 (read only for int8)
+    rest_vecs: jax.Array   # [n, R, D]
+    rest_cols: jax.Array   # [n, NUM_COLS, R] int32
+    rest_gid: jax.Array    # [n, R] int32
+    assign_k: int = 1
+
+    @property
+    def n_cells(self) -> int:
+        return self.centroids.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("is_int8",))
+def _gather_rows_f32(vecs, scales, si, ri, is_int8: bool):
+    v = vecs[si, ri].astype(jnp.float32)
+    if is_int8:
+        v = v * scales[si, 0, ri][:, None]
+    return v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_cells", "cell_cap", "rest_cap", "assign_k"),
+)
+def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
+                      n_cells: int, cell_cap: int, rest_cap: int,
+                      assign_k: int):
+    """Scatter each shard's rows into its cell-major blocks ON DEVICE.
+
+    The bulk vector data never leaves HBM; the host only computed the
+    per-row destination slots (``dest`` [n, assign_k, cap] int32, OOB =
+    dropped/tombstoned; ``rest_dest`` [n, cap] for primary overflow).
+    """
+    n_slots = n_cells * cell_cap
+
+    def body(vecs, scales, cols, dest, rest_dest):
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        v = vecs[0]               # [cap, D]
+        sc = scales[0, 0]         # [cap]
+        ct = cols[0].T            # [cap, NUM_COLS]
+        cap = v.shape[0]
+        d = v.shape[1]
+        gid_local = (shard * cap + jnp.arange(cap)).astype(jnp.int32)
+        main_v = jnp.zeros((n_slots, d), v.dtype)
+        main_s = jnp.zeros((n_slots,), jnp.float32)
+        main_c = jnp.zeros((n_slots, NUM_COLS), jnp.int32)
+        main_g = jnp.full((n_slots,), -1, jnp.int32)
+        for j in range(assign_k):
+            dj = dest[0, j]
+            main_v = main_v.at[dj].set(v, mode="drop")
+            main_s = main_s.at[dj].set(sc, mode="drop")
+            main_c = main_c.at[dj].set(ct, mode="drop")
+            main_g = main_g.at[dj].set(gid_local, mode="drop")
+        rd = rest_dest[0]
+        if v.dtype == jnp.int8:
+            vf = v.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
+        else:
+            vf = v
+        rest_v = jnp.zeros((rest_cap, d), vf.dtype).at[rd].set(
+            vf, mode="drop")
+        rest_c = jnp.zeros((rest_cap, NUM_COLS), jnp.int32).at[rd].set(
+            ct, mode="drop")
+        rest_g = jnp.full((rest_cap,), -1, jnp.int32).at[rd].set(
+            gid_local, mode="drop")
+        return (main_v.reshape(1, n_cells, cell_cap, d),
+                main_s.reshape(1, n_cells, 1, cell_cap),
+                main_c.reshape(n_cells, cell_cap, NUM_COLS)
+                .transpose(0, 2, 1)[None],
+                main_g.reshape(1, n_cells, cell_cap),
+                rest_v[None], rest_c.T[None], rest_g[None])
+
+    sp = P(SHARD_AXIS)
+    return jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 5,
+                         out_specs=(sp,) * 7, check_vma=False)(
+        vecs, scales, cols, dest, rest_dest)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buf, shard_idx, rows, vals):
     return buf.at[shard_idx, rows].set(vals, mode="drop")
@@ -179,6 +392,9 @@ class ShardedIndex:
         self.cols = jax.device_put(jnp.zeros((n, NUM_COLS, cap), jnp.int32), sh())
         self._next = np.zeros(n, np.int64)
         self._free: list[list[int]] = [[] for _ in range(n)]
+        # Per-chip IVF snapshot (build_ivf); staleness is governed by the
+        # owning store's dirty flag, mirroring the flat IVFIndex contract.
+        self.ivf: ShardedIVF | None = None
 
     # -- allocation: waterfill so shards stay evenly loaded (balanced scans) -
     def _allocate(self, count: int) -> tuple[np.ndarray, np.ndarray]:
@@ -272,6 +488,20 @@ class ShardedIndex:
         """Tombstone every row of a document across all shards."""
         self.cols = _tombstone_matching(self.cols, COL_DOC, doc_id)
 
+    def gather_terms(self, gids: np.ndarray) -> np.ndarray:
+        """Sparse term ids of the given rows → host int32 [len(gids), S].
+
+        A tiny device→host gather (len(gids) * S int32) that lets the store
+        keep document frequencies EXACT on sharded deletes — the sharded
+        index keeps no host term mirror, so the terms of dying rows are read
+        back from the device right before they are tombstoned.
+        """
+        if len(gids) == 0:
+            return np.empty((0, self.sparse_slots), np.int32)
+        si = jnp.asarray((gids // self.cap).astype(np.int32))
+        ri = jnp.asarray((gids % self.cap).astype(np.int32))
+        return np.asarray(_gather_terms_sharded(self.terms, si, ri))
+
     def tombstone_gids(self, gids: np.ndarray) -> None:
         if len(gids) == 0:
             return
@@ -326,12 +556,106 @@ class ShardedIndex:
         return int(np.asarray(
             (self.cols[:, COL_VALID, :] > 0).sum()))
 
+    def build_ivf(self, n_cells: int, *, kmeans_iters: int = 25,
+                  skew_factor: float = 2.0, seed: int = 0, assign_k: int = 1,
+                  train_sample: int = 262144) -> dict:
+        """Build the per-chip IVF snapshot from live rows.
+
+        Centroids train on a cross-shard device sample; the full assignment
+        runs blocked on device; the host computes only the per-row slot
+        destinations (int32, a few MB); the cell-major packing scatter runs
+        under ``shard_map`` so the vector data never leaves HBM.
+        """
+        from voitta_rag_tpu.index.ivf import (
+            _assign_topk_cells, _block_rows_for, _kmeans_train,
+            pack_permutation,
+        )
+
+        n, cap = self.n_shards, self.cap
+        valid = np.asarray(self.cols[:, COL_VALID, :] > 0)   # [n, cap]
+        n_live = int(valid.sum())
+        if n_cells <= 1 or n_live < max(n_cells, 256):
+            raise ValueError(
+                f"need >= max(n_cells, 256) live rows for IVF "
+                f"(have {n_live}, n_cells={n_cells})")
+        is_int8 = self.dtype == "int8"
+
+        # --- centroids from a cross-shard sample (device gather) ---
+        flat_valid = np.flatnonzero(valid.reshape(-1))
+        rng = np.random.default_rng(seed)
+        ns = min(n_live, max(train_sample, n_cells * 4))
+        pick = rng.choice(flat_valid, ns, replace=False)
+        train_v = _gather_rows_f32(
+            self.vecs, self.scales,
+            jnp.asarray((pick // cap).astype(np.int32)),
+            jnp.asarray((pick % cap).astype(np.int32)), is_int8)
+        br = _block_rows_for(n_cells)
+        centroids = _kmeans_train(train_v, None, n_cells, kmeans_iters,
+                                  max(1, ns // br), seed)
+
+        # --- full blocked assignment (host pulls [n*cap, k] int32 only) ---
+        flat_vecs = self.vecs.reshape(n * cap, self.dim)
+        flat_scales = self.scales.reshape(n * cap) if is_int8 else None
+        assign = np.asarray(_assign_topk_cells(
+            flat_vecs, flat_scales, centroids, assign_k,
+            max(1, -(-(n * cap) // br)))).reshape(n, cap, assign_k)
+
+        # --- per-shard packing permutation (host int arithmetic) ---
+        cell_cap = round_up(
+            max(int(skew_factor * n_live * assign_k / (n * n_cells)), 128),
+            128)
+        n_slots = n_cells * cell_cap
+        dest_of = np.full((n, assign_k, cap), n_slots, np.int32)  # OOB drop
+        rest_lists = []
+        for s in range(n):
+            rows_v = np.flatnonzero(valid[s]).astype(np.int64)
+            if len(rows_v) == 0:
+                rest_lists.append(np.empty(0, np.int64))
+                continue
+            src, dest, prio, rest_src = pack_permutation(
+                assign[s][rows_v], n_cells, cell_cap)
+            dest_of[s, prio, rows_v[src]] = dest
+            rest_lists.append(rows_v[rest_src])
+        rest_cap = round_up(
+            max(max((len(r) for r in rest_lists), default=0), 1), 128)
+        rest_of = np.full((n, cap), rest_cap, np.int32)  # OOB → dropped
+        for s, rl in enumerate(rest_lists):
+            rest_of[s, rl] = np.arange(len(rl), dtype=np.int32)
+
+        # --- device packing under shard_map ---
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        vecs3, scales3, cols3, gid3, rest_vecs, rest_cols, rest_gid = (
+            _pack_ivf_sharded(
+                self.mesh, self.vecs, self.scales, self.cols,
+                jax.device_put(jnp.asarray(dest_of), sh),
+                jax.device_put(jnp.asarray(rest_of), sh),
+                n_cells=n_cells, cell_cap=cell_cap, rest_cap=rest_cap,
+                assign_k=assign_k))
+        self.ivf = ShardedIVF(
+            centroids=centroids, vecs3=vecs3, cols3=cols3, gid3=gid3,
+            scales3=scales3, rest_vecs=rest_vecs, rest_cols=rest_cols,
+            rest_gid=rest_gid, assign_k=assign_k)
+        return {"cells": n_cells, "rows": n_live, "cell_cap": cell_cap,
+                "residual": int(np.asarray((rest_gid >= 0).sum())),
+                "shards": n}
+
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
-               limit=10, prefetch_multiplier=3, fusion=True):
+               limit=10, prefetch_multiplier=3, fusion=True, nprobe=None):
         has_sparse = qt is not None
         if qt is None:
             qt = jnp.full((1, 1), TERM_PAD, jnp.int32)
             qw = jnp.zeros((1, 1), jnp.float32)
+        if nprobe is not None and self.ivf is not None:
+            iv = self.ivf
+            return sharded_ivf_search(
+                self.mesh, q, spec, iv.centroids, iv.vecs3, iv.cols3,
+                iv.gid3, iv.scales3, iv.rest_vecs, iv.rest_cols, iv.rest_gid,
+                self.terms, self.weights, self.cols,
+                jnp.asarray(qt), jnp.asarray(qw), sparse_weight,
+                nprobe=min(nprobe, iv.n_cells), limit=limit,
+                prefetch_multiplier=prefetch_multiplier,
+                has_sparse=has_sparse, use_fusion=fusion,
+                assign_k=iv.assign_k)
         return sharded_search(
             self.mesh, q, spec, self.vecs, self.cols, self.scales,
             self.terms, self.weights, jnp.asarray(qt), jnp.asarray(qw),
@@ -343,3 +667,9 @@ class ShardedIndex:
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _tombstone_rows_sharded(cols, shard_idx, rows):
     return cols.at[shard_idx, COL_VALID, rows].set(0, mode="drop")
+
+
+@jax.jit
+def _gather_terms_sharded(terms, shard_idx, rows):
+    # terms [n, S, cap] → [len(gids), S]; XLA inserts the cross-shard gather.
+    return terms[shard_idx, :, rows]
