@@ -1,4 +1,4 @@
-"""File watcher: tree-scan polling with pub/sub event fan-out.
+"""File watcher: kernel inotify events (ctypes) with polling fallback.
 
 Behavior contract (reference services/watcher.py:99-350): emits
 created/modified/deleted events for files and directories under the root
@@ -10,15 +10,20 @@ created/modified/deleted events for files and directories under the root
   configured ancestor (watcher.py:173-249),
 - asyncio-queue pub/sub driving the WebSocket broadcast (watcher.py:251-293).
 
-Implementation difference: the reference uses watchdog/inotify; this
-framework polls with mtime/size diffing (dependency-free, works on network
-mounts). The event contract is identical.
+Backends: the reference uses watchdog's inotify observer; this framework
+binds inotify(7) directly through libc (:mod:`voitta_rag_tpu.services
+.inotify` — no O(tree) scans, millisecond latency) and falls back to
+mtime/size-diff polling where inotify is unavailable (non-Linux, network
+mounts with VOITTA_WATCH_BACKEND=poll). A kernel queue overflow triggers
+one scan-diff rescan against an incrementally maintained snapshot, so no
+deletion is ever lost. The event contract is identical in both backends.
 """
 
 from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -49,9 +54,16 @@ class _Snapshot:
 
 
 class FileWatcher:
-    def __init__(self, fs=None, poll_interval: float = POLL_INTERVAL):
+    def __init__(self, fs=None, poll_interval: float = POLL_INTERVAL,
+                 backend: str | None = None):
         self._fs = fs
         self.poll_interval = poll_interval
+        # "inotify" | "poll" | "auto" (env VOITTA_WATCH_BACKEND overrides).
+        self.backend_pref = backend or os.environ.get(
+            "VOITTA_WATCH_BACKEND", "auto")
+        self.backend_active = "poll"
+        self._inotify = None
+        self._pending_creates: set[str] = set()
         self._subscribers: list[asyncio.Queue] = []
         self._suppressed: set[str] = set()
         self._lock = threading.Lock()
@@ -181,15 +193,163 @@ class FileWatcher:
             self._diff_and_emit(self._snapshot, new)
         self._snapshot = new
 
+    # -- inotify backend -----------------------------------------------------
+    def _try_init_inotify(self) -> bool:
+        if self.backend_pref == "poll":
+            return False
+        try:
+            from voitta_rag_tpu.services.inotify import InotifyBackend
+
+            backend = InotifyBackend()
+            backend.add_tree(str(self.fs.root))
+            self._inotify = backend
+            return True
+        except Exception as e:
+            if self.backend_pref == "inotify":
+                raise
+            logger.info("inotify unavailable (%s); polling fallback", e)
+            return False
+
+    def _rel_of(self, abs_path: str) -> str | None:
+        """Root-relative path, or None for out-of-tree/hidden entries."""
+        try:
+            parts = Path(abs_path).relative_to(self.fs.root).parts
+        except ValueError:
+            return None
+        if not parts or any(p.startswith(".") for p in parts):
+            return None
+        return "/".join(parts)
+
+    def _inotify_created(self, abs_path: str, rel: str, is_dir: bool) -> None:
+        snap = self._snapshot
+        if is_dir:
+            # Watch the subtree FIRST, reporting entries that landed between
+            # mkdir and watch registration, then announce parent-to-child so
+            # settings inheritance sees ancestors before descendants.
+            found = self._inotify.add_tree(abs_path)
+            snap.dirs.add(rel)
+            if not self._is_suppressed(rel):
+                self.broadcast(FileEvent("created", rel, is_directory=True))
+                if self.on_dir_created:
+                    try:
+                        self.on_dir_created(rel)
+                    except Exception:
+                        logger.exception("on_dir_created failed for %s", rel)
+            for child_abs, child_is_dir in found:
+                child_rel = self._rel_of(child_abs)
+                if child_rel is None:
+                    continue
+                if child_is_dir:
+                    snap.dirs.add(child_rel)
+                else:
+                    self._note_file(child_abs, child_rel)
+                if not self._is_suppressed(child_rel):
+                    self.broadcast(FileEvent("created", child_rel,
+                                             is_directory=child_is_dir))
+                    if child_is_dir and self.on_dir_created:
+                        try:
+                            self.on_dir_created(child_rel)
+                        except Exception:
+                            logger.exception("on_dir_created failed for %s",
+                                             child_rel)
+        else:
+            self._note_file(abs_path, rel)
+            self._pending_creates.add(rel)
+            if not self._is_suppressed(rel):
+                self.broadcast(FileEvent("created", rel))
+
+    def _note_file(self, abs_path: str, rel: str) -> None:
+        try:
+            st = os.stat(abs_path)
+            self._snapshot.files[rel] = (st.st_mtime, st.st_size)
+        except OSError:
+            pass
+
+    def _inotify_deleted(self, abs_path: str, rel: str, is_dir: bool) -> None:
+        snap = self._snapshot
+        if is_dir:
+            self._inotify.remove_tree(abs_path)
+            snap.dirs.discard(rel)
+            prefix = rel + "/"
+            snap.dirs = {d for d in snap.dirs if not d.startswith(prefix)}
+            snap.files = {f: v for f, v in snap.files.items()
+                          if not f.startswith(prefix)}
+        else:
+            snap.files.pop(rel, None)
+            self._pending_creates.discard(rel)
+        if self._is_suppressed(rel):
+            return
+        self.broadcast(FileEvent("deleted", rel, is_directory=is_dir))
+        if self.on_delete:
+            try:
+                self.on_delete(rel, is_dir)
+            except Exception:
+                logger.exception("on_delete failed for %s", rel)
+
+    def _handle_inotify(self, dirpath: str, mask: int, name: str) -> None:
+        from voitta_rag_tpu.services import inotify as ino
+
+        abs_path = os.path.join(dirpath, name) if name else dirpath
+        rel = self._rel_of(abs_path)
+        if rel is None:
+            return
+        is_dir = bool(mask & ino.IN_ISDIR)
+        if mask & (ino.IN_CREATE | ino.IN_MOVED_TO):
+            self._inotify_created(abs_path, rel, is_dir)
+        elif mask & (ino.IN_DELETE | ino.IN_MOVED_FROM):
+            self._inotify_deleted(abs_path, rel, is_dir)
+        elif mask & ino.IN_CLOSE_WRITE and not is_dir:
+            if rel in self._pending_creates:
+                # Tail of a create (open→write→close): already announced.
+                self._pending_creates.discard(rel)
+                self._note_file(abs_path, rel)
+                return
+            self._note_file(abs_path, rel)
+            if not self._is_suppressed(rel):
+                self.broadcast(FileEvent("modified", rel))
+
+    def _run_inotify(self) -> None:
+        while not self._stop.is_set():
+            try:
+                events = self._inotify.read_events(timeout=0.5)
+            except Exception:
+                logger.exception("inotify read failed; polling fallback")
+                self._inotify.close()
+                self._inotify = None
+                self.backend_active = "poll"
+                self._run()
+                return
+            if events is None:
+                # Kernel queue overflow: one scan-diff rescan against the
+                # incrementally maintained snapshot recovers lost events.
+                logger.warning("inotify queue overflow; rescanning")
+                try:
+                    self.poll_once()
+                    self._inotify.add_tree(str(self.fs.root))
+                except Exception:
+                    logger.exception("overflow rescan failed")
+                continue
+            for dirpath, mask, name in events:
+                try:
+                    self._handle_inotify(dirpath, mask, name)
+                except Exception:
+                    logger.exception("inotify event failed (%s %s)",
+                                     dirpath, name)
+
     # -- thread lifecycle (reference watcher.py:319-350) --------------------
     def start(self, loop: asyncio.AbstractEventLoop) -> None:
         self._loop = loop
         self._stop.clear()
         self._snapshot = self._scan()
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="file-watcher")
+        use_inotify = self._try_init_inotify()
+        self.backend_active = "inotify" if use_inotify else "poll"
+        self._thread = threading.Thread(
+            target=self._run_inotify if use_inotify else self._run,
+            daemon=True, name="file-watcher")
         self._thread.start()
-        logger.info("file watcher started (poll %.1fs)", self.poll_interval)
+        logger.info("file watcher started (backend=%s%s)",
+                    self.backend_active,
+                    "" if use_inotify else f", poll {self.poll_interval:.1f}s")
 
     def _run(self) -> None:
         while not self._stop.wait(self.poll_interval):
@@ -203,6 +363,9 @@ class FileWatcher:
         if self._thread:
             self._thread.join(timeout=5)
             self._thread = None
+        if self._inotify is not None:
+            self._inotify.close()
+            self._inotify = None
 
 
 file_watcher = FileWatcher()
