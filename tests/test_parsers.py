@@ -226,3 +226,58 @@ def test_pdf_buckets(tmp_path):
     buckets = list(parser.parse_in_buckets(p, pages_per_bucket=2))
     assert [(s, e) for _, s, e in buckets] == [(1, 2), (3, 4), (5, 5)]
     assert "Page number 3." in buckets[1][0].content
+
+
+def test_pdf_external_worker(tmp_path, monkeypatch):
+    """VOITTA_PDF_WORKER_CMD restores the reference's MinerU subprocess
+    pattern (pdf_parser.py:110-164): JSON on stdout, bucket page args."""
+    import sys
+
+    from voitta_rag_tpu.config import get_settings
+    from voitta_rag_tpu.services.parsers.pdf_parser import PdfParser
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import json, sys\n"
+        "path, start, end = sys.argv[1], sys.argv[2], sys.argv[3]\n"
+        "print(json.dumps({'content': f'OCR pages {start}-{end}',"
+        " 'metadata': {'engine': 'fake-ocr'}}))\n")
+    monkeypatch.setenv("VOITTA_PDF_WORKER_CMD",
+                       f"{sys.executable} {worker}")
+    get_settings.cache_clear()
+    try:
+        p = tmp_path / "doc.pdf"
+        p.write_bytes(make_pdf([f"Page number {i}." for i in range(1, 6)]))
+        parser = PdfParser()
+        res = parser.parse(p)
+        assert res.success
+        assert res.content == "OCR pages 1-5"
+        assert res.metadata["engine"] == "fake-ocr"
+        assert res.metadata["page_count"] == 5
+
+        buckets = list(parser.parse_in_buckets(p, pages_per_bucket=2))
+        assert [(s, e) for _, s, e in buckets] == [(1, 2), (3, 4), (5, 5)]
+        assert buckets[1][0].content == "OCR pages 3-4"
+    finally:
+        get_settings.cache_clear()
+
+
+def test_pdf_worker_failure_falls_back(tmp_path, monkeypatch):
+    import sys
+
+    from voitta_rag_tpu.config import get_settings
+    from voitta_rag_tpu.services.parsers.pdf_parser import PdfParser
+
+    worker = tmp_path / "broken.py"
+    worker.write_text("import sys; sys.exit(3)\n")
+    monkeypatch.setenv("VOITTA_PDF_WORKER_CMD",
+                       f"{sys.executable} {worker}")
+    get_settings.cache_clear()
+    try:
+        p = tmp_path / "doc.pdf"
+        p.write_bytes(make_pdf(["Real embedded text."]))
+        res = PdfParser().parse(p)
+        assert res.success
+        assert "Real embedded text." in res.content  # in-process fallback
+    finally:
+        get_settings.cache_clear()

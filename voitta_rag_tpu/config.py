@@ -60,6 +60,14 @@ class Settings:
 
         # PDF bucketing (reference config.py:46-47)
         self.pdf_pages_per_bucket: int = int(os.getenv("PDF_PAGES_PER_BUCKET", "20"))
+        # Optional external PDF worker (the reference's MinerU subprocess
+        # pattern, pdf_parser.py:110-164): a command invoked as
+        #   <cmd> <pdf_path> <start_page> <end_page>
+        # printing {"content": md, "metadata": {...}} JSON on stdout.
+        # Empty = use the in-process extractor.
+        self.pdf_worker_cmd: str = os.getenv("VOITTA_PDF_WORKER_CMD", "")
+        self.pdf_worker_timeout: int = int(
+            os.getenv("VOITTA_PDF_WORKER_TIMEOUT", "3600"))
 
         # Indexing worker (reference config.py:49-50)
         self.indexing_poll_interval: int = int(os.getenv("INDEXING_POLL_INTERVAL", "10"))

@@ -23,6 +23,14 @@ to MinerU). The bucketing generator API (``parse_in_buckets`` yielding
 per-bucket results with page metadata, reference pdf_parser.py:209-327) is
 preserved so the indexing service's progressive checkpointing works
 identically.
+
+For corpora that need OCR/layout-ML quality, ``VOITTA_PDF_WORKER_CMD``
+restores the reference's external-worker pattern (pdf_parser.py:110-164,
+scripts/mineru_parse.py): the command is invoked per bucket as
+``<cmd> <pdf_path> <start_page> <end_page>`` (1-based, inclusive) and must
+print ``{"content": "<markdown>", "metadata": {...}}`` JSON on stdout. A
+worker failure falls back to the in-process extractor, so a broken venv
+never blocks indexing.
 """
 
 from __future__ import annotations
@@ -431,20 +439,64 @@ class PdfDocument:
         return "\n".join(p for p in parts if p)
 
 
+def _run_pdf_worker(cmd: str, file_path: Path, start: int,
+                    end: int) -> ParserResult | None:
+    """Invoke the external worker for pages [start, end] (1-based).
+
+    Returns None on any failure (caller falls back to the in-process
+    extractor) — mirroring the reference's per-bucket subprocess error
+    handling (pdf_parser.py:110-164).
+    """
+    import json
+    import shlex
+    import subprocess
+
+    settings = get_settings()
+    argv = shlex.split(cmd) + [str(file_path), str(start), str(end)]
+    try:
+        proc = subprocess.run(
+            argv, capture_output=True, text=True,
+            timeout=settings.pdf_worker_timeout)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "PDF worker failed (%s); in-process fallback", e)
+        return None
+    if proc.returncode != 0:
+        return None
+    try:
+        payload = json.loads(proc.stdout)
+        content = payload["content"]
+    except (ValueError, KeyError, TypeError):
+        return None
+    meta = payload.get("metadata") or {}
+    if not isinstance(meta, dict):
+        meta = {}
+    return ParserResult(content=content, metadata=meta)
+
+
 class PdfParser(BaseParser):
     extensions = [".pdf"]
 
     def parse(self, file_path: Path) -> ParserResult:
         try:
             doc = PdfDocument(file_path)
-            pages = [doc.page_text(i) for i in range(doc.page_count)]
+            n = doc.page_count
+            cmd = get_settings().pdf_worker_cmd
+            if cmd:
+                res = _run_pdf_worker(cmd, file_path, 1, n)
+                if res is not None:
+                    res.metadata.setdefault("page_count", n)
+                    return res
+            pages = [doc.page_text(i) for i in range(n)]
             content = "\n\n".join(p for p in pages if p)
             if not content.strip():
                 return ParserResult.failure(
                     "No extractable text (scanned/image PDF or unsupported "
                     "encoding)")
             return ParserResult(content=content,
-                                metadata={"page_count": doc.page_count})
+                                metadata={"page_count": n})
         except Exception as e:
             return ParserResult.failure(f"Failed to parse PDF: {e}")
 
@@ -456,12 +508,20 @@ class PdfParser(BaseParser):
     ) -> Iterator[tuple[ParserResult, int, int]]:
         """Yield (result, start_page, end_page) per bucket (1-based pages;
         reference pdf_parser.py:209-327 streaming contract)."""
+        settings = get_settings()
         if pages_per_bucket is None:
-            pages_per_bucket = get_settings().pdf_pages_per_bucket
+            pages_per_bucket = settings.pdf_pages_per_bucket
         doc = PdfDocument(file_path)
         n = doc.page_count
+        cmd = settings.pdf_worker_cmd
         for start in range(0, n, pages_per_bucket):
             end = min(start + pages_per_bucket, n)
+            if cmd:
+                res = _run_pdf_worker(cmd, file_path, start + 1, end)
+                if res is not None:
+                    res.metadata.setdefault("page_count", n)
+                    yield res, start + 1, end
+                    continue
             texts = [doc.page_text(i) for i in range(start, end)]
             content = "\n\n".join(t for t in texts if t)
             yield (ParserResult(content=content,
