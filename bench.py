@@ -304,11 +304,13 @@ def main():
         extra["int8_hybrid_qps"] = round(qps8, 1)
 
         @jax.jit
-        def int8_top(q):
+        def int8_top(q, v8, cols, scales):
+            # Arrays are ARGUMENTS: a closed-over GB-scale array becomes an
+            # XLA constant and the remote compile payload explodes (HTTP 413).
             sc = dense_scan_scores(q, v8, cols, pass_all, scales)
             return masked_topk(sc, LIMIT, approx=True)
 
-        _, ids8 = int8_top(q_oracle)
+        _, ids8 = int8_top(q_oracle, v8, cols, scales)
         extra["int8_recall10"] = round(recall_at10(np.asarray(ids8),
                                                    oracle_ids), 3)
         log(f"int8: {qps8:.0f} qps, recall {extra['int8_recall10']}")
@@ -336,11 +338,9 @@ def main():
             extra[f"ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
             extra[f"ivf_recall10_np{nprobe}"] = round(rec, 3)
             log(f"IVF np={nprobe}: recall {rec:.3f}, {qps_ivf:.0f} qps")
-        ivf_ops_1m = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
-                      ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid, ivf.scales3)
     except Exception as e:
         extra["ivf_error"] = str(e)[:250]
-        ivf_ops_1m = None
+        ivf = None
 
     # ---- inverted postings sparse ----
     log("building sparse postings")
@@ -478,6 +478,17 @@ def main():
     # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
     if on_tpu:
         try:
+            # Free every 1M-section buffer first: the 10M section needs the
+            # whole 16 GB of HBM (7.7 GB corpus + 8 GB cell-major copy,
+            # staged) and the 1M arrays above hold ~4-5 GB.
+            import gc
+
+            vecs_dev = vecs = v8 = scales = scale = w16 = cols = None
+            terms = weights = qt_j = qw_j = qstack = q_oracle = None
+            oracle_scores = oracle_ids = ivf = post = None
+            vecs_np = weights_np = terms_np = cols_np = sub = None
+            big = xs = ids_stack = istacks = qts = qws = eparams = None
+            gc.collect()
             ten_m = bench_10m(extra, rng)
             extra.update(ten_m)
         except Exception as e:
@@ -509,7 +520,7 @@ def bench_10m(extra_main, rng):
     out = {}
     N10, D10, S10 = 10 * 1024 * 1024, 768, 16
     TC10, C10 = 8192, 8192
-    n_blocks = 16
+    n_blocks = 32   # smaller blocks: the f32 gen transient is bs x 768 x 4
     bs = N10 // n_blocks
 
     kc, _ = jax.random.split(jax.random.PRNGKey(77))
@@ -544,17 +555,24 @@ def bench_10m(extra_main, rng):
     terms10 = weights10 = None
     gc.collect()
 
-    # --- dense corpus ---
+    # --- dense corpus: preallocate + donated in-place block fill (a
+    # concatenate of the blocks would briefly hold the corpus TWICE) ---
     block_keys = jax.random.split(jax.random.PRNGKey(78), n_blocks)
     t0 = time.time()
-    blocks, scs = [], []
-    for kk in block_keys:
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def set_block10(vecs10, sc_flat, v8b, scb, lo):
+        return (jax.lax.dynamic_update_slice(vecs10, v8b, (lo, 0)),
+                jax.lax.dynamic_update_slice(sc_flat, scb, (lo,)))
+
+    vecs10 = jnp.zeros((N10, D10), jnp.int8)
+    sc_flat = jnp.zeros((N10,), jnp.float32)
+    for i, kk in enumerate(block_keys):
         v8b, scb = gen_block10(kk, centers10)
-        blocks.append(v8b)
-        scs.append(scb)
-    vecs10 = jnp.concatenate(blocks)
-    scales10 = jnp.concatenate(scs)[None, :]
-    del blocks, scs
+        vecs10, sc_flat = set_block10(vecs10, sc_flat, v8b, scb,
+                                      jnp.int32(i * bs))
+    scales10 = sc_flat[None, :]
+    sc_flat = None
     jax.block_until_ready(vecs10)
     log(f"10M corpus ready ({time.time() - t0:.0f}s)")
 
@@ -610,6 +628,10 @@ def bench_10m(extra_main, rng):
 
     _, oracle10 = flat_top10(q10[:n_oracle], vecs10, scales10, cols10)
     oracle10 = np.asarray(oracle10)
+    # The postings (1.6 GB) are not needed past this point; the IVF
+    # cell-major copy (10.5 GB at skew 1.3) needs the room.
+    post10 = None
+    gc.collect()
 
     # --- IVF: train on a sample, assign, then regenerate-and-scatter ---
     log("10M IVF: sampled k-means")
@@ -645,18 +667,24 @@ def bench_10m(extra_main, rng):
     # the 8 GB buffers update in place.
     vecs10 = scales10 = None
     gc.collect()
-    vecs3 = jnp.zeros((n_slots, D10), jnp.int8)
-    scales3 = jnp.zeros((n_slots,), jnp.float32)
-    gid3 = jnp.full((n_slots,), -1, jnp.int32)
+    # Allocate the cell-major 3D layout DIRECTLY — an eager reshape of a
+    # 10.5 GB flat buffer at the end would copy it (2x HBM -> OOM).
+    vecs3 = jnp.zeros((C10, cell_cap, D10), jnp.int8)
+    scales3 = jnp.zeros((C10, 1, cell_cap), jnp.float32)
+    gid3 = jnp.full((C10, cell_cap), -1, jnp.int32)
     rest_vecs = jnp.zeros((rest_cap, D10), jnp.bfloat16)
     rest_gid = jnp.full((rest_cap,), -1, jnp.int32)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
     def scatter_block(vecs3, scales3, gid3, rest_vecs, rest_gid, v8b, scb,
                       dests, rests, gids_b):
-        vecs3 = vecs3.at[dests].set(v8b, mode="drop")
-        scales3 = scales3.at[dests].set(scb, mode="drop")
-        gid3 = gid3.at[dests].set(gids_b, mode="drop")
+        # Flat slot -> (cell, pos); the OOB sentinel n_slots maps to cell
+        # C10 which mode="drop" discards.
+        cells = dests // cell_cap
+        poss = dests % cell_cap
+        vecs3 = vecs3.at[cells, poss].set(v8b, mode="drop")
+        scales3 = scales3.at[cells, 0, poss].set(scb, mode="drop")
+        gid3 = gid3.at[cells, poss].set(gids_b, mode="drop")
         vf = v8b.astype(jnp.bfloat16) * scb[:, None].astype(jnp.bfloat16)
         rest_vecs = rest_vecs.at[rests].set(vf, mode="drop")
         rest_gid = rest_gid.at[rests].set(gids_b, mode="drop")
@@ -670,9 +698,6 @@ def bench_10m(extra_main, rng):
             jnp.asarray(dest_of_row[lo:lo + bs]),
             jnp.asarray(rest_pos_of_row[lo:lo + bs]),
             jnp.arange(lo, lo + bs, dtype=jnp.int32))
-    vecs3 = vecs3.reshape(C10, cell_cap, D10)
-    scales3 = scales3.reshape(C10, 1, cell_cap)
-    gid3 = gid3.reshape(C10, cell_cap)
     # Filter columns in cell-major order: gather from cols10 by gid.
     g_safe = jnp.maximum(gid3.reshape(-1), 0)
     cols3 = (jnp.take(cols10, g_safe, axis=1).T
@@ -688,7 +713,9 @@ def bench_10m(extra_main, rng):
     out["ivf10_residual"] = n_rest
     log(f"10M IVF packed (cap={cell_cap}, residual={n_rest})")
 
-    for nprobe in (64, 128, 256):
+    # np=256 at B=32 would batch-dedup up to 8192 unique cells — a [32, 13.6M]
+    # f32 score transient on top of the 12 GB of residents; stop at 128.
+    for nprobe in (32, 64, 128):
         def ivf_top10(q, nprobe=nprobe):
             return _ivf_search_candidates(
                 q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,

@@ -41,6 +41,8 @@ def main() -> int:
     from voitta_rag_tpu.services.parsers.pdf_parser import PdfDocument
 
     doc = PdfDocument(path)
+    if end == 0:  # whole document
+        end = doc.page_count
     texts = [doc.page_text(i) for i in range(start - 1, min(end, doc.page_count))]
     content = "\n\n".join(t for t in texts if t)
     print(json.dumps({

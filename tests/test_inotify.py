@@ -142,6 +142,14 @@ def test_watcher_rename_maps_to_create_delete(live_watcher):
     assert any(e["type"] == "created" and e["path"] == "new.txt"
                for e in events)
 
+    # A renamed-in file is complete on arrival: its NEXT write is a real
+    # modification and must not be swallowed as a create-tail.
+    with open(root / "new.txt", "a") as f:
+        f.write("more")
+    events = _drain(loop, q)
+    assert any(e["type"] == "modified" and e["path"] == "new.txt"
+               for e in events)
+
 
 def test_poll_backend_forced(temp_root, monkeypatch):
     monkeypatch.setenv("VOITTA_WATCH_BACKEND", "poll")

@@ -136,3 +136,28 @@ def test_rrf_fuse_ranks():
     assert len(set(ids.tolist())) == 10
     # The top dense item must appear in RRF top-10 when p=30.
     assert int(np.argmax(dense[0])) in ids.tolist()
+
+
+def test_fuse_candidates_mismatched_widths():
+    """Dense (IVF probe) lists can be wider than the sparse fallback list;
+    fusion must clamp p to the narrower side instead of top_k-ing past it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voitta_rag_tpu.ops.fusion import (
+        hybrid_fuse_candidates, rrf_fuse_candidates,
+    )
+
+    d_vals = jnp.asarray(np.linspace(1.0, 0.1, 40)[None, :], jnp.float32)
+    d_ids = jnp.arange(40, dtype=jnp.int32)[None, :]
+    s_vals = jnp.asarray([[0.9, 0.8, 0.7]], jnp.float32)
+    s_ids = jnp.asarray([[2, 5, 99]], jnp.int32)
+
+    vals, ids = hybrid_fuse_candidates(d_vals, d_ids, s_vals, s_ids, 0.3,
+                                       limit=10, prefetch_multiplier=3)
+    out = [int(g) for g in np.asarray(ids)[0] if g >= 0]
+    assert 0 in out          # best dense survives
+    assert 2 in out          # fused dense+sparse id survives
+    vals_r, ids_r = rrf_fuse_candidates(d_vals, d_ids, s_vals, s_ids,
+                                        limit=10, prefetch_multiplier=3)
+    assert (np.asarray(ids_r)[0] >= -1).all()

@@ -251,9 +251,10 @@ def test_pdf_external_worker(tmp_path, monkeypatch):
         parser = PdfParser()
         res = parser.parse(p)
         assert res.success
-        assert res.content == "OCR pages 1-5"
+        # Whole-document parse hands the worker end=0 ("all pages") without
+        # touching the in-process parser first.
+        assert res.content == "OCR pages 1-0"
         assert res.metadata["engine"] == "fake-ocr"
-        assert res.metadata["page_count"] == 5
 
         buckets = list(parser.parse_in_buckets(p, pages_per_bucket=2))
         assert [(s, e) for _, s, e in buckets] == [(1, 2), (3, 4), (5, 5)]
@@ -279,5 +280,34 @@ def test_pdf_worker_failure_falls_back(tmp_path, monkeypatch):
         res = PdfParser().parse(p)
         assert res.success
         assert "Real embedded text." in res.content  # in-process fallback
+    finally:
+        get_settings.cache_clear()
+
+
+def test_pdf_worker_handles_unparseable(tmp_path, monkeypatch):
+    """PDFs the in-process parser can't read still go to the worker."""
+    import sys
+
+    from voitta_rag_tpu.config import get_settings
+    from voitta_rag_tpu.services.parsers.pdf_parser import PdfParser
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import json, sys\n"
+        "print(json.dumps({'content': 'worker rescued this',"
+        " 'metadata': {'page_count': 2}}))\n")
+    monkeypatch.setenv("VOITTA_PDF_WORKER_CMD",
+                       f"{sys.executable} {worker}")
+    get_settings.cache_clear()
+    try:
+        p = tmp_path / "broken.pdf"
+        p.write_bytes(b"%PDF-1.7\nthis is not a valid pdf body")
+        parser = PdfParser()
+        res = parser.parse(p)
+        assert res.success and res.content == "worker rescued this"
+        buckets = list(parser.parse_in_buckets(p))
+        assert len(buckets) == 1
+        assert buckets[0][0].content == "worker rescued this"
+        assert (buckets[0][1], buckets[0][2]) == (1, 2)
     finally:
         get_settings.cache_clear()

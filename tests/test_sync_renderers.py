@@ -276,8 +276,8 @@ def test_confluence_hierarchy_paths(monkeypatch):
     monkeypatch.setattr(c, "_pages", lambda src, space: pages)
     files = asyncio.run(c.list_files(_conf_src()))
     rels = [f.remote_path for f in files]
-    assert rels[0] == "pages/100-Root Page.md"
-    assert rels[1] == "pages/Root Page/101-Child_ Setup_.md"
+    assert rels[0] == "pages/ENG/100-Root Page.md"
+    assert rels[1] == "pages/ENG/Root Page/101-Child_ Setup_.md"
     assert files[0].remote_rev == "3:2026-01-01T00:00:00Z"
     assert files[0].source_url == \
         "https://corp.atlassian.net/spaces/ENG/pages/100"

@@ -59,10 +59,14 @@ async def details(request: web.Request) -> web.Response:
             ext_counter[ext_of(f)] += 1
         indexed_by_ext: dict[str, list[int]] = {}
         for r in recs:
+            if r.chunk_count <= 0:
+                # chunk_count < 0 is the interrupted-indexing marker
+                # (reference db/models.py:238); those files are NOT indexed.
+                continue
             e = ext_of(r.file_path)
             agg = indexed_by_ext.setdefault(e, [0, 0])
             agg[0] += 1
-            agg[1] += abs(r.chunk_count)
+            agg[1] += r.chunk_count
         out["file_types"] = [
             {
                 "extension": ext,

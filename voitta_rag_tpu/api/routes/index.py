@@ -35,19 +35,25 @@ async def optimize_index(request: web.Request, user) -> web.Response:
     loop = asyncio.get_running_loop()
     store = get_vector_store()
     stats = {}
-    try:
-        # Sharded mode has no postings snapshot (the slot scan is already
-        # per-shard work); its optimize step is the per-chip IVF build.
-        if not store.sharded_active:
+    # Sharded mode has no postings snapshot (the slot scan is already
+    # per-shard work); its optimize step is the per-chip IVF build.
+    if not store.sharded_active:
+        try:
             stats.update(await loop.run_in_executor(
                 None, store.build_postings))
-        if body.get("n_cells") or get_settings().ivf_cells:
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
+    if body.get("n_cells") or get_settings().ivf_cells:
+        try:
             stats.update(await loop.run_in_executor(
                 None, lambda: store.build_ivf(
                     n_cells=body.get("n_cells"), nprobe=body.get("nprobe"))))
-    except ValueError as e:
-        if not stats:
-            return web.json_response({"detail": str(e)}, status=400)
+        except ValueError as e:
+            # Postings may have succeeded — report the partial result but
+            # surface the IVF failure instead of claiming it was built.
+            if not stats:
+                return web.json_response({"detail": str(e)}, status=400)
+            stats["ivf_error"] = str(e)
     return web.json_response({"status": "optimized", **stats})
 
 

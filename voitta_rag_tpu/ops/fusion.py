@@ -156,7 +156,9 @@ def hybrid_fuse_candidates(
     happens over exactly the candidates a single-device search would use.
     """
     w = jnp.asarray(sparse_weight, jnp.float32)
-    p = min(limit * prefetch_multiplier, d_vals.shape[-1])
+    # Clamp to BOTH list widths: an IVF probe can be wider than the sparse
+    # fallback list (top_k with k > row width is an error).
+    p = min(limit * prefetch_multiplier, d_vals.shape[-1], s_vals.shape[-1])
     k = min(limit, 2 * p)
 
     def fuse_row(dv, di, sv, si):
@@ -181,7 +183,7 @@ def rrf_fuse_candidates(
     rrf_k: int = 60,
 ) -> tuple[jax.Array, jax.Array]:
     """Reciprocal-rank fusion over pre-gathered candidate lists [B, C]."""
-    p = min(limit * prefetch_multiplier, d_vals.shape[-1])
+    p = min(limit * prefetch_multiplier, d_vals.shape[-1], s_vals.shape[-1])
     k = min(limit, 2 * p)
 
     def fuse_row(dv, di, sv, si):

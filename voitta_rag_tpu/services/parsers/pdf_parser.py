@@ -27,7 +27,8 @@ identically.
 For corpora that need OCR/layout-ML quality, ``VOITTA_PDF_WORKER_CMD``
 restores the reference's external-worker pattern (pdf_parser.py:110-164,
 scripts/mineru_parse.py): the command is invoked per bucket as
-``<cmd> <pdf_path> <start_page> <end_page>`` (1-based, inclusive) and must
+``<cmd> <pdf_path> <start_page> <end_page>`` (1-based, inclusive;
+``end_page=0`` means the whole document) and must
 print ``{"content": "<markdown>", "metadata": {...}}`` JSON on stdout. A
 worker failure falls back to the in-process extractor, so a broken venv
 never blocks indexing.
@@ -480,15 +481,19 @@ class PdfParser(BaseParser):
     extensions = [".pdf"]
 
     def parse(self, file_path: Path) -> ParserResult:
+        # The worker runs FIRST, before the in-process PdfDocument parse:
+        # encrypted/corrupt PDFs that crash the from-scratch extractor are
+        # exactly the files the external (MinerU-class) worker exists for.
+        # end=0 means "whole document" (the page count may be unknowable
+        # here).
+        cmd = get_settings().pdf_worker_cmd
+        if cmd:
+            res = _run_pdf_worker(cmd, file_path, 1, 0)
+            if res is not None:
+                return res
         try:
             doc = PdfDocument(file_path)
             n = doc.page_count
-            cmd = get_settings().pdf_worker_cmd
-            if cmd:
-                res = _run_pdf_worker(cmd, file_path, 1, n)
-                if res is not None:
-                    res.metadata.setdefault("page_count", n)
-                    return res
             pages = [doc.page_text(i) for i in range(n)]
             content = "\n\n".join(p for p in pages if p)
             if not content.strip():
@@ -511,9 +516,25 @@ class PdfParser(BaseParser):
         settings = get_settings()
         if pages_per_bucket is None:
             pages_per_bucket = settings.pdf_pages_per_bucket
-        doc = PdfDocument(file_path)
-        n = doc.page_count
         cmd = settings.pdf_worker_cmd
+        try:
+            doc = PdfDocument(file_path)
+            n = doc.page_count
+        except Exception:
+            n = 0
+            doc = None
+        if n == 0:
+            # The in-process parser can't read the structure (or finds no
+            # pages); with a worker configured, hand it the whole document
+            # as one bucket.
+            if cmd:
+                res = _run_pdf_worker(cmd, file_path, 1, 0)
+                if res is not None:
+                    yield res, 1, int(res.metadata.get("page_count", 1))
+                    return
+            if doc is None:
+                raise ValueError(f"unparseable PDF: {file_path}")
+            return
         for start in range(0, n, pages_per_bucket):
             end = min(start + pages_per_bucket, n)
             if cmd:

@@ -102,7 +102,10 @@ class ConfluenceConnector(BaseSyncConnector):
         for space in spaces:
             pages = await loop.run_in_executor(None, self._pages, source,
                                                space)
-            prefix = f"{space}/" if len(spaces) > 1 else ""
+            # ALWAYS space-prefixed: keying the layout on how many spaces the
+            # config currently resolves to would re-path (and re-index) every
+            # page when an admin adds a second space or uses '*'.
+            prefix = f"{space}/"
             for page in pages:
                 rel = self._page_path(page, prefix)
                 html = (page.get("body", {}).get("storage", {})

@@ -198,6 +198,7 @@ class JiraConnector(BaseSyncConnector):
                            resp.status_code)
             return []
         out = []
+        seen_sprints: set = set()
         for board in resp.json().get("values", []):
             bid = board.get("id")
             bname = board.get("name", f"Board-{bid}")
@@ -220,6 +221,13 @@ class JiraConnector(BaseSyncConnector):
                         {"url": f"{base}/secure/RapidBoard.jspa?rapidView={bid}"}))
             for spr in sprints:
                 sid = spr.get("id")
+                if sid in seen_sprints:
+                    # Boards are saved filters, so one sprint commonly shows
+                    # on several boards; emitting it once per board would
+                    # flip-flop the file content (board name differs) and
+                    # re-download + re-index it every sync. First board wins.
+                    continue
+                seen_sprints.add(sid)
                 issues = []
                 try:
                     ir = httpx.get(

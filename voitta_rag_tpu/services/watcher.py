@@ -63,7 +63,11 @@ class FileWatcher:
             "VOITTA_WATCH_BACKEND", "auto")
         self.backend_active = "poll"
         self._inotify = None
-        self._pending_creates: set[str] = set()
+        # rel path -> IN_CREATE timestamp: the creating write's trailing
+        # close-write is folded into 'created' (polling parity), but only
+        # within a short window — a close-write long after the create (slow
+        # copy) or after a rename-in is a REAL modification.
+        self._pending_creates: dict[str, float] = {}
         self._subscribers: list[asyncio.Queue] = []
         self._suppressed: set[str] = set()
         self._lock = threading.Lock()
@@ -254,7 +258,6 @@ class FileWatcher:
                                              child_rel)
         else:
             self._note_file(abs_path, rel)
-            self._pending_creates.add(rel)
             if not self._is_suppressed(rel):
                 self.broadcast(FileEvent("created", rel))
 
@@ -276,7 +279,7 @@ class FileWatcher:
                           if not f.startswith(prefix)}
         else:
             snap.files.pop(rel, None)
-            self._pending_creates.discard(rel)
+            self._pending_creates.pop(rel, None)
         if self._is_suppressed(rel):
             return
         self.broadcast(FileEvent("deleted", rel, is_directory=is_dir))
@@ -295,16 +298,18 @@ class FileWatcher:
             return
         is_dir = bool(mask & ino.IN_ISDIR)
         if mask & (ino.IN_CREATE | ino.IN_MOVED_TO):
+            if mask & ino.IN_CREATE and not is_dir:
+                # MOVED_TO is complete on arrival — only open→write→close
+                # creations get their trailing close-write folded in.
+                self._pending_creates[rel] = time.monotonic()
             self._inotify_created(abs_path, rel, is_dir)
         elif mask & (ino.IN_DELETE | ino.IN_MOVED_FROM):
             self._inotify_deleted(abs_path, rel, is_dir)
         elif mask & ino.IN_CLOSE_WRITE and not is_dir:
-            if rel in self._pending_creates:
-                # Tail of a create (open→write→close): already announced.
-                self._pending_creates.discard(rel)
-                self._note_file(abs_path, rel)
-                return
+            created_at = self._pending_creates.pop(rel, None)
             self._note_file(abs_path, rel)
+            if created_at is not None and time.monotonic() - created_at < 2.0:
+                return  # tail of the creating write: already announced
             if not self._is_suppressed(rel):
                 self.broadcast(FileEvent("modified", rel))
 
