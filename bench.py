@@ -440,6 +440,22 @@ def main():
             np.asarray(iouts[-1][..., :1])
             best = min(best, time.perf_counter() - t0)
         extra["encode_chunks_per_s"] = round(8 * Bi / best, 1)
+
+        # e5-base geometry (768-d, 12 layers — the north-star encoder).
+        e5cfg = PRESETS["intfloat/e5-base-v2"]
+        e5params = init_params(jax.random.PRNGKey(1), e5cfg)
+        e5stacks = jnp.asarray(
+            rng.integers(4, e5cfg.vocab_size, (4, Bi, Li)), jnp.int32)
+        enc_e5 = jax.jit(lambda ids, p: encode_tokens(p, e5cfg, ids, imask))
+        np.asarray(enc_e5(e5stacks[0], e5params))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            iouts = [enc_e5(s2, e5params) for s2 in e5stacks]
+            np.asarray(iouts[-1][..., :1])
+            best = min(best, time.perf_counter() - t0)
+        extra["encode_chunks_per_s_e5base"] = round(4 * Bi / best, 1)
+        e5params = e5stacks = None
     except Exception as e:
         extra["latency_error"] = str(e)[:250]
 
@@ -713,9 +729,11 @@ def bench_10m(extra_main, rng):
     out["ivf10_residual"] = n_rest
     log(f"10M IVF packed (cap={cell_cap}, residual={n_rest})")
 
-    # np=256 at B=32 would batch-dedup up to 8192 unique cells — a [32, 13.6M]
-    # f32 score transient on top of the 12 GB of residents; stop at 128.
-    for nprobe in (32, 64, 128):
+    # Large nprobe at B=32 batch-dedups toward all 8192 cells — the probe
+    # score transient grows past what the 12 GB of residents leave free
+    # (np=128 OOM'd in fetch), and recall is residual-limited past np=32
+    # anyway (0.966 -> 0.967 from 32 -> 64).
+    for nprobe in (16, 32, 64):
         def ivf_top10(q, nprobe=nprobe):
             return _ivf_search_candidates(
                 q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,

@@ -377,7 +377,7 @@ class TpuVectorStore:
 
     # -- IVF acceleration (BASELINE config 4; docs/ARCHITECTURE.md §6) ------
     def build_ivf(self, n_cells: int | None = None,
-                  nprobe: int | None = None, kmeans_iters: int = 10) -> dict:
+                  nprobe: int | None = None, kmeans_iters: int = 25) -> dict:
         """Build/rebuild the IVF snapshot from live rows. Mutations after the
         build invalidate it (searches fall back to the exact flat scan until
         the next build)."""
