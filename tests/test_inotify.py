@@ -161,3 +161,73 @@ def test_poll_backend_forced(temp_root, monkeypatch):
     finally:
         w.stop()
         loop.close()
+
+
+def test_mapped_source_dir_watched(temp_root, tmp_path):
+    """Mapped filesystem-source dirs get their own watches; events surface
+    under the MAPPED rel path (reference watcher.py:330-335)."""
+    ext = tmp_path / "external_src"
+    ext.mkdir()
+    fs = FilesystemService(temp_root)
+    fs.add_mapping("proj/src", ext)
+    w = FileWatcher(fs=fs)
+    loop = asyncio.new_event_loop()
+    try:
+        w.start(loop)
+        assert w.backend_active == "inotify"
+        q = w.subscribe()
+        (ext / "main.py").write_text("print('hi')")
+        events = _drain(loop, q)
+        assert any(e["type"] == "created" and e["path"] == "proj/src/main.py"
+                   for e in events)
+
+        deleted = []
+        w.on_delete = lambda p, d: deleted.append((p, d))
+        (ext / "main.py").unlink()
+        _drain(loop, q)
+        assert ("proj/src/main.py", False) in deleted
+
+        # A mapping added at runtime: no synthetic events for pre-existing
+        # files, live events for new ones.
+        ext2 = tmp_path / "other_src"
+        ext2.mkdir()
+        (ext2 / "old.txt").write_text("existing")
+        fs.add_mapping("proj/other", ext2)
+        w.add_watch_root("proj/other", ext2)
+        events = _drain(loop, q)
+        assert not any("old.txt" in e["path"] for e in events)
+        (ext2 / "fresh.txt").write_text("x")
+        events = _drain(loop, q)
+        assert any(e["type"] == "created" and e["path"] == "proj/other/fresh.txt"
+                   for e in events)
+    finally:
+        w.stop()
+        loop.close()
+
+
+def test_mapped_dir_polling_backend(temp_root, tmp_path, monkeypatch):
+    monkeypatch.setenv("VOITTA_WATCH_BACKEND", "poll")
+    ext = tmp_path / "ext"
+    ext.mkdir()
+    fs = FilesystemService(temp_root)
+    fs.add_mapping("m", ext)
+    w = FileWatcher(fs=fs)
+    loop = asyncio.new_event_loop()
+    try:
+        w._loop = loop
+        q = w.subscribe()
+        w._snapshot = w._scan()
+        (ext / "f.txt").write_text("x")
+        w.poll_once()
+        loop.run_until_complete(asyncio.sleep(0))
+        events = []
+        try:
+            while True:
+                events.append(q.get_nowait())
+        except asyncio.QueueEmpty:
+            pass
+        assert any(e["type"] == "created" and e["path"] == "m/f.txt"
+                   for e in events)
+    finally:
+        w.stop()
+        loop.close()

@@ -105,11 +105,16 @@ async def upsert_source(request: web.Request, user) -> web.Response:
         if f in body and body[f] != "***":
             setattr(src, f, body[f])
     db.upsert_sync_source(src)
-    # Install filesystem mappings immediately.
+    # Install filesystem mappings immediately (+ live watch on the target).
     if source_type == "filesystem" and src.fs_path:
         from voitta_rag_tpu.services.filesystem import get_filesystem_service
+        from voitta_rag_tpu.services.watcher import file_watcher
 
         get_filesystem_service().add_mapping(rel, src.fs_path)
+        try:
+            file_watcher.add_watch_root(rel, src.fs_path)
+        except Exception:
+            logger.exception("watch root add failed for %s", rel)
     return web.json_response(_source_to_dict(db.get_sync_source(rel)))
 
 

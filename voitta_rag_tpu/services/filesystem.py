@@ -56,6 +56,11 @@ class FilesystemService:
     def add_mapping(self, folder: str, target: str | Path) -> None:
         self._mappings[folder.strip("/")] = Path(target)
 
+    def mappings(self) -> dict[str, Path]:
+        """folder_path -> external target dir (for the watcher's extra
+        watch roots, reference watcher.py:330-335)."""
+        return dict(self._mappings)
+
     def mapping_for(self, rel_path: str) -> tuple[str, Path] | None:
         rel = rel_path.strip("/")
         for folder, target in self._mappings.items():

@@ -130,18 +130,35 @@ class FileWatcher:
         return False
 
     # -- scanning ------------------------------------------------------------
+    def _watch_roots(self) -> list[tuple[str, Path]]:
+        """(rel_prefix, base_dir) pairs: the root tree plus each mapped
+        source dir (reference watcher.py:330-335 per-mapping watches)."""
+        roots = [("", self.fs.root)]
+        try:
+            for folder, target in self.fs.mappings().items():
+                roots.append((folder, Path(target)))
+        except Exception:
+            pass
+        return roots
+
     def _scan(self) -> _Snapshot:
         snap = _Snapshot()
-        root = self.fs.root
+        for prefix, base in self._watch_roots():
+            self._scan_tree(base, prefix, snap)
+        return snap
+
+    def _scan_tree(self, base: Path, prefix: str, snap: _Snapshot) -> None:
         try:
-            for p in root.rglob("*"):
+            for p in base.rglob("*"):
                 try:
-                    rel_parts = p.relative_to(root).parts
+                    rel_parts = p.relative_to(base).parts
                 except ValueError:
                     continue
                 if any(part.startswith(".") for part in rel_parts):
                     continue
                 rel = "/".join(rel_parts)
+                if prefix:
+                    rel = f"{prefix}/{rel}"
                 if p.is_dir():
                     snap.dirs.add(rel)
                 elif p.is_file():
@@ -151,8 +168,7 @@ class FileWatcher:
                     except OSError:
                         continue
         except OSError as e:
-            logger.warning("watcher scan failed: %s", e)
-        return snap
+            logger.warning("watcher scan failed (%s): %s", base, e)
 
     def _diff_and_emit(self, old: _Snapshot, new: _Snapshot) -> None:
         for rel in new.dirs - old.dirs:
@@ -205,7 +221,8 @@ class FileWatcher:
             from voitta_rag_tpu.services.inotify import InotifyBackend
 
             backend = InotifyBackend()
-            backend.add_tree(str(self.fs.root))
+            for _prefix, base in self._watch_roots():
+                backend.add_tree(str(base))
             self._inotify = backend
             return True
         except Exception as e:
@@ -215,14 +232,39 @@ class FileWatcher:
             return False
 
     def _rel_of(self, abs_path: str) -> str | None:
-        """Root-relative path, or None for out-of-tree/hidden entries."""
+        """Tree-relative path (root or a mapped source dir, mapping wins —
+        mirrors FilesystemService.relative), or None for out-of-tree/hidden
+        entries."""
+        p = Path(abs_path)
+        best = None
         try:
-            parts = Path(abs_path).relative_to(self.fs.root).parts
+            best = ("", p.relative_to(self.fs.root).parts)
         except ValueError:
+            pass
+        for prefix, base in self._watch_roots()[1:]:
+            try:
+                best = (prefix, p.relative_to(base).parts)
+            except ValueError:
+                continue
+        if best is None:
             return None
-        if not parts or any(p.startswith(".") for p in parts):
+        prefix, parts = best
+        if any(part.startswith(".") for part in parts):
             return None
-        return "/".join(parts)
+        if not parts:
+            return prefix or None
+        rel = "/".join(parts)
+        return f"{prefix}/{rel}" if prefix else rel
+
+    def add_watch_root(self, folder: str, target) -> None:
+        """Watch a newly mapped source dir (no events for existing entries —
+        they predate the mapping)."""
+        with self._lock:
+            if self._snapshot is not None:
+                self._scan_tree(Path(target), folder.strip("/"),
+                                self._snapshot)
+        if self._inotify is not None:
+            self._inotify.add_tree(str(target))
 
     def _inotify_created(self, abs_path: str, rel: str, is_dir: bool) -> None:
         snap = self._snapshot
