@@ -171,6 +171,95 @@
     glue_secret_access_key: "Secret access key",
   };
 
+  // Server-side lookup helpers feeding pickers next to their fields
+  // (reference app.js multiselects: branches/sites/spaces/projects/dirs).
+  const LOOKUPS = {
+    github: { gh_branch: { url: (p) => `/api/sync/${p}/branches`, key: "branches" } },
+    jira: { jira_project: { url: (p) => `/api/sync/${p}/jira-projects`, key: "projects", multi: true } },
+    confluence: { confluence_space: { url: (p) => `/api/sync/${p}/confluence-spaces`, key: "spaces", multi: true } },
+    sharepoint: { sp_selected_sites: { url: (p) => `/api/sync/${p}/sp-sites`, key: "sites", multi: true } },
+    google_drive: { gd_folder_id: { url: (p) => `/api/sync/${p}/gdrive-folders`, key: "folders" } },
+  };
+
+  function optionValue(x) {
+    if (typeof x === "string") return x;
+    return x.key || x.id || x.name || JSON.stringify(x);
+  }
+  function optionLabel(x) {
+    if (typeof x === "string") return x;
+    const v = optionValue(x);
+    return x.name && x.name !== v ? `${x.name} (${v})` : v;
+  }
+
+  function attachLookup(input, spec, path, multi) {
+    const btn = document.createElement("button");
+    btn.type = "button";
+    btn.className = "lookup-btn";
+    btn.textContent = "Browse…";
+    input.after(btn);
+    btn.onclick = async () => {
+      btn.disabled = true;
+      try {
+        const data = await api("GET", spec.url(path));
+        const items = data[spec.key] || data.items || [];
+        if (!items.length) { toast("Nothing found"); return; }
+        const sel = document.createElement("select");
+        sel.innerHTML = `<option value="">— pick —</option>` +
+          items.map((x) =>
+            `<option value="${String(optionValue(x)).replace(/"/g, "&quot;")}">` +
+            `${optionLabel(x)}</option>`).join("");
+        btn.after(sel);
+        sel.onchange = () => {
+          if (!sel.value) return;
+          if (multi && input.value.trim()) {
+            const parts = input.value.split(",").map((s) => s.trim());
+            if (!parts.includes(sel.value)) parts.push(sel.value);
+            input.value = parts.join(",");
+          } else {
+            input.value = sel.value;
+          }
+        };
+      } catch (e) { toast(e.message); }
+      finally { btn.disabled = false; }
+    };
+  }
+
+  function attachDirBrowser(input) {
+    const btn = document.createElement("button");
+    btn.type = "button";
+    btn.className = "lookup-btn";
+    btn.textContent = "Browse…";
+    input.after(btn);
+    btn.onclick = async () => {
+      const start = input.value.trim() || "/";
+      let box = btn.nextElementSibling;
+      if (box && box.classList && box.classList.contains("dir-browser")) box.remove();
+      box = document.createElement("div");
+      box.className = "dir-browser";
+      btn.after(box);
+      async function show(path) {
+        try {
+          const entries = await api("GET",
+            `/api/sync/browse-host-dirs?path=${encodeURIComponent(path)}`);
+          box.innerHTML =
+            `<div class="dir-current"><code>${esc(path)}</code> ` +
+            `<button type="button" class="dir-use">Use this</button></div>` +
+            entries.map((e2) =>
+              `<div class="dir-entry" data-path="${esc(e2.path)}">📁 ${esc(e2.name)}</div>`
+            ).join("");
+          box.querySelector(".dir-use").onclick = () => {
+            input.value = path;
+            box.remove();
+          };
+          for (const el of box.querySelectorAll(".dir-entry")) {
+            el.onclick = () => show(el.dataset.path);
+          }
+        } catch (e) { toast(e.message); box.remove(); }
+      }
+      await show(start);
+    };
+  }
+
   function fieldRow(name, value, isSecret) {
     const label = FIELD_LABELS[name] || name;
     const type = isSecret ? "password" : "text";
@@ -216,6 +305,18 @@
           fieldRow(f, existing && cur === t ? existing[f] : "", false)).join("") +
         schema.secrets.map((f) =>
           fieldRow(f, existing && cur === t ? existing[f] : "", true)).join("");
+      const lookups = LOOKUPS[t] || {};
+      for (const [fname, spec] of Object.entries(lookups)) {
+        const input = form.querySelector(`input[name="${fname}"]`);
+        // Lookups need a SAVED source (they read stored credentials).
+        if (input && existing && cur === t) {
+          attachLookup(input, spec, path, !!spec.multi);
+        }
+      }
+      if (t === "filesystem") {
+        const input = form.querySelector('input[name="fs_path"]');
+        if (input) attachDirBrowser(input);
+      }
     }
     const OAUTH_TYPES = ["sharepoint", "azure_devops", "google_drive", "box"];
     const connectBtn = body.querySelector("#sync-connect");
