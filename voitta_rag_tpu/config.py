@@ -58,6 +58,11 @@ class Settings:
         # Hybrid fusion (reference config.py:43-44)
         self.sparse_weight: float = float(os.getenv("SPARSE_WEIGHT", "0.1"))
 
+        # Encoder serving dtype: "auto" = bfloat16 on TPU (halves MXU
+        # time; layernorm stats stay f32), float32 elsewhere (CPU bf16 is
+        # slower AND noisier). Explicit bfloat16/float32 override.
+        self.encoder_dtype: str = os.getenv("VOITTA_ENCODER_DTYPE", "auto")
+
         # PDF bucketing (reference config.py:46-47)
         self.pdf_pages_per_bucket: int = int(os.getenv("PDF_PAGES_PER_BUCKET", "20"))
         # Optional external PDF worker (the reference's MinerU subprocess

@@ -476,17 +476,31 @@ class IVFIndex:
                 .at[dest_j].set(jnp.take(gids_j, src_j))
                 .reshape(n_cells, cell_cap))
 
-        rest_dt = jnp.bfloat16 if store_int8 else store_dt
-        rest_vecs = jnp.zeros((r, d), rest_dt)
+        # The residual is scanned on EVERY query, so it stays in the same
+        # storage dtype as the cells — a bf16 residual would double its
+        # share of the probe path's HBM traffic for int8 indexes.
+        rest_vecs = jnp.zeros((r, d), store_dt)
+        rest_scales_arr = (jnp.zeros((1, r), jnp.float32)
+                           if store_int8 else None)
         rest_cols = jnp.zeros((r, NUM_COLS), jnp.int32)
         rest_gid = jnp.full((r,), -1, jnp.int32)
         if len(rest_src):
             rs = jnp.asarray(rest_src)
             k = len(rest_src)
             rv = jnp.take(dense_j, rs, axis=0)
-            if dense_j.dtype == jnp.int8:
+            if store_int8:
+                if dense_j.dtype == jnp.int8:
+                    rsc = jnp.take(in_scales, rs)
+                else:
+                    rvf = rv.astype(jnp.float32)
+                    rsc = jnp.clip(jnp.max(jnp.abs(rvf), axis=1), 1e-12,
+                                   None) / 127.0
+                    rv = jnp.clip(jnp.round(rvf / rsc[:, None]),
+                                  -127, 127).astype(jnp.int8)
+                rest_scales_arr = rest_scales_arr.at[0, :k].set(rsc)
+            elif dense_j.dtype == jnp.int8:
                 rv = rv.astype(jnp.float32) * jnp.take(in_scales, rs)[:, None]
-            rest_vecs = rest_vecs.at[:k].set(rv.astype(rest_dt))
+            rest_vecs = rest_vecs.at[:k].set(rv.astype(store_dt))
             rest_cols = rest_cols.at[:k].set(jnp.take(cols_j, rs, axis=0))
             rest_gid = rest_gid.at[:k].set(jnp.take(gids_j, rs))
 
@@ -499,7 +513,7 @@ class IVFIndex:
             rest_cols=rest_cols.T,
             rest_gid=rest_gid,
             scales3=scales3,
-            rest_scales=None,
+            rest_scales=rest_scales_arr,
             assign_k=assign_k,
         )
 
@@ -516,7 +530,7 @@ class IVFIndex:
         return _ivf_search_scores(
             q, self.centroids, self.vecs3, self.cols3, self.gid3,
             self.rest_vecs, self.rest_cols, self.rest_gid, self.scales3,
-            spec, nprobe=min(nprobe, self.n_cells))
+            self.rest_scales, spec, nprobe=min(nprobe, self.n_cells))
 
     def search_candidates(
         self, q: jax.Array, spec: FilterSpec, *, nprobe: int, limit: int
@@ -530,20 +544,21 @@ class IVFIndex:
         return _ivf_search_candidates(
             q, self.centroids, self.vecs3, self.cols3, self.gid3,
             self.rest_vecs, self.rest_cols, self.rest_gid, self.scales3,
-            spec, nprobe=min(nprobe, self.n_cells), limit=limit,
-            assign_k=self.assign_k)
+            self.rest_scales, spec, nprobe=min(nprobe, self.n_cells),
+            limit=limit, assign_k=self.assign_k)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "limit", "assign_k"))
 def _ivf_search_candidates(q, centroids, vecs3, cols3, gid3, rest_vecs,
-                           rest_cols, rest_gid, scales3, spec: FilterSpec,
+                           rest_cols, rest_gid, scales3, rest_scales,
+                           spec: FilterSpec,
                            *, nprobe: int, limit: int, assign_k: int):
     from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
 
     scores, gids = _ivf_search_scores(
         q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols, rest_gid,
-        scales3, spec, nprobe=nprobe)
+        scales3, rest_scales, spec, nprobe=nprobe)
     # Over-fetch to survive dedup dropping replicas.
     k = min(limit * max(assign_k, 1) + (8 if assign_k > 1 else 0),
             scores.shape[-1])
@@ -558,7 +573,8 @@ def _ivf_search_candidates(q, centroids, vecs3, cols3, gid3, rest_vecs,
 
 @functools.partial(jax.jit, static_argnames=("nprobe",))
 def _ivf_search_scores(q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
-                       rest_gid, scales3, spec: FilterSpec, *, nprobe: int):
+                       rest_gid, scales3, rest_scales, spec: FilterSpec,
+                       *, nprobe: int):
     from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
 
     B = q.shape[0]
@@ -596,7 +612,8 @@ def _ivf_search_scores(q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
     probe_gids = jnp.broadcast_to(ugids.reshape(-1)[None, :],
                                   probe_scores.shape)
 
-    rest_scores = dense_scan_scores(q, rest_vecs, rest_cols, spec)  # [B, R]
+    rest_scores = dense_scan_scores(q, rest_vecs, rest_cols, spec,
+                                    rest_scales)  # [B, R]
     rest_scores = jnp.where(rest_gid[None, :] >= 0, rest_scores, NEG_INF)
     rest_gids = jnp.broadcast_to(rest_gid[None, :], rest_scores.shape)
 

@@ -131,9 +131,15 @@ def init_params(rng: jax.Array, cfg: EncoderConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # Statistics in f32 regardless of activation dtype: bf16 mean/variance
+    # loses enough mantissa to visibly perturb embeddings.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = ((xf - mu) * jax.lax.rsqrt(var + eps)
+           * p["scale"].astype(jnp.float32)
+           + p["bias"].astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 def _dense(x, p):

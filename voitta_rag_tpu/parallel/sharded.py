@@ -148,6 +148,7 @@ def sharded_ivf_search(
     rest_vecs: jax.Array,
     rest_cols: jax.Array,
     rest_gid: jax.Array,
+    rest_scales: jax.Array,
     terms: jax.Array,
     weights: jax.Array,
     cols_flat: jax.Array,
@@ -182,13 +183,14 @@ def sharded_ivf_search(
     p = limit * prefetch_multiplier
 
     def body(q, params, inc, exc, excif, centroids, vecs3, cols3, gid3,
-             scales3, rest_vecs, rest_cols, rest_gid, terms, weights,
-             cols_flat, qt, qw, w):
+             scales3, rest_vecs, rest_cols, rest_gid, rest_scales, terms,
+             weights, cols_flat, qt, qw, w):
         local_spec = FilterSpec(params, inc, exc, excif)
         is_int8 = vecs3.dtype == jnp.int8
         scores, gids = _ivf_search_scores(
             q, centroids, vecs3[0], cols3[0], gid3[0], rest_vecs[0],
             rest_cols[0], rest_gid[0], scales3[0] if is_int8 else None,
+            rest_scales[0] if is_int8 else None,
             local_spec, nprobe=nprobe)
         k = min(p * max(assign_k, 1), scores.shape[-1])
         d_vals, pos = masked_topk(scores, k,
@@ -234,7 +236,7 @@ def sharded_ivf_search(
             rep, rep, rep, rep,      # FilterSpec fields
             rep,                     # centroids (replicated: tiny, read-only)
             shard_spec, shard_spec, shard_spec, shard_spec,  # cell blocks
-            shard_spec, shard_spec, shard_spec,              # residual
+            shard_spec, shard_spec, shard_spec, shard_spec,  # residual
             shard_spec, shard_spec, shard_spec,  # terms, weights, cols_flat
             rep, rep, rep,           # qt, qw, sparse_weight
         ),
@@ -243,7 +245,7 @@ def sharded_ivf_search(
     )
     return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
               centroids, vecs3, cols3, gid3, scales3, rest_vecs, rest_cols,
-              rest_gid, terms, weights, cols_flat, qt, qw,
+              rest_gid, rest_scales, terms, weights, cols_flat, qt, qw,
               jnp.asarray(sparse_weight, jnp.float32))
 
 
@@ -264,9 +266,10 @@ class ShardedIVF:
     cols3: jax.Array       # [n, C, NUM_COLS, cell_cap] int32
     gid3: jax.Array        # [n, C, cell_cap] int32 store-gids (-1 = empty)
     scales3: jax.Array     # [n, C, 1, cell_cap] f32 (read only for int8)
-    rest_vecs: jax.Array   # [n, R, D]
+    rest_vecs: jax.Array   # [n, R, D] (same dtype as cells)
     rest_cols: jax.Array   # [n, NUM_COLS, R] int32
     rest_gid: jax.Array    # [n, R] int32
+    rest_scales: jax.Array | None = None  # [n, 1, R] f32 (int8 cells)
     assign_k: int = 1
 
     @property
@@ -316,12 +319,11 @@ def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
             main_c = main_c.at[dj].set(ct, mode="drop")
             main_g = main_g.at[dj].set(gid_local, mode="drop")
         rd = rest_dest[0]
-        if v.dtype == jnp.int8:
-            vf = v.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
-        else:
-            vf = v
-        rest_v = jnp.zeros((rest_cap, d), vf.dtype).at[rd].set(
-            vf, mode="drop")
+        # Residual stays in the cell dtype (int8 residual + scales) — it is
+        # scanned on every query, so bf16 would double its HBM share.
+        rest_v = jnp.zeros((rest_cap, d), v.dtype).at[rd].set(v, mode="drop")
+        rest_s = jnp.zeros((rest_cap,), jnp.float32).at[rd].set(
+            sc, mode="drop")
         rest_c = jnp.zeros((rest_cap, NUM_COLS), jnp.int32).at[rd].set(
             ct, mode="drop")
         rest_g = jnp.full((rest_cap,), -1, jnp.int32).at[rd].set(
@@ -331,11 +333,12 @@ def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
                 main_c.reshape(n_cells, cell_cap, NUM_COLS)
                 .transpose(0, 2, 1)[None],
                 main_g.reshape(1, n_cells, cell_cap),
-                rest_v[None], rest_c.T[None], rest_g[None])
+                rest_v[None], rest_s.reshape(1, 1, rest_cap),
+                rest_c.T[None], rest_g[None])
 
     sp = P(SHARD_AXIS)
     return jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 5,
-                         out_specs=(sp,) * 7, check_vma=False)(
+                         out_specs=(sp,) * 8, check_vma=False)(
         vecs, scales, cols, dest, rest_dest)
 
 
@@ -624,17 +627,17 @@ class ShardedIndex:
 
         # --- device packing under shard_map ---
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
-        vecs3, scales3, cols3, gid3, rest_vecs, rest_cols, rest_gid = (
-            _pack_ivf_sharded(
-                self.mesh, self.vecs, self.scales, self.cols,
-                jax.device_put(jnp.asarray(dest_of), sh),
-                jax.device_put(jnp.asarray(rest_of), sh),
-                n_cells=n_cells, cell_cap=cell_cap, rest_cap=rest_cap,
-                assign_k=assign_k))
+        (vecs3, scales3, cols3, gid3, rest_vecs, rest_scales, rest_cols,
+         rest_gid) = _pack_ivf_sharded(
+            self.mesh, self.vecs, self.scales, self.cols,
+            jax.device_put(jnp.asarray(dest_of), sh),
+            jax.device_put(jnp.asarray(rest_of), sh),
+            n_cells=n_cells, cell_cap=cell_cap, rest_cap=rest_cap,
+            assign_k=assign_k)
         self.ivf = ShardedIVF(
             centroids=centroids, vecs3=vecs3, cols3=cols3, gid3=gid3,
             scales3=scales3, rest_vecs=rest_vecs, rest_cols=rest_cols,
-            rest_gid=rest_gid, assign_k=assign_k)
+            rest_gid=rest_gid, rest_scales=rest_scales, assign_k=assign_k)
         return {"cells": n_cells, "rows": n_live, "cell_cap": cell_cap,
                 "residual": int(np.asarray((rest_gid >= 0).sum())),
                 "shards": n}
@@ -650,7 +653,7 @@ class ShardedIndex:
             return sharded_ivf_search(
                 self.mesh, q, spec, iv.centroids, iv.vecs3, iv.cols3,
                 iv.gid3, iv.scales3, iv.rest_vecs, iv.rest_cols, iv.rest_gid,
-                self.terms, self.weights, self.cols,
+                iv.rest_scales, self.terms, self.weights, self.cols,
                 jnp.asarray(qt), jnp.asarray(qw), sparse_weight,
                 nprobe=min(nprobe, iv.n_cells), limit=limit,
                 prefetch_multiplier=prefetch_multiplier,

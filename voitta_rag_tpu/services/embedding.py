@@ -15,6 +15,7 @@ Embeddings come back unit-normalized (COSINE space).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from pathlib import Path
 
@@ -76,6 +77,22 @@ class EmbeddingService:
             params = init_params(jax.random.PRNGKey(0), cfg)
             logger.info("Initialized encoder %s with deterministic random "
                         "weights (no local checkpoint)", self.model_name)
+        # Serving dtype: bf16 params/activations halve encode time on the
+        # MXU (layernorm statistics stay f32 inside encoder_forward); the
+        # reference serves fp16 the same way. f32 opt-out via
+        # VOITTA_ENCODER_DTYPE for bit-exact comparisons.
+        dt = get_settings().encoder_dtype
+        if dt == "auto":
+            dt = ("bfloat16" if jax.default_backend() == "tpu"
+                  else "float32")
+        if dt == "bfloat16":
+            import jax.numpy as jnp
+
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+            cfg = dataclasses.replace(cfg, dtype="bfloat16")
         self._cfg = cfg
         self._params = jax.device_put(params)
         self._tokenizer = load_tokenizer(self.model_path or None, cfg.vocab_size)
