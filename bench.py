@@ -17,8 +17,8 @@ Sections (each logged to stderr; stdout carries ONE JSON line):
    attached chip would see; the tunnel adds ~3-4 ms of RPC per dispatch that
    is not device work).
 7. CPU HNSW baseline (native/hnsw_baseline.cpp — single-thread, this host):
-   recall@10 + QPS on a 50k subsample of the same corpus. vs_baseline =
-   headline TPU QPS / HNSW CPU QPS.
+   recall@10 + QPS on a 25k subsample of the same corpus. vs_baseline =
+   TPU IVF QPS / HNSW QPS at recall@10 at or above the baseline's.
 8. 10M x 768 (BASELINE config 4 geometry) int8: flat hybrid QPS, postings,
    and IVF (C=8192) recall/QPS. The IVF build regenerates the corpus
    block-by-block from the same PRNG keys so the flat corpus (7.7 GB) and
@@ -487,7 +487,7 @@ def main():
 
     # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
     # HNSW; here a from-scratch C++ HNSW, single-thread on this host) ----
-    log("CPU HNSW baseline (50k subsample)")
+    log("CPU HNSW baseline (25k subsample)")
     hnsw_qps = None
     try:
         from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
@@ -514,7 +514,7 @@ def main():
                 if ef == 32:
                     hnsw_qps = 1 / dt_h
             log(f"HNSW: recall {extra.get('hnsw_recall10_ef32')} at "
-                f"{extra.get('hnsw_qps_ef32')} qps (1 thread, 50k rows)")
+                f"{extra.get('hnsw_qps_ef32')} qps (1 thread, 25k rows)")
         else:
             extra["hnsw_error"] = "native lib unavailable"
     except Exception as e:

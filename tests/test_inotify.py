@@ -170,7 +170,8 @@ def test_mapped_source_dir_watched(temp_root, tmp_path):
     ext.mkdir()
     fs = FilesystemService(temp_root)
     fs.add_mapping("proj/src", ext)
-    w = FileWatcher(fs=fs)
+    # Short poll interval => short add_watch_root suppression window.
+    w = FileWatcher(fs=fs, poll_interval=0.2)
     loop = asyncio.new_event_loop()
     try:
         w.start(loop)
@@ -194,7 +195,7 @@ def test_mapped_source_dir_watched(temp_root, tmp_path):
         (ext2 / "old.txt").write_text("existing")
         fs.add_mapping("proj/other", ext2)
         w.add_watch_root("proj/other", ext2)
-        events = _drain(loop, q)
+        events = _drain(loop, q, settle=1.5)  # wait out suppression window
         assert not any("old.txt" in e["path"] for e in events)
         (ext2 / "fresh.txt").write_text("x")
         events = _drain(loop, q)

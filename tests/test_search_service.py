@@ -88,3 +88,31 @@ def test_dense_only_mode(service):
     index_docs(service)
     res = service.search("mars planet atmosphere", limit=2, hybrid=False)
     assert len(res) == 2
+
+
+def test_search_with_ivf_snapshot_active(service):
+    """The fused snapshot path with IVF active must work end-to-end (a
+    signature drift here shipped broken in review: tests only covered the
+    flat and postings paths)."""
+    svc = service
+    sparse = get_sparse_embedding_service()
+    rng = np.random.default_rng(5)
+    texts = [f"synthetic filler document number {i} about topic {i % 7}"
+             for i in range(300)]
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    metas = [ChunkMetadata(
+        file_path=f"bulk/f{i}.md", folder_path="bulk", index_folder="bulk",
+        file_name=f"f{i}.md", chunk_index=0, total_chunks=1,
+        start_char=0, end_char=10,
+        indexed_at=datetime.now(timezone.utc).isoformat()) for i in range(300)]
+    sv = sparse.embed(texts)
+    svc.store.store_chunks(texts, vecs, metas, sv)
+    svc.store.build_ivf(n_cells=4, nprobe=2)
+    svc.store.build_postings()
+    assert svc.store.ivf_active and svc.store.postings_active
+
+    # Dense-only (IVF path) and hybrid (IVF + postings) both serve.
+    hits = svc.search("synthetic filler document", limit=5, hybrid=False)
+    assert hits
+    hits = svc.search("synthetic filler document number 42", limit=5)
+    assert hits

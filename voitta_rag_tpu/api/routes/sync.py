@@ -105,14 +105,24 @@ async def upsert_source(request: web.Request, user) -> web.Response:
         if f in body and body[f] != "***":
             setattr(src, f, body[f])
     db.upsert_sync_source(src)
-    # Install filesystem mappings immediately (+ live watch on the target).
-    if source_type == "filesystem" and src.fs_path:
-        from voitta_rag_tpu.services.filesystem import get_filesystem_service
-        from voitta_rag_tpu.services.watcher import file_watcher
+    # Install filesystem mappings immediately (+ live watch on the target);
+    # retargeting or switching source type tears the old watch down first.
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+    from voitta_rag_tpu.services.watcher import file_watcher
 
-        get_filesystem_service().add_mapping(rel, src.fs_path)
+    fs_svc = get_filesystem_service()
+    new_target = src.fs_path if source_type == "filesystem" else None
+    old_target = fs_svc.mappings().get(rel)
+    if old_target is not None and str(old_target) != (new_target or ""):
+        fs_svc.remove_mapping(rel)
         try:
-            file_watcher.add_watch_root(rel, src.fs_path)
+            file_watcher.remove_watch_root(rel, old_target)
+        except Exception:
+            logger.exception("watch root removal failed for %s", rel)
+    if new_target:
+        fs_svc.add_mapping(rel, new_target)
+        try:
+            file_watcher.add_watch_root(rel, new_target)
         except Exception:
             logger.exception("watch root add failed for %s", rel)
     return web.json_response(_source_to_dict(db.get_sync_source(rel)))
@@ -125,6 +135,16 @@ async def delete_source(request: web.Request, user) -> web.Response:
     if db.get_sync_source(rel) is None:
         return json_error(404, "no sync source configured")
     db.delete_sync_source(rel)
+    # Tear down any filesystem mapping + its watch root.
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+    from voitta_rag_tpu.services.watcher import file_watcher
+
+    old_target = get_filesystem_service().remove_mapping(rel)
+    if old_target is not None:
+        try:
+            file_watcher.remove_watch_root(rel, old_target)
+        except Exception:
+            logger.exception("watch root removal failed for %s", rel)
     return web.json_response({"deleted": rel})
 
 

@@ -232,7 +232,7 @@ class SearchService:
                 ivf = store._ivf
                 ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
                            ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
-                           ivf.scales3)
+                           ivf.scales3, ivf.rest_scales)
             if use_postings:
                 post = store._postings
                 post_arrays = (post.terms, post.gids, post.weights,

@@ -56,6 +56,10 @@ class FilesystemService:
     def add_mapping(self, folder: str, target: str | Path) -> None:
         self._mappings[folder.strip("/")] = Path(target)
 
+    def remove_mapping(self, folder: str) -> Path | None:
+        """Uninstall a mapping; returns the old target (for watch teardown)."""
+        return self._mappings.pop(folder.strip("/"), None)
+
     def mappings(self) -> dict[str, Path]:
         """folder_path -> external target dir (for the watcher's extra
         watch roots, reference watcher.py:330-335)."""

@@ -148,25 +148,34 @@ class FileWatcher:
         return snap
 
     def _scan_tree(self, base: Path, prefix: str, snap: _Snapshot) -> None:
+        # Prune hidden dirs and OTHER watch roots nested under this tree
+        # (a mapping target inside the root would otherwise enter the
+        # snapshot twice, under two rel paths).
+        other_roots = {str(b.resolve()) for pfx, b in self._watch_roots()
+                       if pfx != prefix}
+        base_str = str(base)
         try:
-            for p in base.rglob("*"):
-                try:
-                    rel_parts = p.relative_to(base).parts
-                except ValueError:
-                    continue
-                if any(part.startswith(".") for part in rel_parts):
-                    continue
-                rel = "/".join(rel_parts)
-                if prefix:
-                    rel = f"{prefix}/{rel}"
-                if p.is_dir():
-                    snap.dirs.add(rel)
-                elif p.is_file():
+            for dirpath, dirnames, filenames in os.walk(base):
+                dirnames[:] = [
+                    d for d in dirnames
+                    if not d.startswith(".")
+                    and os.path.realpath(
+                        os.path.join(dirpath, d)) not in other_roots]
+                sub = os.path.relpath(dirpath, base_str)
+                sub = "" if sub == "." else sub.replace(os.sep, "/")
+                head = (f"{prefix}/{sub}" if prefix and sub
+                        else prefix or sub)
+                for d in dirnames:
+                    snap.dirs.add(f"{head}/{d}" if head else d)
+                for f in filenames:
+                    if f.startswith("."):
+                        continue
                     try:
-                        st = p.stat()
-                        snap.files[rel] = (st.st_mtime, st.st_size)
+                        st = os.stat(os.path.join(dirpath, f))
                     except OSError:
                         continue
+                    rel = f"{head}/{f}" if head else f
+                    snap.files[rel] = (st.st_mtime, st.st_size)
         except OSError as e:
             logger.warning("watcher scan failed (%s): %s", base, e)
 
@@ -232,22 +241,23 @@ class FileWatcher:
             return False
 
     def _rel_of(self, abs_path: str) -> str | None:
-        """Tree-relative path (root or a mapped source dir, mapping wins —
-        mirrors FilesystemService.relative), or None for out-of-tree/hidden
-        entries."""
+        """Tree-relative path (root or a mapped source dir), or None for
+        out-of-tree/hidden entries. Mapping match order is FIRST-match, the
+        same as FilesystemService.relative — a divergence here would index
+        and delete under different rel paths for nested targets."""
         p = Path(abs_path)
         best = None
-        try:
-            best = ("", p.relative_to(self.fs.root).parts)
-        except ValueError:
-            pass
         for prefix, base in self._watch_roots()[1:]:
             try:
                 best = (prefix, p.relative_to(base).parts)
+                break
             except ValueError:
                 continue
         if best is None:
-            return None
+            try:
+                best = ("", p.relative_to(self.fs.root).parts)
+            except ValueError:
+                return None
         prefix, parts = best
         if any(part.startswith(".") for part in parts):
             return None
@@ -258,13 +268,46 @@ class FileWatcher:
 
     def add_watch_root(self, folder: str, target) -> None:
         """Watch a newly mapped source dir (no events for existing entries —
-        they predate the mapping)."""
+        they predate the mapping).
+
+        The folder is suppressed for two poll cycles: a scan already in
+        flight in the poll thread was diffed against a snapshot that
+        predates the mapping and would otherwise announce every existing
+        file as created (mass re-index).
+        """
+        folder = folder.strip("/")
+        self.suppress_path(folder)
         with self._lock:
             if self._snapshot is not None:
-                self._scan_tree(Path(target), folder.strip("/"),
-                                self._snapshot)
+                self._scan_tree(Path(target), folder, self._snapshot)
         if self._inotify is not None:
             self._inotify.add_tree(str(target))
+        timer = threading.Timer(2 * self.poll_interval + 0.5,
+                                self.unsuppress_path, args=(folder,))
+        timer.daemon = True
+        timer.start()
+
+    def remove_watch_root(self, folder: str, target) -> None:
+        """Stop watching a mapped dir (mapping removed or retargeted); the
+        entries leave the snapshot WITHOUT delete events — the files still
+        exist at the source, only the mapping is gone."""
+        folder = folder.strip("/")
+        prefix = folder + "/"
+        self.suppress_path(folder)  # a scan in flight may still include it
+        with self._lock:
+            if self._snapshot is not None:
+                self._snapshot.dirs = {
+                    d for d in self._snapshot.dirs
+                    if d != folder and not d.startswith(prefix)}
+                self._snapshot.files = {
+                    f: v for f, v in self._snapshot.files.items()
+                    if not f.startswith(prefix)}
+        if self._inotify is not None:
+            self._inotify.remove_tree(str(target))
+        timer = threading.Timer(2 * self.poll_interval + 0.5,
+                                self.unsuppress_path, args=(folder,))
+        timer.daemon = True
+        timer.start()
 
     def _inotify_created(self, abs_path: str, rel: str, is_dir: bool) -> None:
         snap = self._snapshot
@@ -372,7 +415,8 @@ class FileWatcher:
                 logger.warning("inotify queue overflow; rescanning")
                 try:
                     self.poll_once()
-                    self._inotify.add_tree(str(self.fs.root))
+                    for _prefix, base in self._watch_roots():
+                        self._inotify.add_tree(str(base))
                 except Exception:
                     logger.exception("overflow rescan failed")
                 continue

@@ -203,11 +203,21 @@
         const data = await api("GET", spec.url(path));
         const items = data[spec.key] || data.items || [];
         if (!items.length) { toast("Nothing found"); return; }
+        const old = btn.nextElementSibling;
+        if (old && old.tagName === "SELECT") old.remove();
         const sel = document.createElement("select");
-        sel.innerHTML = `<option value="">— pick —</option>` +
-          items.map((x) =>
-            `<option value="${String(optionValue(x)).replace(/"/g, "&quot;")}">` +
-            `${optionLabel(x)}</option>`).join("");
+        const first = document.createElement("option");
+        first.value = "";
+        first.textContent = "— pick —";
+        sel.appendChild(first);
+        for (const x of items) {
+          // DOM text assignment, not innerHTML: remote-service names
+          // (branches/spaces/sites) are untrusted content.
+          const opt = document.createElement("option");
+          opt.value = String(optionValue(x));
+          opt.textContent = optionLabel(x);
+          sel.appendChild(opt);
+        }
         btn.after(sel);
         sel.onchange = () => {
           if (!sel.value) return;
