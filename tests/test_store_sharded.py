@@ -218,3 +218,51 @@ def test_sharded_ivf_hybrid_and_filters(big_store):
     # Folder filter respected inside the probe kernel's mask.
     got = store.search(q, limit=5, include_folders=["b"])
     assert got and all(h.metadata.folder_path == "b" for h in got)
+
+
+def test_sharded_postings(big_store):
+    """Per-chip inverted postings: sharded hybrid results match the exact
+    slot-scan path, and the store routes through the snapshot."""
+    store = big_store
+    rng = np.random.default_rng(11)
+    n, dim = 2048, 384
+    dense = rng.standard_normal((n, dim)).astype(np.float32)
+    texts = [f"chunk {i}" for i in range(n)]
+    sparse = [SparseVector(indices=[2000 + i % 37, 3000 + i % 11],
+                           values=[1.0, 0.4]) for i in range(n)]
+    metas = [ChunkMetadata(file_path=f"kb/f{i}.md", file_name=f"f{i}.md",
+                           folder_path="kb", index_folder="kb",
+                           chunk_index=0, total_chunks=1,
+                           start_char=0, end_char=10,
+                           indexed_at="2026-08-16T00:00:00Z")
+             for i in range(n)]
+    store.store_chunks(texts, dense, metas, sparse)
+
+    qi = 123
+    q = dense[qi] / np.linalg.norm(dense[qi])
+    exact = store.search(q, limit=10, sparse_query=sparse[qi],
+                         sparse_weight=0.3)
+    assert not store.postings_active
+    info = store.build_postings()
+    assert info["shards"] == 8 and info["postings"] == 2 * n
+    assert store.postings_active
+    snap = store.search(q, limit=10, sparse_query=sparse[qi],
+                        sparse_weight=0.3)
+    assert snap and snap[0].text == texts[qi]
+    assert [h.text for h in snap] == [h.text for h in exact]
+
+    # Mutations invalidate; the slot scan takes over transparently.
+    store.delete_by_file(f"kb/f{qi}.md")
+    assert not store.postings_active
+    got = store.search(q, limit=5, sparse_query=sparse[qi],
+                       sparse_weight=0.3)
+    assert all(h.text != texts[qi] for h in got)
+
+    # IVF + postings together (the full snapshot serving path).
+    store.build_ivf(n_cells=8, nprobe=4)
+    store.build_postings()
+    assert store.ivf_active and store.postings_active
+    q2 = dense[400] / np.linalg.norm(dense[400])
+    got = store.search(q2, limit=5, sparse_query=sparse[400],
+                       sparse_weight=0.3)
+    assert got and got[0].text == texts[400]

@@ -35,14 +35,11 @@ async def optimize_index(request: web.Request, user) -> web.Response:
     loop = asyncio.get_running_loop()
     store = get_vector_store()
     stats = {}
-    # Sharded mode has no postings snapshot (the slot scan is already
-    # per-shard work); its optimize step is the per-chip IVF build.
-    if not store.sharded_active:
-        try:
-            stats.update(await loop.run_in_executor(
-                None, store.build_postings))
-        except ValueError as e:
-            return web.json_response({"detail": str(e)}, status=400)
+    try:
+        stats.update(await loop.run_in_executor(
+            None, store.build_postings))
+    except ValueError as e:
+        return web.json_response({"detail": str(e)}, status=400)
     if body.get("n_cells") or get_settings().ivf_cells:
         try:
             stats.update(await loop.run_in_executor(

@@ -452,9 +452,10 @@ class TpuVectorStore:
         with self._lock:
             self._ensure_open()
             if self._sharded is not None:
-                raise ValueError(
-                    "postings snapshots are per-chip; not supported in "
-                    "sharded mode")
+                # Per-chip postings under shard_map (parallel/sharded.py).
+                info = self._sharded.build_postings()
+                self._postings_dirty = False
+                return info
             if not self._segments:
                 raise ValueError("no live rows to build postings from")
             terms = jnp.concatenate([s.terms for s in self._segments], axis=1)
@@ -472,6 +473,9 @@ class TpuVectorStore:
 
     @property
     def postings_active(self) -> bool:
+        if self._sharded is not None:
+            return (self._sharded.postings is not None
+                    and not self._postings_dirty)
         return self._postings is not None and not self._postings_dirty
 
     def _score_all_segments(self, q_dense, spec, qt=None, qw=None):
@@ -568,7 +572,9 @@ class TpuVectorStore:
             qt=qt if has_sparse else None, qw=qw if has_sparse else None,
             sparse_weight=sparse_weight, limit=limit,
             prefetch_multiplier=self.prefetch_multiplier,
-            nprobe=self._ivf_nprobe if self.ivf_active else None)
+            nprobe=self._ivf_nprobe if self.ivf_active else None,
+            use_postings=self.postings_active,
+            max_postings=self._sparse_max_postings)
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,

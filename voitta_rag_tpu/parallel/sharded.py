@@ -32,36 +32,48 @@ from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, dedup_candidates, masked_to
 from voitta_rag_tpu.parallel.mesh import SHARD_AXIS
 
 
-def _local_candidates(q, spec, vecs, cols, scales, terms, weights, qt, qw,
-                      p: int, has_sparse: bool, cap: int):
-    """Per-shard body: scan local rows, return local top-p (vals, gids)."""
-    shard = jax.lax.axis_index(SHARD_AXIS)
-    d_scores = dense_scan_scores(q, vecs, cols, spec, scales)  # [B, cap]
-    d_vals, d_rows = jax.lax.top_k(d_scores, p)
-    d_gids = jnp.where(d_vals > VALID_THRESHOLD,
-                       shard * cap + d_rows, -1).astype(jnp.int32)
-    if has_sparse:
-        s_scores = sparse_scan_scores(qt, qw, terms, weights, cols, spec)
-        s_scores = jnp.broadcast_to(s_scores, d_scores.shape)
-        s_vals, s_rows = jax.lax.top_k(s_scores, p)
-        s_gids = jnp.where(s_vals > VALID_THRESHOLD,
-                           shard * cap + s_rows, -1).astype(jnp.int32)
-    else:
-        s_vals = jnp.full_like(d_vals, NEG_INF)
-        s_gids = jnp.full_like(d_gids, -1)
-    return d_vals, d_gids, s_vals, s_gids
-
-
 def _gather(x):
     """[B, p] per shard → replicated [B, n_shards * p]."""
     g = jax.lax.all_gather(x, SHARD_AXIS)        # [n, B, p]
     return jnp.transpose(g, (1, 0, 2)).reshape(x.shape[0], -1)
 
 
+def _local_sparse_candidates(q, qt, qw, terms, weights, cols_flat,
+                             post_terms, post_gids, post_weights, local_spec,
+                             d_vals, d_gids, p: int, cap: int, *,
+                             has_sparse: bool, use_postings: bool,
+                             max_postings: int):
+    """Per-chip sparse candidates (local top-p rows as store-global gids):
+    inverted postings when a snapshot is live, exact slot scan otherwise."""
+    shard = jax.lax.axis_index(SHARD_AXIS)
+    if not has_sparse:
+        return (jnp.full_like(d_vals, NEG_INF),
+                jnp.full_like(d_gids, -1))
+    if use_postings:
+        from voitta_rag_tpu.index.postings import postings_candidates
+
+        s_vals, s_rows = postings_candidates(
+            qt, qw, post_terms[0], post_gids[0],
+            post_weights[0], cols_flat[0], local_spec,
+            limit=p, max_postings=max_postings)
+        s_vals = jnp.broadcast_to(s_vals, (q.shape[0], s_vals.shape[-1]))
+        s_rows = jnp.broadcast_to(s_rows, (q.shape[0], s_rows.shape[-1]))
+        s_gids = jnp.where(s_rows >= 0, shard * cap + s_rows,
+                           -1).astype(jnp.int32)
+        return s_vals, s_gids
+    s_scores = sparse_scan_scores(qt, qw, terms[0], weights[0],
+                                  cols_flat[0], local_spec)
+    s_scores = jnp.broadcast_to(s_scores, (q.shape[0], cap))
+    s_vals, s_rows = jax.lax.top_k(s_scores, min(p, cap))
+    s_gids = jnp.where(s_vals > VALID_THRESHOLD,
+                       shard * cap + s_rows, -1).astype(jnp.int32)
+    return s_vals, s_gids
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "limit", "prefetch_multiplier", "has_sparse",
-                     "use_fusion"),
+                     "use_fusion", "use_postings", "max_postings"),
 )
 def sharded_search(
     mesh: Mesh,
@@ -72,6 +84,9 @@ def sharded_search(
     scales: jax.Array | None,
     terms: jax.Array,
     weights: jax.Array,
+    post_terms: jax.Array,
+    post_gids: jax.Array,
+    post_weights: jax.Array,
     qt: jax.Array,
     qw: jax.Array,
     sparse_weight: jax.Array,
@@ -80,6 +95,8 @@ def sharded_search(
     prefetch_multiplier: int = 3,
     has_sparse: bool = True,
     use_fusion: bool = True,
+    use_postings: bool = False,
+    max_postings: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
     """Search the sharded index; returns replicated (scores, gids) [B, limit]."""
     cap = vecs.shape[1]
@@ -88,13 +105,21 @@ def sharded_search(
     rep = P()
 
     def body(q, params, inc, exc, excif, vecs, cols, scales, terms, weights,
-             qt, qw, w):
+             post_terms, post_gids, post_weights, qt, qw, w):
         local_spec = FilterSpec(params, inc, exc, excif)
         is_int8 = vecs.dtype == jnp.int8
-        d_vals, d_gids, s_vals, s_gids = _local_candidates(
-            q, local_spec, vecs[0], cols[0],
-            scales[0] if is_int8 else None,
-            terms[0], weights[0], qt, qw, p, has_sparse, cap)
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        d_scores = dense_scan_scores(q, vecs[0], cols[0],
+                                     local_spec,
+                                     scales[0] if is_int8 else None)
+        d_vals, d_rows = jax.lax.top_k(d_scores, p)
+        d_gids = jnp.where(d_vals > VALID_THRESHOLD,
+                           shard * cap + d_rows, -1).astype(jnp.int32)
+        s_vals, s_gids = _local_sparse_candidates(
+            q, qt, qw, terms, weights, cols, post_terms, post_gids,
+            post_weights, local_spec, d_vals, d_gids, p, cap,
+            has_sparse=has_sparse, use_postings=use_postings,
+            max_postings=max_postings)
         # ---- ICI all-gather of per-chip candidates ----
         d_vals, d_gids = _gather(d_vals), _gather(d_gids)
         s_vals, s_gids = _gather(s_vals), _gather(s_gids)
@@ -114,6 +139,7 @@ def sharded_search(
         shard_spec, shard_spec,  # vecs, cols
         shard_spec,              # scales
         shard_spec, shard_spec,  # terms, weights
+        shard_spec, shard_spec, shard_spec,  # postings
         rep, rep, rep,           # qt, qw, sparse_weight
     )
     fn = jax.shard_map(
@@ -123,7 +149,8 @@ def sharded_search(
         check_vma=False,
     )
     return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
-              vecs, cols, scales, terms, weights, qt, qw,
+              vecs, cols, scales, terms, weights,
+              post_terms, post_gids, post_weights, qt, qw,
               jnp.asarray(sparse_weight, jnp.float32))
 
 
@@ -134,7 +161,8 @@ def sharded_search(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "limit", "prefetch_multiplier",
-                     "has_sparse", "use_fusion", "assign_k"),
+                     "has_sparse", "use_fusion", "assign_k", "use_postings",
+                     "max_postings"),
 )
 def sharded_ivf_search(
     mesh: Mesh,
@@ -152,6 +180,9 @@ def sharded_ivf_search(
     terms: jax.Array,
     weights: jax.Array,
     cols_flat: jax.Array,
+    post_terms: jax.Array,
+    post_gids: jax.Array,
+    post_weights: jax.Array,
     qt: jax.Array,
     qw: jax.Array,
     sparse_weight: jax.Array,
@@ -162,6 +193,8 @@ def sharded_ivf_search(
     has_sparse: bool = True,
     use_fusion: bool = True,
     assign_k: int = 1,
+    use_postings: bool = False,
+    max_postings: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
     """Probe-limited sharded search: per-chip IVF scan + ICI candidate merge.
 
@@ -169,8 +202,8 @@ def sharded_ivf_search(
     ids from the query (no communication) and probes them in its LOCAL
     cell-major blocks; gid3 already stores store-global row ids, so the
     gathered candidate union merges exactly like the flat sharded path. The
-    sparse side stays the exact slot scan over the flat arrays (postings
-    remain single-chip; the slot scan is already per-shard work).
+    sparse side uses each chip's inverted postings when a snapshot is live
+    (``use_postings``), else the exact per-shard slot scan.
 
     Correctness caveat vs the flat sharded scan: per-chip recall is that of
     the per-chip IVF probe (the union of per-chip probes is a superset of a
@@ -184,7 +217,8 @@ def sharded_ivf_search(
 
     def body(q, params, inc, exc, excif, centroids, vecs3, cols3, gid3,
              scales3, rest_vecs, rest_cols, rest_gid, rest_scales, terms,
-             weights, cols_flat, qt, qw, w):
+             weights, cols_flat, post_terms, post_gids, post_weights,
+             qt, qw, w):
         local_spec = FilterSpec(params, inc, exc, excif)
         is_int8 = vecs3.dtype == jnp.int8
         scores, gids = _ivf_search_scores(
@@ -202,17 +236,11 @@ def sharded_ivf_search(
         if assign_k > 1:
             d_vals, d_gids = dedup_candidates(d_vals, d_gids)
         d_vals, d_gids = d_vals[:, :p], d_gids[:, :p]
-        if has_sparse:
-            shard = jax.lax.axis_index(SHARD_AXIS)
-            s_scores = sparse_scan_scores(qt, qw, terms[0], weights[0],
-                                          cols_flat[0], local_spec)
-            s_scores = jnp.broadcast_to(s_scores, (q.shape[0], cap))
-            s_vals, s_rows = jax.lax.top_k(s_scores, min(p, cap))
-            s_gids = jnp.where(s_vals > VALID_THRESHOLD,
-                               shard * cap + s_rows, -1).astype(jnp.int32)
-        else:
-            s_vals = jnp.full_like(d_vals, NEG_INF)
-            s_gids = jnp.full_like(d_gids, -1)
+        s_vals, s_gids = _local_sparse_candidates(
+            q, qt, qw, terms, weights, cols_flat, post_terms, post_gids,
+            post_weights, local_spec, d_vals, d_gids, p, cap,
+            has_sparse=has_sparse, use_postings=use_postings,
+            max_postings=max_postings)
         # ---- ICI all-gather of per-chip candidates ----
         d_vals, d_gids = _gather(d_vals), _gather(d_gids)
         s_vals, s_gids = _gather(s_vals), _gather(s_gids)
@@ -238,6 +266,7 @@ def sharded_ivf_search(
             shard_spec, shard_spec, shard_spec, shard_spec,  # cell blocks
             shard_spec, shard_spec, shard_spec, shard_spec,  # residual
             shard_spec, shard_spec, shard_spec,  # terms, weights, cols_flat
+            shard_spec, shard_spec, shard_spec,  # postings
             rep, rep, rep,           # qt, qw, sparse_weight
         ),
         out_specs=(rep, rep),
@@ -245,7 +274,8 @@ def sharded_ivf_search(
     )
     return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
               centroids, vecs3, cols3, gid3, scales3, rest_vecs, rest_cols,
-              rest_gid, rest_scales, terms, weights, cols_flat, qt, qw,
+              rest_gid, rest_scales, terms, weights, cols_flat,
+              post_terms, post_gids, post_weights, qt, qw,
               jnp.asarray(sparse_weight, jnp.float32))
 
 
@@ -275,6 +305,27 @@ class ShardedIVF:
     @property
     def n_cells(self) -> int:
         return self.centroids.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _build_postings_sharded(mesh: Mesh, terms, weights, cols):
+    """Per-chip inverted impact-ordered postings (index/postings.py) built
+    under shard_map: each chip sorts its OWN (term, row, weight) triples —
+    the [S*cap] sort never crosses ICI. Postings store LOCAL row ids;
+    the search body offsets them to store-global gids."""
+    from voitta_rag_tpu.index.postings import _build_sorted
+
+    def body(terms, weights, cols):
+        cap = terms.shape[2]
+        valid = cols[0, COL_VALID, :] > 0
+        rows_local = jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), -1)
+        t, g, w, _ = _build_sorted(terms[0], weights[0], rows_local)
+        return t[None], g[None], w[None].astype(jnp.bfloat16)
+
+    sp = P(SHARD_AXIS)
+    return jax.shard_map(body, mesh=mesh, in_specs=(sp, sp, sp),
+                         out_specs=(sp, sp, sp), check_vma=False)(
+        terms, weights, cols)
 
 
 @functools.partial(jax.jit, static_argnames=("is_int8",))
@@ -398,6 +449,10 @@ class ShardedIndex:
         # Per-chip IVF snapshot (build_ivf); staleness is governed by the
         # owning store's dirty flag, mirroring the flat IVFIndex contract.
         self.ivf: ShardedIVF | None = None
+        # Per-chip inverted postings (build_postings): (terms, rows,
+        # weights) stacked [n, S*cap]; None until built. Same staleness
+        # contract as the IVF snapshot.
+        self.postings: tuple | None = None
 
     # -- allocation: waterfill so shards stay evenly loaded (balanced scans) -
     def _allocate(self, count: int) -> tuple[np.ndarray, np.ndarray]:
@@ -642,29 +697,55 @@ class ShardedIndex:
                 "residual": int(np.asarray((rest_gid >= 0).sum())),
                 "shards": n}
 
+    def build_postings(self) -> dict:
+        """Build the per-chip inverted-postings snapshot (device-side sorts
+        under shard_map; nothing crosses ICI)."""
+        t, g, w = _build_postings_sharded(self.mesh, self.terms,
+                                          self.weights, self.cols)
+        self.postings = (t, g, w)
+        n_live = int(np.asarray((g >= 0).sum()))
+        return {"postings": n_live, "rows": self.live_count,
+                "shards": self.n_shards}
+
+    def _postings_or_placeholder(self, use_postings: bool):
+        if use_postings and self.postings is not None:
+            return self.postings
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        n = self.n_shards
+        z = jax.device_put(jnp.zeros((n, 1), jnp.int32), sh)
+        return z, z, jax.device_put(jnp.zeros((n, 1), jnp.bfloat16), sh)
+
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
-               limit=10, prefetch_multiplier=3, fusion=True, nprobe=None):
+               limit=10, prefetch_multiplier=3, fusion=True, nprobe=None,
+               use_postings=False, max_postings=4096):
         has_sparse = qt is not None
         if qt is None:
             qt = jnp.full((1, 1), TERM_PAD, jnp.int32)
             qw = jnp.zeros((1, 1), jnp.float32)
+        use_postings = bool(use_postings and has_sparse
+                            and self.postings is not None)
+        pt, pg, pw = self._postings_or_placeholder(use_postings)
         if nprobe is not None and self.ivf is not None:
             iv = self.ivf
             return sharded_ivf_search(
                 self.mesh, q, spec, iv.centroids, iv.vecs3, iv.cols3,
                 iv.gid3, iv.scales3, iv.rest_vecs, iv.rest_cols, iv.rest_gid,
                 iv.rest_scales, self.terms, self.weights, self.cols,
+                pt, pg, pw,
                 jnp.asarray(qt), jnp.asarray(qw), sparse_weight,
                 nprobe=min(nprobe, iv.n_cells), limit=limit,
                 prefetch_multiplier=prefetch_multiplier,
                 has_sparse=has_sparse, use_fusion=fusion,
-                assign_k=iv.assign_k)
+                assign_k=iv.assign_k, use_postings=use_postings,
+                max_postings=max_postings)
         return sharded_search(
             self.mesh, q, spec, self.vecs, self.cols, self.scales,
-            self.terms, self.weights, jnp.asarray(qt), jnp.asarray(qw),
+            self.terms, self.weights, pt, pg, pw,
+            jnp.asarray(qt), jnp.asarray(qw),
             sparse_weight, limit=limit,
             prefetch_multiplier=prefetch_multiplier,
-            has_sparse=has_sparse, use_fusion=fusion)
+            has_sparse=has_sparse, use_fusion=fusion,
+            use_postings=use_postings, max_postings=max_postings)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
