@@ -264,3 +264,49 @@ def test_details_endpoint(app_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_optimize_endpoint_contract(app_env):
+    """Optimize builds postings; an IVF failure is SURFACED, never a silent
+    200 'optimized' (review finding: the error used to be swallowed)."""
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            # Empty store: postings build fails -> clean 400.
+            resp = await client.post("/api/index/optimize", json={})
+            assert resp.status == 400
+
+            # Index a little content directly through the store.
+            import numpy as np
+
+            from voitta_rag_tpu.core_types import ChunkMetadata
+            from voitta_rag_tpu.index.store import get_vector_store
+
+            store = get_vector_store()
+            rng = np.random.default_rng(0)
+            n = 8
+            store.store_chunks(
+                [f"text {i}" for i in range(n)],
+                rng.standard_normal((n, store.dimension)).astype(np.float32),
+                [ChunkMetadata(file_path=f"kb/f{i}.md", file_name=f"f{i}.md",
+                               folder_path="kb", index_folder="kb",
+                               chunk_index=0, total_chunks=1, start_char=0,
+                               end_char=5, indexed_at="2026-08-16T00:00:00Z")
+                 for i in range(n)])
+
+            # Postings succeed; IVF fails (too few rows) -> partial result
+            # with the failure surfaced.
+            resp = await client.post("/api/index/optimize",
+                                     json={"n_cells": 4})
+            data = await resp.json()
+            assert resp.status == 200
+            assert data["status"] == "optimized"
+            assert "ivf_error" in data and "256" in data["ivf_error"]
+
+            stats = await (await client.get("/api/stats")).json()
+            assert stats["postings_active"] is True
+            assert stats["ivf_active"] is False
+        finally:
+            await client.close()
+    run(body())
