@@ -67,9 +67,20 @@ class FilterSpec(NamedTuple):
     exc_if_ids: jax.Array  # int32 [1, EXC_MAX]
 
 
+#: Padded id-list size buckets. The mask compares EVERY row against EVERY
+#: padded slot (a [T, cap] compare + any-reduce on the VPU), so always
+#: padding to the max cap made the mask cost ~1.1 ms/dispatch at 1M rows
+#: (384 compares/row); bucketing to the smallest sufficient cap cuts the
+#: common ≤8-folder query to 24 compares/row. Each distinct bucket shape
+#: compiles its own kernel specialization — a handful, not a blowup.
+_ID_BUCKETS = (8, 32, 256)
+
+
 def _pad_ids(ids: list[int], cap: int) -> jnp.ndarray:
     ids = list(ids)[:cap]
-    out = ids + [NO_FOLDER] * (cap - len(ids))
+    bucket = next((b for b in _ID_BUCKETS if b >= max(len(ids), 1)), cap)
+    bucket = min(bucket, cap)
+    out = ids + [NO_FOLDER] * (bucket - len(ids))
     return jnp.asarray([out], dtype=jnp.int32)
 
 

@@ -77,9 +77,12 @@ def sparse_scan_scores(
     cols: jax.Array,
     spec: FilterSpec,
     *,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Masked BM25 scores of one sparse query against a segment.
+
+    Default path is XLA (measured 2.5 ms vs the Pallas slot kernel's
+    3.9 ms at 1M x 32 slots — see dense_scan_scores for the rationale).
 
     Args:
         q_terms: int32 [1, Qt] query term ids (TERM_PAD padded).
