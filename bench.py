@@ -429,6 +429,34 @@ def main():
             np.asarray(outs[-1][0])
             best = min(best, time.perf_counter() - t0)
         extra["p50_query_ms_tunnel"] = round(best / N_ITERS * 1000, 3)
+
+        # Serving-shape variant: IVF probe instead of the flat int8 scan
+        # (what the store's fused snapshot path actually runs when an IVF
+        # snapshot is live).
+        if ivf is not None:
+            def fused_ivf_one(x, eparams, pterms, pgids, pweights, cols,
+                              centroids, vecs3, cols3, gid3, rest_vecs,
+                              rest_cols, rest_gid, scales3, rest_scales):
+                ids, qt1, qw1 = x
+                qv = encode_tokens(eparams, ecfg, ids, emask)
+                d_vals, d_gids = _ivf_search_candidates(
+                    qv, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
+                    rest_gid, scales3, rest_scales, spec,
+                    nprobe=32, limit=LIMIT * 3, assign_k=1)
+                s_vals, s_gids = postings_candidates(
+                    qt1, qw1, pterms, pgids, pweights, cols, spec,
+                    limit=LIMIT * 3, max_postings=MAX_POST)
+                return hybrid_fuse_candidates(d_vals, d_gids, s_vals, s_gids,
+                                              SPARSE_W, limit=LIMIT)
+
+            big_ivf = (eparams, post.terms, post.gids, post.weights, cols,
+                       ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
+                       ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
+                       ivf.scales3, ivf.rest_scales)
+            dev_ms_ivf = chained_device_ms(fused_ivf_one, xs, n_chain,
+                                           *big_ivf)
+            extra["p50_query_ms_device_ivf"] = round(dev_ms_ivf, 3)
+            log(f"p50 fused (IVF probe): {dev_ms_ivf:.2f} ms device")
         log(f"p50 fused: device {dev_ms:.2f} ms / tunnel-inclusive "
             f"{extra['p50_query_ms_tunnel']:.2f} ms")
 
