@@ -452,6 +452,8 @@ class TpuVectorStore:
         with self._lock:
             self._ensure_open()
             if self._sharded is not None:
+                if self.count() == 0:
+                    raise ValueError("no live rows to build postings from")
                 # Per-chip postings under shard_map (parallel/sharded.py).
                 info = self._sharded.build_postings()
                 self._postings_dirty = False

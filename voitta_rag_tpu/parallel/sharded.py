@@ -319,8 +319,11 @@ def _build_postings_sharded(mesh: Mesh, terms, weights, cols):
         cap = terms.shape[2]
         valid = cols[0, COL_VALID, :] > 0
         rows_local = jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), -1)
+        # Weights stay f32, matching the single-chip build_postings: the
+        # snapshot path promises bit-exact parity with the slot scan, and a
+        # bf16 weight (8-bit mantissa) can swap near-tied ranks.
         t, g, w, _ = _build_sorted(terms[0], weights[0], rows_local)
-        return t[None], g[None], w[None].astype(jnp.bfloat16)
+        return t[None], g[None], w[None]
 
     sp = P(SHARD_AXIS)
     return jax.shard_map(body, mesh=mesh, in_specs=(sp, sp, sp),
@@ -453,6 +456,7 @@ class ShardedIndex:
         # weights) stacked [n, S*cap]; None until built. Same staleness
         # contract as the IVF snapshot.
         self.postings: tuple | None = None
+        self._postings_placeholder: tuple | None = None
 
     # -- allocation: waterfill so shards stay evenly loaded (balanced scans) -
     def _allocate(self, count: int) -> tuple[np.ndarray, np.ndarray]:
@@ -710,10 +714,15 @@ class ShardedIndex:
     def _postings_or_placeholder(self, use_postings: bool):
         if use_postings and self.postings is not None:
             return self.postings
-        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
-        n = self.n_shards
-        z = jax.device_put(jnp.zeros((n, 1), jnp.int32), sh)
-        return z, z, jax.device_put(jnp.zeros((n, 1), jnp.bfloat16), sh)
+        if self._postings_placeholder is None:
+            # Cached: allocating + device_put-ing per query would tax the
+            # hot search path in the default (no-snapshot) state.
+            sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+            n = self.n_shards
+            z = jax.device_put(jnp.zeros((n, 1), jnp.int32), sh)
+            self._postings_placeholder = (
+                z, z, jax.device_put(jnp.zeros((n, 1), jnp.float32), sh))
+        return self._postings_placeholder
 
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
                limit=10, prefetch_multiplier=3, fusion=True, nprobe=None,
