@@ -266,3 +266,80 @@ def test_sharded_postings(big_store):
     got = store.search(q2, limit=5, sparse_query=sparse[400],
                        sparse_weight=0.3)
     assert got and got[0].text == texts[400]
+
+
+@pytest.fixture()
+def pod_store(temp_root, monkeypatch):
+    """Pod topology: 2 slices x 4 chips on the 8-device CPU mesh —
+    hierarchical ICI-then-DCN candidate merge (BASELINE config 5)."""
+    monkeypatch.setenv("VOITTA_INDEX_SHARDS", "8")
+    monkeypatch.setenv("VOITTA_INDEX_SLICES", "2")
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", str(8 * 1024))
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "128")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    s = TpuVectorStore(index_dir=temp_root / "index")
+    yield s
+    s.close()
+    get_settings.cache_clear()
+
+
+def test_pod_mesh_hierarchical_merge(pod_store, temp_root):
+    """2-level merge matches the flat exact result; IVF + postings +
+    spill/restore all work over the pod mesh."""
+    store = pod_store
+    from voitta_rag_tpu.parallel.mesh import SLICE_AXIS
+
+    assert store.sharded_active
+    assert SLICE_AXIS in store._sharded.mesh.axis_names
+    assert store._sharded.n_shards == 8
+
+    rng = np.random.default_rng(21)
+    n, dim = 2048, 128
+    dense = rng.standard_normal((n, dim)).astype(np.float32)
+    texts = [f"chunk {i}" for i in range(n)]
+    sparse = [SparseVector(indices=[500 + i % 23], values=[1.0])
+              for i in range(n)]
+    metas = [ChunkMetadata(file_path=f"kb/f{i}.md", file_name=f"f{i}.md",
+                           folder_path="kb", index_folder="kb",
+                           chunk_index=0, total_chunks=1,
+                           start_char=0, end_char=10,
+                           indexed_at="2026-08-16T00:00:00Z")
+             for i in range(n)]
+    store.store_chunks(texts, dense, metas, sparse)
+
+    # Exact merge: results equal a NumPy oracle's top-10 (dense-only).
+    q = dense[777] / np.linalg.norm(dense[777])
+    got = store.search(q, limit=10)
+    got_texts = [h.text for h in got]
+    dn = dense / np.linalg.norm(dense, axis=1, keepdims=True)
+    oracle = list(np.argsort(-(dn @ q))[:10])
+    assert got_texts == [texts[i] for i in oracle]
+
+    # Hybrid self-retrieval through the hierarchical merge.
+    got = store.search(q, limit=5, sparse_query=sparse[777],
+                       sparse_weight=0.3)
+    assert got and got[0].text == texts[777]
+
+    # Snapshots over the pod mesh.
+    store.build_ivf(n_cells=8, nprobe=4)
+    store.build_postings()
+    assert store.ivf_active and store.postings_active
+    got = store.search(q, limit=5, sparse_query=sparse[777],
+                       sparse_weight=0.3)
+    assert got and got[0].text == texts[777]
+
+    # Spill + restore preserves the pod layout.
+    store.save()
+    store.close()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    s2 = TpuVectorStore(index_dir=temp_root / "index")
+    try:
+        assert s2.count() == n
+        got = s2.search(q, limit=3)
+        assert got and got[0].text == texts[777]
+    finally:
+        s2.close()

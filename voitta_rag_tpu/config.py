@@ -110,6 +110,10 @@ class Settings:
             os.getenv("VOITTA_SPARSE_MAX_POSTINGS", "4096"))
         # Mesh: number of index shards ("auto" = all local devices).
         self.index_shards: str = os.getenv("VOITTA_INDEX_SHARDS", "auto")
+        # Pod topology: shards arranged as n_slices x (shards/n_slices);
+        # the candidate merge gathers over ICI within a slice, re-cuts, and
+        # crosses DCN once (1 = single-slice, pure-ICI merge).
+        self.index_slices: int = int(os.getenv("VOITTA_INDEX_SLICES", "1"))
         # BM25 parameters (fastembed/Qdrant defaults).
         self.bm25_k: float = float(os.getenv("VOITTA_BM25_K", "1.2"))
         self.bm25_b: float = float(os.getenv("VOITTA_BM25_B", "0.75"))

@@ -129,7 +129,8 @@ class TpuVectorStore:
                 from voitta_rag_tpu.parallel.mesh import index_mesh
                 from voitta_rag_tpu.parallel.sharded import ShardedIndex
 
-                mesh = index_mesh(self._n_shards)
+                mesh = index_mesh(self._n_shards,
+                                  n_slices=get_settings().index_slices)
                 spill = self.index_dir / "sharded.npz"
                 if spill.exists():
                     with np.load(spill, allow_pickle=False) as data:

@@ -14,17 +14,30 @@ import numpy as np
 from jax.sharding import Mesh
 
 SHARD_AXIS = "shard"
+SLICE_AXIS = "slice"
 DP_AXIS = "dp"
 TP_AXIS = "tp"
 
 
-def index_mesh(n_shards: int | None = None) -> Mesh:
-    """1-D mesh over the index-shard axis (all local devices by default)."""
+def index_mesh(n_shards: int | None = None, n_slices: int = 1) -> Mesh:
+    """Mesh over the index-shard axis (all local devices by default).
+
+    With ``n_slices > 1`` the mesh is 2-D ``(slice, shard)`` — the pod
+    topology where the ``shard`` axis rides ICI within a slice and the
+    ``slice`` axis crosses DCN. The sharded search then merges candidates
+    hierarchically: ICI all-gather + re-cut first, one small DCN hop second
+    (BASELINE config 5 / SURVEY §7 "hierarchical merge").
+    """
     devices = jax.devices()
     if n_shards is None:
         n_shards = len(devices)
     assert n_shards <= len(devices), (n_shards, len(devices))
-    return Mesh(np.asarray(devices[:n_shards]), (SHARD_AXIS,))
+    if n_slices <= 1:
+        return Mesh(np.asarray(devices[:n_shards]), (SHARD_AXIS,))
+    assert n_shards % n_slices == 0, (n_shards, n_slices)
+    per_slice = n_shards // n_slices
+    return Mesh(np.asarray(devices[:n_shards]).reshape(n_slices, per_slice),
+                (SLICE_AXIS, SHARD_AXIS))
 
 
 def train_mesh(dp: int | None = None, tp: int = 1) -> Mesh:

@@ -29,23 +29,62 @@ from voitta_rag_tpu.ops.filters import COL_DOC, COL_VALID, NUM_COLS, FilterSpec
 from voitta_rag_tpu.ops.fusion import hybrid_fuse_candidates, _candidates_from_lists
 from voitta_rag_tpu.ops.pallas_utils import NEG_INF, round_up
 from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, dedup_candidates, masked_topk
-from voitta_rag_tpu.parallel.mesh import SHARD_AXIS
+from voitta_rag_tpu.parallel.mesh import SHARD_AXIS, SLICE_AXIS
 
 
-def _gather(x):
-    """[B, p] per shard → replicated [B, n_shards * p]."""
-    g = jax.lax.all_gather(x, SHARD_AXIS)        # [n, B, p]
+def _has_slice(mesh: Mesh) -> bool:
+    return SLICE_AXIS in mesh.axis_names
+
+
+def _index_spec(mesh: Mesh) -> P:
+    """PartitionSpec of the index arrays' leading (shard) axis."""
+    return (P((SLICE_AXIS, SHARD_AXIS)) if _has_slice(mesh)
+            else P(SHARD_AXIS))
+
+
+def _global_shard(mesh: Mesh) -> jax.Array:
+    """Global shard index of this device (= slot in the [n_total, ...]
+    stacked arrays), valid inside a shard_map body."""
+    idx = jax.lax.axis_index(SHARD_AXIS)
+    if _has_slice(mesh):
+        idx = jax.lax.axis_index(SLICE_AXIS) * mesh.shape[SHARD_AXIS] + idx
+    return idx
+
+
+def _gather_axis(x, axis_name: str):
+    """[B, p] per device → replicated-along-axis [B, group * p]."""
+    g = jax.lax.all_gather(x, axis_name)         # [group, B, p]
     return jnp.transpose(g, (1, 0, 2)).reshape(x.shape[0], -1)
+
+
+def _gather_pairs(vals, gids, p: int, mesh: Mesh):
+    """Merge per-chip candidate lists across the mesh.
+
+    1-axis mesh: one all-gather over ICI. 2-axis pod mesh: hierarchical —
+    all-gather over the intra-slice ``shard`` axis (ICI), re-cut the slice
+    union to top-p (bounding the expensive hop's payload), then one small
+    all-gather over the ``slice`` axis (DCN). Exact: a global top-p row is
+    top-p on its chip AND top-p within its slice union, so it survives
+    both cuts (SURVEY §7 "hierarchical merge, intra-slice ICI first").
+    """
+    vg = _gather_axis(vals, SHARD_AXIS)
+    gg = _gather_axis(gids, SHARD_AXIS)
+    if not _has_slice(mesh):
+        return vg, gg
+    k = min(p, vg.shape[-1])
+    v, pos = jax.lax.top_k(vg, k)
+    g = jnp.where(v > VALID_THRESHOLD,
+                  jnp.take_along_axis(gg, pos, axis=1), -1).astype(jnp.int32)
+    return _gather_axis(v, SLICE_AXIS), _gather_axis(g, SLICE_AXIS)
 
 
 def _local_sparse_candidates(q, qt, qw, terms, weights, cols_flat,
                              post_terms, post_gids, post_weights, local_spec,
-                             d_vals, d_gids, p: int, cap: int, *,
+                             d_vals, d_gids, p: int, cap: int, shard, *,
                              has_sparse: bool, use_postings: bool,
                              max_postings: int):
     """Per-chip sparse candidates (local top-p rows as store-global gids):
     inverted postings when a snapshot is live, exact slot scan otherwise."""
-    shard = jax.lax.axis_index(SHARD_AXIS)
     if not has_sparse:
         return (jnp.full_like(d_vals, NEG_INF),
                 jnp.full_like(d_gids, -1))
@@ -101,14 +140,14 @@ def sharded_search(
     """Search the sharded index; returns replicated (scores, gids) [B, limit]."""
     cap = vecs.shape[1]
     p = min(limit * prefetch_multiplier, cap)
-    shard_spec = P(SHARD_AXIS)
+    shard_spec = _index_spec(mesh)
     rep = P()
 
     def body(q, params, inc, exc, excif, vecs, cols, scales, terms, weights,
              post_terms, post_gids, post_weights, qt, qw, w):
         local_spec = FilterSpec(params, inc, exc, excif)
         is_int8 = vecs.dtype == jnp.int8
-        shard = jax.lax.axis_index(SHARD_AXIS)
+        shard = _global_shard(mesh)
         d_scores = dense_scan_scores(q, vecs[0], cols[0],
                                      local_spec,
                                      scales[0] if is_int8 else None)
@@ -117,12 +156,12 @@ def sharded_search(
                            shard * cap + d_rows, -1).astype(jnp.int32)
         s_vals, s_gids = _local_sparse_candidates(
             q, qt, qw, terms, weights, cols, post_terms, post_gids,
-            post_weights, local_spec, d_vals, d_gids, p, cap,
+            post_weights, local_spec, d_vals, d_gids, p, cap, shard,
             has_sparse=has_sparse, use_postings=use_postings,
             max_postings=max_postings)
-        # ---- ICI all-gather of per-chip candidates ----
-        d_vals, d_gids = _gather(d_vals), _gather(d_gids)
-        s_vals, s_gids = _gather(s_vals), _gather(s_gids)
+        # ---- candidate merge: ICI all-gather (+ DCN hop on a pod mesh) ----
+        d_vals, d_gids = _gather_pairs(d_vals, d_gids, p, mesh)
+        s_vals, s_gids = _gather_pairs(s_vals, s_gids, p, mesh)
         if has_sparse and use_fusion:
             return hybrid_fuse_candidates(
                 d_vals, d_gids, s_vals, s_gids, w,
@@ -239,11 +278,12 @@ def sharded_ivf_search(
         s_vals, s_gids = _local_sparse_candidates(
             q, qt, qw, terms, weights, cols_flat, post_terms, post_gids,
             post_weights, local_spec, d_vals, d_gids, p, cap,
+            _global_shard(mesh),
             has_sparse=has_sparse, use_postings=use_postings,
             max_postings=max_postings)
-        # ---- ICI all-gather of per-chip candidates ----
-        d_vals, d_gids = _gather(d_vals), _gather(d_gids)
-        s_vals, s_gids = _gather(s_vals), _gather(s_gids)
+        # ---- candidate merge: ICI all-gather (+ DCN hop on a pod mesh) ----
+        d_vals, d_gids = _gather_pairs(d_vals, d_gids, p, mesh)
+        s_vals, s_gids = _gather_pairs(s_vals, s_gids, p, mesh)
         if has_sparse and use_fusion:
             return hybrid_fuse_candidates(
                 d_vals, d_gids, s_vals, s_gids, w,
@@ -255,7 +295,7 @@ def sharded_ivf_search(
 
         return jax.vmap(row)(d_vals, d_gids)
 
-    shard_spec = P(SHARD_AXIS)
+    shard_spec = _index_spec(mesh)
     rep = P()
     fn = jax.shard_map(
         body, mesh=mesh,
@@ -325,7 +365,7 @@ def _build_postings_sharded(mesh: Mesh, terms, weights, cols):
         t, g, w, _ = _build_sorted(terms[0], weights[0], rows_local)
         return t[None], g[None], w[None]
 
-    sp = P(SHARD_AXIS)
+    sp = _index_spec(mesh)
     return jax.shard_map(body, mesh=mesh, in_specs=(sp, sp, sp),
                          out_specs=(sp, sp, sp), check_vma=False)(
         terms, weights, cols)
@@ -355,7 +395,7 @@ def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
     n_slots = n_cells * cell_cap
 
     def body(vecs, scales, cols, dest, rest_dest):
-        shard = jax.lax.axis_index(SHARD_AXIS)
+        shard = _global_shard(mesh)
         v = vecs[0]               # [cap, D]
         sc = scales[0, 0]         # [cap]
         ct = cols[0].T            # [cap, NUM_COLS]
@@ -390,7 +430,7 @@ def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
                 rest_v[None], rest_s.reshape(1, 1, rest_cap),
                 rest_c.T[None], rest_g[None])
 
-    sp = P(SHARD_AXIS)
+    sp = _index_spec(mesh)
     return jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 5,
                          out_specs=(sp,) * 8, check_vma=False)(
         vecs, scales, cols, dest, rest_dest)
@@ -428,14 +468,16 @@ class ShardedIndex:
                  sparse_slots: int, dtype: str = "bfloat16"):
         assert cap_per_shard % 128 == 0, "capacity must be lane-aligned"
         self.mesh = mesh
-        self.n_shards = mesh.shape[SHARD_AXIS]
+        # Total shards across the mesh (slice x shard on a pod mesh).
+        self.n_shards = (mesh.shape[SHARD_AXIS]
+                         * mesh.shape.get(SLICE_AXIS, 1))
         self.cap = cap_per_shard
         self.dim = dim
         self.sparse_slots = sparse_slots
         self.dtype = dtype
         store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                     "int8": jnp.int8}[dtype]
-        sh = lambda: NamedSharding(mesh, P(SHARD_AXIS))
+        sh = lambda: NamedSharding(mesh, _index_spec(mesh))
         n, cap = self.n_shards, cap_per_shard
         self.vecs = jax.device_put(jnp.zeros((n, cap, dim), store_dt), sh())
         # Always allocated (tiny) so shard_map arg structure is static; the
@@ -600,7 +642,7 @@ class ShardedIndex:
     def from_host(cls, mesh: Mesh, data: dict) -> "ShardedIndex":
         idx = cls(mesh, int(data["cap"]), int(data["dim"]),
                   int(data["sparse_slots"]), str(data["dtype"]))
-        sh = NamedSharding(mesh, P(SHARD_AXIS))
+        sh = NamedSharding(mesh, _index_spec(mesh))
         put = lambda x, dt=None: jax.device_put(
             jnp.asarray(x, dt) if dt else jnp.asarray(x), sh)
         idx.vecs = put(data["vecs"], idx.vecs.dtype)
@@ -685,7 +727,7 @@ class ShardedIndex:
             rest_of[s, rl] = np.arange(len(rl), dtype=np.int32)
 
         # --- device packing under shard_map ---
-        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        sh = NamedSharding(self.mesh, _index_spec(self.mesh))
         (vecs3, scales3, cols3, gid3, rest_vecs, rest_scales, rest_cols,
          rest_gid) = _pack_ivf_sharded(
             self.mesh, self.vecs, self.scales, self.cols,
@@ -717,7 +759,7 @@ class ShardedIndex:
         if self._postings_placeholder is None:
             # Cached: allocating + device_put-ing per query would tax the
             # hot search path in the default (no-snapshot) state.
-            sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+            sh = NamedSharding(self.mesh, _index_spec(self.mesh))
             n = self.n_shards
             z = jax.device_put(jnp.zeros((n, 1), jnp.int32), sh)
             self._postings_placeholder = (
