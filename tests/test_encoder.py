@@ -148,3 +148,32 @@ def test_parity_with_torch_bert():
     # Compare only non-padding positions.
     m = mask.astype(bool)
     np.testing.assert_allclose(ours[m], ref[m], atol=2e-4)
+
+
+def test_embedding_service_dp_sharded_encode(temp_root, monkeypatch):
+    """VOITTA_ENCODE_DP shards the batch over the dp mesh; embeddings match
+    the single-device encode bit-for-bit (pure data parallelism)."""
+    from voitta_rag_tpu.config import get_settings
+    from voitta_rag_tpu.services.embedding import EmbeddingService
+
+    texts = [f"document {i} about parallel encoding" for i in range(11)]
+
+    monkeypatch.setenv("VOITTA_ENCODE_DP", "1")
+    get_settings.cache_clear()
+    svc1 = EmbeddingService(model_name="test-tiny", model_path="",
+                            max_seq_len=32)
+    ref = svc1.embed_texts_array(texts)
+
+    monkeypatch.setenv("VOITTA_ENCODE_DP", "8")
+    get_settings.cache_clear()
+    svc8 = EmbeddingService(model_name="test-tiny", model_path="",
+                            max_seq_len=32)
+    assert svc8._resolve_dp() == 8
+    out = svc8.embed_texts_array(texts)
+    svc8._ensure_model()
+    assert svc8._batch_sharding is not None
+    assert out.shape == ref.shape
+    import numpy as np
+
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    get_settings.cache_clear()

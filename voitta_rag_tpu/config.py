@@ -49,6 +49,8 @@ class Settings:
         self.embedding_model_path: str = os.getenv("EMBEDDING_MODEL_PATH", "")
         self.max_seq_len: int = int(os.getenv("VOITTA_MAX_SEQ_LEN", "192"))
         self.encode_batch_size: int = int(os.getenv("VOITTA_ENCODE_BATCH", "128"))
+        # Index-build encode data parallelism: "auto" = all chips on TPU.
+        self.encode_dp: str = os.getenv("VOITTA_ENCODE_DP", "auto")
 
         # Chunking settings (reference config.py:38-41)
         self.chunk_size: int = int(os.getenv("CHUNK_SIZE", "512"))

@@ -94,8 +94,38 @@ class EmbeddingService:
                 params)
             cfg = dataclasses.replace(cfg, dtype="bfloat16")
         self._cfg = cfg
-        self._params = jax.device_put(params)
+        # Index-build data parallelism (SURVEY §7.3): with several chips,
+        # replicate the params over a dp mesh and shard the batch axis —
+        # XLA splits each encode across chips with zero collective cost
+        # (embeddings are independent per row). VOITTA_ENCODE_DP: "auto" =
+        # all devices on a real TPU backend, explicit int otherwise.
+        dp = self._resolve_dp()
+        if dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from voitta_rag_tpu.parallel.mesh import DP_AXIS, train_mesh
+
+            mesh = train_mesh(dp=dp, tp=1)
+            self._batch_sharding = NamedSharding(mesh, P(DP_AXIS))
+            self._params = jax.device_put(params, NamedSharding(mesh, P()))
+            self._encode_dp = dp
+            logger.info("encoder batch encode sharded over %d devices", dp)
+        else:
+            self._batch_sharding = None
+            self._encode_dp = 1
+            self._params = jax.device_put(params)
         self._tokenizer = load_tokenizer(self.model_path or None, cfg.vocab_size)
+
+    @staticmethod
+    def _resolve_dp() -> int:
+        setting = get_settings().encode_dp
+        if str(setting).lower() in ("", "auto", "0"):
+            return (len(jax.devices())
+                    if jax.default_backend() == "tpu" else 1)
+        try:
+            return max(1, int(setting))
+        except ValueError:
+            return 1
 
     @property
     def dimension(self) -> int:
@@ -111,12 +141,18 @@ class EmbeddingService:
         self._ensure_model()
         ids, mask = self._tokenizer.encode_batch(texts, self.max_seq_len)
         b = _bucket(len(texts))
+        # dp sharding needs the batch divisible across devices.
+        b = max(b, self._encode_dp)
+        b += (-b) % self._encode_dp
         if b > len(texts):
             pad = b - len(texts)
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
             mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
             # keep one real token in padding rows to avoid 0-count pooling
             mask[len(texts):, 0] = 1
+        if self._batch_sharding is not None:
+            ids = jax.device_put(ids, self._batch_sharding)
+            mask = jax.device_put(mask, self._batch_sharding)
         out = encode_tokens(self._params, self._cfg, ids, mask)
         return np.asarray(out[: len(texts)], dtype=np.float32)
 
