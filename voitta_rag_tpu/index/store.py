@@ -82,24 +82,14 @@ class TpuVectorStore:
 
     @staticmethod
     def _resolve_shards(setting: str) -> int:
-        """VOITTA_INDEX_SHARDS: explicit N, or "auto" = all TPU chips.
-
-        Auto only engages on real TPU backends — virtual CPU device counts
-        (tests force 8) must not flip a single-host deployment into sharded
-        mode.
-        """
-        if str(setting).lower() in ("", "auto", "0"):
-            try:
-                import jax
-
-                if jax.default_backend() == "tpu":
-                    return len(jax.devices())
-            except Exception:
-                pass
-            return 1
+        """VOITTA_INDEX_SHARDS: explicit N (clamped to devices), or "auto"
+        = all chips on a real TPU backend (shared policy with
+        VOITTA_ENCODE_DP — parallel/mesh.py:resolve_auto_devices)."""
         try:
-            return max(1, int(setting))
-        except ValueError:
+            from voitta_rag_tpu.parallel.mesh import resolve_auto_devices
+
+            return resolve_auto_devices(setting)
+        except Exception:
             return 1
 
     @property

@@ -118,14 +118,9 @@ class EmbeddingService:
 
     @staticmethod
     def _resolve_dp() -> int:
-        setting = get_settings().encode_dp
-        if str(setting).lower() in ("", "auto", "0"):
-            return (len(jax.devices())
-                    if jax.default_backend() == "tpu" else 1)
-        try:
-            return max(1, int(setting))
-        except ValueError:
-            return 1
+        from voitta_rag_tpu.parallel.mesh import resolve_auto_devices
+
+        return resolve_auto_devices(get_settings().encode_dp)
 
     @property
     def dimension(self) -> int:
@@ -140,20 +135,32 @@ class EmbeddingService:
     def _encode_batch(self, texts: list[str]) -> np.ndarray:
         self._ensure_model()
         ids, mask = self._tokenizer.encode_batch(texts, self.max_seq_len)
+        # Shard only genuinely bulk batches: padding a single query to dp
+        # rows and fanning it across chips would tax the p50 hot path.
+        use_dp = (self._batch_sharding is not None
+                  and len(texts) >= self._encode_dp)
         b = _bucket(len(texts))
-        # dp sharding needs the batch divisible across devices.
-        b = max(b, self._encode_dp)
-        b += (-b) % self._encode_dp
+        if use_dp:
+            # Divisible across devices, counting the REAL batch (which can
+            # exceed the largest bucket).
+            b = max(b, len(texts))
+            b += (-b) % self._encode_dp
         if b > len(texts):
             pad = b - len(texts)
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
             mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
             # keep one real token in padding rows to avoid 0-count pooling
             mask[len(texts):, 0] = 1
-        if self._batch_sharding is not None:
+        if use_dp:
             ids = jax.device_put(ids, self._batch_sharding)
             mask = jax.device_put(mask, self._batch_sharding)
-        out = encode_tokens(self._params, self._cfg, ids, mask)
+            # XLA attention for the sharded encode: the Pallas attention
+            # kernel is a Mosaic custom call the SPMD partitioner can't
+            # split over the batch sharding.
+            out = encode_tokens(self._params, self._cfg, ids, mask,
+                                use_pallas_attn=False)
+        else:
+            out = encode_tokens(self._params, self._cfg, ids, mask)
         return np.asarray(out[: len(texts)], dtype=np.float32)
 
     def embed_texts(self, texts: list[str]) -> list[list[float]]:
