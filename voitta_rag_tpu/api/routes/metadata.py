@@ -5,7 +5,7 @@ from __future__ import annotations
 from aiohttp import web
 
 from voitta_rag_tpu.api.routes.helpers import (
-    current_user, json_error, require_user, tail_path,
+    json_error, require_user, tail_path,
 )
 from voitta_rag_tpu.services.metadata import get_metadata_service
 

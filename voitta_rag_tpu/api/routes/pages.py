@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from aiohttp import web
 
-from voitta_rag_tpu.api.routes.helpers import USER_COOKIE, current_user, tail_path
+from voitta_rag_tpu.api.routes.helpers import USER_COOKIE, current_user
 from voitta_rag_tpu.config import get_settings
 from voitta_rag_tpu.db.database import get_db
 

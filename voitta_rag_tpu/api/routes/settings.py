@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from aiohttp import web
 
-from voitta_rag_tpu.api.routes.helpers import json_error, require_user, tail_path
+from voitta_rag_tpu.api.routes.helpers import require_user, tail_path
 from voitta_rag_tpu.db.database import get_db
 
 

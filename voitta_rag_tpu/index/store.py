@@ -39,7 +39,6 @@ from voitta_rag_tpu.ops.filters import (
 )
 from voitta_rag_tpu.ops.fusion import hybrid_fuse, rrf_fuse
 from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, masked_topk
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF
 from voitta_rag_tpu.search.sparse_text import idf as idf_fn
 
 logger = logging.getLogger(__name__)

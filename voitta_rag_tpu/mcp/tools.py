@@ -12,7 +12,6 @@ import logging
 import mimetypes
 import re
 from datetime import datetime, timezone
-from pathlib import Path
 
 from voitta_rag_tpu.config import get_settings
 from voitta_rag_tpu.db.database import get_db

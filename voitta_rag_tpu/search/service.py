@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from voitta_rag_tpu.config import get_settings
-from voitta_rag_tpu.core_types import SparseVector, StoredChunk
+from voitta_rag_tpu.core_types import StoredChunk
 from voitta_rag_tpu.index.store import TpuVectorStore, get_vector_store
 from voitta_rag_tpu.models.encoder import EncoderConfig, encode_tokens
 from voitta_rag_tpu.ops.dense_scan import dense_scan_scores

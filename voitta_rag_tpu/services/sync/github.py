@@ -24,7 +24,7 @@ from datetime import datetime, timezone
 from pathlib import Path
 
 from voitta_rag_tpu.config import get_settings
-from voitta_rag_tpu.services.sync.base import BaseSyncConnector, RemoteFile
+from voitta_rag_tpu.services.sync.base import BaseSyncConnector
 
 logger = logging.getLogger(__name__)
 

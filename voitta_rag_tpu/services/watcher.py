@@ -29,7 +29,6 @@ import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from voitta_rag_tpu.config import get_settings
 
 logger = logging.getLogger(__name__)
 
