@@ -158,3 +158,28 @@ def test_int8_sharded_search(mesh):
     oracle = {int(gids[i]) for i in np.argsort(-sims)[:10]}
     overlap = len(oracle & set(out_gids.tolist())) / 10
     assert overlap >= 0.8  # int8 quantization tolerance
+
+
+def test_resolve_auto_devices_policy(monkeypatch):
+    """Shared VOITTA_INDEX_SHARDS / VOITTA_ENCODE_DP resolution: auto stays
+    1 off-TPU (virtual CPU device counts must not flip deployments into
+    multi-device mode); explicit ints clamp to available devices."""
+    from voitta_rag_tpu.parallel.mesh import resolve_auto_devices
+
+    assert resolve_auto_devices("auto") == 1   # CPU backend in tests
+    assert resolve_auto_devices("") == 1
+    assert resolve_auto_devices("0") == 1
+    assert resolve_auto_devices("4") == 4
+    assert resolve_auto_devices("999") == 8    # clamped to 8 CPU devices
+    assert resolve_auto_devices("garbage") == 1
+
+
+def test_pod_mesh_validation():
+    import pytest
+
+    from voitta_rag_tpu.parallel.mesh import index_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        index_mesh(8, n_slices=3)
+    mesh = index_mesh(8, n_slices=2)
+    assert dict(mesh.shape) == {"slice": 2, "shard": 4}
