@@ -217,6 +217,17 @@ def chained_device_ms(fn_one, xs, n_chain: int, *arrays) -> float:
 
 
 def main():
+    # Self-bounding: if a section would start too close to a driver-side
+    # timeout, skip it and still print the result line — a killed process
+    # records NOTHING, which is strictly worse than a partial run.
+    import os
+
+    t_start = time.time()
+    deadline = float(os.environ.get("VOITTA_BENCH_DEADLINE_S", "2700"))
+
+    def time_left() -> float:
+        return deadline - (time.time() - t_start)
+
     on_tpu = jax.default_backend() == "tpu"
     extra = {"backend": jax.default_backend(),
              "host_vcpus": __import__("os").cpu_count(),
@@ -509,7 +520,10 @@ def main():
     try:
         from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
 
-        if available():
+        if time_left() < 300:
+            extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
+            log(extra["hnsw_skipped"])
+        elif available():
             # 25k rows: the per-query cost (and recall@ef) barely moves vs
             # 50k, while the single-thread build drops from ~7.5 to ~3 min
             # on this 1-vCPU host — keeps the whole bench driver-friendly.
@@ -540,7 +554,12 @@ def main():
         extra["hnsw_error"] = str(e)[:250]
 
     # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
-    if on_tpu:
+    if on_tpu and time_left() < 1200:
+        extra["scale10M_skipped"] = (
+            f"deadline: {time_left():.0f}s left of "
+            f"VOITTA_BENCH_DEADLINE_S={deadline:.0f}, section needs ~1200s")
+        log(extra["scale10M_skipped"])
+    elif on_tpu:
         try:
             # Free every 1M-section buffer first: the 10M section needs the
             # whole 16 GB of HBM (7.7 GB corpus + 8 GB cell-major copy,
