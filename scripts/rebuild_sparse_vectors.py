@@ -54,9 +54,13 @@ def main() -> int:
         gids = [r[0] for r in batch]
         sparse = sparse_svc.embed(texts)
         S = store.sparse_slots
+        # Stage per-segment updates, then write each segment ONCE per batch
+        # (device terms are slot-major [S, cap]; per-row .at dispatches
+        # would also be quadratically slow at migration scale).
+        staged: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
         for gid, sv in zip(gids, sparse):
-            seg = store.segments[gid // store.segment_capacity]
-            row = gid % store.segment_capacity
+            si, row = gid // store.segment_capacity, gid % store.segment_capacity
+            seg = store.segments[si]
             # Skip rows already carrying sparse terms (resume support).
             if seg.terms_np[row, 0] != TERM_PAD:
                 continue
@@ -65,16 +69,26 @@ def main() -> int:
             if len(idx) > S:
                 keep = np.argsort(-val)[:S]
                 idx, val = idx[keep], val[keep]
-            terms = np.full((1, S), TERM_PAD, np.int32)
-            weights = np.zeros((1, S), np.float32)
-            terms[0, :len(idx)] = idx
-            weights[0, :len(idx)] = val
-            seg.terms = seg.terms.at[row].set(terms[0])
-            seg.weights = seg.weights.at[row].set(weights[0])
-            seg.terms_np[row] = terms[0]
+            terms = np.full((S,), TERM_PAD, np.int32)
+            weights = np.zeros((S,), np.float32)
+            terms[: len(idx)] = idx
+            weights[: len(idx)] = val
+            staged.setdefault(si, []).append((row, terms, weights))
             for t in set(int(x) for x in idx):
                 df_bump[t] = df_bump.get(t, 0) + 1
             done += 1
+        import jax.numpy as jnp
+
+        for si, updates in staged.items():
+            seg = store.segments[si]
+            rws = np.asarray([u[0] for u in updates], np.int32)
+            tv = np.stack([u[1] for u in updates])       # [n, S]
+            wv = np.stack([u[2] for u in updates])
+            rows_j = jnp.asarray(rws)
+            seg.terms = seg.terms.at[:, rows_j].set(jnp.asarray(tv.T))
+            seg.weights = seg.weights.at[:, rows_j].set(
+                jnp.asarray(wv.T, seg.weights.dtype))
+            seg.terms_np[rws] = tv
         rate = (start + len(batch)) / max(time.time() - t0, 1e-9)
         print(f"  {start + len(batch)}/{len(rows)} "
               f"({rate:.0f} chunks/sec, {done} migrated)")
