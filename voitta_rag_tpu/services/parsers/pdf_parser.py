@@ -7,8 +7,15 @@ for the common case with the stdlib:
 
 - cross-reference parsing (classic tables and xref streams are both handled
   by brute-force object scanning, which also survives mildly corrupt files),
+- **object streams** (``/Type /ObjStm``, PDF 1.5+): compressed container
+  streams are decoded and their member objects spliced into the object
+  table, so modern PDFs whose page/font dictionaries never appear as
+  top-level ``N 0 obj`` bodies still parse,
 - page tree walk to order pages,
-- FlateDecode content streams, ``Tj`` / ``TJ`` / ``'`` / ``"`` text
+- stream filter chains: ``FlateDecode``, ``LZWDecode``, ``ASCII85Decode``,
+  ``ASCIIHexDecode``, ``RunLengthDecode`` (and their abbreviations), with
+  ``/DecodeParms`` PNG predictors (types 10-15) and TIFF predictor 2,
+- ``Tj`` / ``TJ`` / ``'`` / ``"`` text
   operators, with ``BT/ET`` blocks and ``Td/TD/T*`` line-break heuristics,
 - per-page font resolution with the current font tracked through ``Tf``:
   **ToUnicode CMaps** (bfchar/bfrange, 1- and 2-byte codespaces) map CID/
@@ -81,23 +88,228 @@ def _refs(d: bytes, key: bytes) -> list[int]:
     return [int(m.group(1))] if m else []
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: 9→12-bit codes, Clear=256, EOD=257, EarlyChange."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, bits = 258, 9
+    prev: bytes | None = None
+    acc = nacc = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= bits:
+            nacc -= bits
+            code = (acc >> nacc) & ((1 << bits) - 1)
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, bits, prev = 258, 9, None
+                continue
+            if code == 257:  # end of data
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            # xpdf/poppler convention: the decoder adds entries one code
+            # later than the encoder did, so it widens when the *next* add
+            # would reach the limit (next_code + early == 1 << bits).
+            if next_code + early >= (1 << bits) and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    return base64.a85decode(data)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _flate_decode(raw: bytes) -> bytes:
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        # Some writers pad/truncate the stream; salvage what inflates.
+        d = zlib.decompressobj()
+        return d.decompress(raw)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int,
+                   bpc: int) -> bytes:
+    """Undo PNG row filters (predictor types 10-15): each row is a filter
+    byte followed by ``rowlen`` filtered bytes."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data) - 1:
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing), 8-bit components only."""
+    if bpc != 8:
+        return data
+    rowlen = columns * colors
+    out = bytearray(data)
+    for r in range(0, len(out) - rowlen + 1, rowlen):
+        for j in range(colors, rowlen):
+            out[r + j] = (out[r + j] + out[r + j - colors]) & 0xFF
+    return bytes(out)
+
+
+def _parm_int(parms: bytes, key: bytes, default: int) -> int:
+    m = re.search(re.escape(key) + rb"\s+(\d+)", parms)
+    return int(m.group(1)) if m else default
+
+
+def _apply_predictor(data: bytes, parms: bytes) -> bytes:
+    pred = _parm_int(parms, b"/Predictor", 1)
+    if pred == 1:
+        return data
+    columns = _parm_int(parms, b"/Columns", 1)
+    colors = _parm_int(parms, b"/Colors", 1)
+    bpc = _parm_int(parms, b"/BitsPerComponent", 8)
+    if pred == 2:
+        return _tiff_unpredict(data, columns, colors, bpc)
+    if pred >= 10:
+        return _png_unpredict(data, columns, colors, bpc)
+    return data
+
+
+# Filter name (full and abbreviated) → decoder taking (raw, parms).
+_FILTERS = {
+    b"FlateDecode": lambda raw, p: _apply_predictor(_flate_decode(raw), p),
+    b"Fl": lambda raw, p: _apply_predictor(_flate_decode(raw), p),
+    b"LZWDecode": lambda raw, p: _apply_predictor(
+        _lzw_decode(raw, _parm_int(p, b"/EarlyChange", 1)), p),
+    b"LZW": lambda raw, p: _apply_predictor(
+        _lzw_decode(raw, _parm_int(p, b"/EarlyChange", 1)), p),
+    b"ASCII85Decode": lambda raw, p: _a85_decode(raw),
+    b"A85": lambda raw, p: _a85_decode(raw),
+    b"ASCIIHexDecode": lambda raw, p: _hex_stream_decode(raw),
+    b"AHx": lambda raw, p: _hex_stream_decode(raw),
+    b"RunLengthDecode": lambda raw, p: _rl_decode(raw),
+    b"RL": lambda raw, p: _rl_decode(raw),
+}
+
+
+def _hex_stream_decode(raw: bytes) -> bytes:
+    h = re.sub(rb"[\s>]", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _filter_chain(d: bytes) -> tuple[list[bytes], list[bytes]] | None:
+    """(filter names, per-filter DecodeParms bodies) from a stream dict;
+    None when there is no /Filter entry."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
+    if not fm:
+        return None
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    parms: list[bytes] = [b""] * len(names)
+    pm = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", d)
+    if pm:
+        if pm.group(1) == b"<<":
+            parms[0] = _dict_of(d[pm.end() - 2:])
+        else:  # array of dicts / nulls, one per filter
+            i, idx = pm.end(), 0
+            while idx < len(names) and i < len(d):
+                if d[i:i + 1] == b"]":
+                    break
+                if d[i:i + 2] == b"<<":
+                    body = _dict_of(d[i:])
+                    parms[idx] = body
+                    i += len(body)
+                    idx += 1
+                elif d[i:i + 4] == b"null":
+                    i += 4
+                    idx += 1
+                else:
+                    i += 1
+    return names, parms
+
+
 def _decode_stream(body: bytes) -> bytes | None:
     m = _STREAM_RE.search(body)
     if not m:
         return None
     raw = m.group(1)
     d = _dict_of(body)
-    if b"FlateDecode" in d:
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
-            try:  # some writers pad the stream
-                return zlib.decompressobj().decompress(raw)
-            except zlib.error:
-                return None
-    if b"Filter" not in d:
+    chain = _filter_chain(d)
+    if chain is None:
         return raw
-    return None  # unsupported filter (DCT images etc.)
+    names, parms = chain
+    data = raw
+    for name, parm in zip(names, parms):
+        fn = _FILTERS.get(name)
+        if fn is None:
+            return None  # unsupported filter (DCTDecode images etc.)
+        try:
+            data = fn(data, parm)
+        except (ValueError, zlib.error, KeyError, IndexError):
+            return None
+    return data
 
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -327,8 +539,41 @@ class PdfDocument:
     def __init__(self, path: Path):
         data = path.read_bytes()
         self.objects = _parse_objects(data)
+        self._expand_object_streams()
         self.pages = self._page_order()
         self._font_cache: dict[int, dict[bytes, _Font]] = {}
+
+    def _expand_object_streams(self) -> None:
+        """Splice ``/Type /ObjStm`` member objects into the object table.
+
+        PDF 1.5+ writers pack most non-stream objects (catalog, page tree,
+        fonts, CMap dicts) into compressed object streams; the brute-force
+        ``N 0 obj`` scan never sees those. Each ObjStm starts with N
+        (objnum, offset) integer pairs; member bodies begin at /First +
+        offset. Members only fill gaps — a direct top-level object with the
+        same number (e.g. from an incremental update) wins.
+        """
+        extra: dict[int, bytes] = {}
+        for body in list(self.objects.values()):
+            d = _dict_of(body)
+            if not re.search(rb"/Type\s*/ObjStm\b", d):
+                continue
+            data = _decode_stream(body)
+            if not data:
+                continue
+            n = _parm_int(d, b"/N", 0)
+            first = _parm_int(d, b"/First", 0)
+            try:
+                header = [int(t) for t in data[:first].split()]
+            except ValueError:
+                continue
+            pairs = list(zip(header[0::2], header[1::2]))[:n]
+            for i, (onum, off) in enumerate(pairs):
+                end = (first + pairs[i + 1][1] if i + 1 < len(pairs)
+                       else len(data))
+                if onum not in self.objects:
+                    extra[onum] = data[first + off:end]
+        self.objects.update(extra)
 
     def _page_order(self) -> list[int]:
         page_objs = []
