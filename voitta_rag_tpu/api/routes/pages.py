@@ -16,8 +16,22 @@ from voitta_rag_tpu.config import get_settings
 from voitta_rag_tpu.db.database import get_db
 
 
+def _ancestor_sync_type(db, rel_path: str) -> str | None:
+    """Nearest ancestor folder's sync source type (reference pages.py keeps a
+    ``current_sync_type`` so items INSIDE a synced tree show its badge)."""
+    parts = rel_path.split("/") if rel_path else []
+    for i in range(len(parts), 0, -1):
+        src = db.get_sync_source("/".join(parts[:i]))
+        if src:
+            return src.source_type
+    return None
+
+
 def gather_file_list_data(rel_path: str, user) -> dict:
-    """Aggregate the browser-row data (reference pages.py:14-160)."""
+    """Aggregate the browser-row data (reference pages.py:14-160):
+    per-folder SUBTREE roll-ups of indexed files/chunks/bytes, index status,
+    sync badges (own or inherited from an ancestor source), per-user search/
+    indexing toggles, file extensions."""
     from voitta_rag_tpu.services.filesystem import get_filesystem_service
 
     fs = get_filesystem_service()
@@ -25,11 +39,24 @@ def gather_file_list_data(rel_path: str, user) -> dict:
     entries = fs.list_dir(rel_path)
     project = db.get_active_project(user) if user else None
 
-    chunk_stats: dict[str, int] = {}
-    for r in db.query(
-            "SELECT index_folder, SUM(chunk_count) AS chunks "
-            "FROM indexed_files GROUP BY index_folder"):
-        chunk_stats[r["index_folder"]] = r["chunks"] or 0
+    # One query; roll leaf folder groups up into per-child-dir subtree stats.
+    groups = db.query(
+        "SELECT folder_path, COUNT(*) AS n, SUM(chunk_count) AS chunks, "
+        "SUM(file_size) AS bytes FROM indexed_files WHERE chunk_count > 0 "
+        "GROUP BY folder_path")
+    dir_paths = [e.path for e in entries if e.is_dir]
+    stats = {p: {"indexed_files": 0, "total_chunks": 0, "indexed_bytes": 0}
+             for p in dir_paths}
+    for r in groups:
+        fp = r["folder_path"]
+        for p in dir_paths:
+            if fp == p or fp.startswith(p + "/"):
+                s = stats[p]
+                s["indexed_files"] += r["n"]
+                s["total_chunks"] += r["chunks"] or 0
+                s["indexed_bytes"] += r["bytes"] or 0
+
+    inherited_sync = _ancestor_sync_type(db, rel_path)
 
     items = []
     for e in entries:
@@ -40,12 +67,16 @@ def gather_file_list_data(rel_path: str, user) -> dict:
         if e.is_dir:
             status = db.get_index_status(e.path)
             item["index_status"] = status.status if status else "none"
-            item["chunks"] = chunk_stats.get(e.path, 0)
+            st = stats[e.path]
+            item["chunks"] = st["total_chunks"]
+            item["stats"] = st
             src = db.get_sync_source(e.path)
             if src:
                 item["sync"] = {"source_type": src.source_type,
                                 "sync_status": src.sync_status,
                                 "last_synced_at": src.last_synced_at}
+            elif inherited_sync:
+                item["sync_type_inherited"] = inherited_sync
             if user:
                 if project and not project.is_default:
                     item["search_active"] = db.project_folder_active(
@@ -59,6 +90,10 @@ def gather_file_list_data(rel_path: str, user) -> dict:
             rec = db.get_indexed_file(e.path)
             item["indexed"] = rec is not None and rec.chunk_count > 0
             item["chunks"] = rec.chunk_count if rec else 0
+            dot = e.name.rfind(".")
+            item["extension"] = e.name[dot:] if dot > 0 else ""
+            if inherited_sync:
+                item["sync_type_inherited"] = inherited_sync
         items.append(item)
     return {
         "path": rel_path,

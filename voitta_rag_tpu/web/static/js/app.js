@@ -40,6 +40,24 @@
     return resp.json();
   }
 
+  // ---- delayed spinner (reference app.js:942-970) ----
+  let spinnerTimer = null;
+  function showSpinner(delay = 150) {
+    clearTimeout(spinnerTimer);
+    spinnerTimer = setTimeout(() => {
+      if (document.getElementById("spinner-overlay")) return;
+      const el = document.createElement("div");
+      el.id = "spinner-overlay";
+      el.innerHTML = `<div class="spinner"></div>`;
+      document.body.appendChild(el);
+    }, delay);
+  }
+  function hideSpinner() {
+    clearTimeout(spinnerTimer);
+    const el = document.getElementById("spinner-overlay");
+    if (el) el.remove();
+  }
+
   // AJAX fragment refresh (reference pages.py:381-402): re-fetch only the
   // file-list rows; handlers survive because they're delegated to the tbody.
   const listBody = document.getElementById("file-list-body");
@@ -53,11 +71,64 @@
         `/api/browse-list?path=${encodeURIComponent(currentPath)}`);
       if (!resp.ok) throw new Error(resp.statusText);
       listBody.innerHTML = await resp.text();
+      applySort();
+      updateFooter();
     } catch (_) {
       location.reload();
     } finally {
       refreshing = false;
     }
+  }
+
+  // ---- column sorting (reference app.js:2349-2415 sortFileList) ----
+  const sortState = { key: null, dir: 1 };
+  function applySort() {
+    if (!listBody || !sortState.key) return;
+    const rows = [...listBody.querySelectorAll("tr[data-path]")];
+    const key = sortState.key, dir = sortState.dir;
+    rows.sort((a, b) => {
+      // Folders group before files regardless of sort direction.
+      const ad = /^t/i.test(a.dataset.dir), bd = /^t/i.test(b.dataset.dir);
+      if (ad !== bd) return ad ? -1 : 1;
+      let av, bv;
+      if (key === "size" || key === "chunks") {
+        av = Number(a.dataset[key] || 0); bv = Number(b.dataset[key] || 0);
+        return (av - bv) * dir;
+      }
+      av = a.dataset[key === "status" ? "status" : "name"] || "";
+      bv = b.dataset[key === "status" ? "status" : "name"] || "";
+      return av.localeCompare(bv) * dir;
+    });
+    for (const r of rows) listBody.appendChild(r);
+    for (const th of document.querySelectorAll("th.sortable")) {
+      const ind = th.querySelector(".sort-ind");
+      if (ind) ind.textContent =
+        th.dataset.sort === sortState.key ? (dir > 0 ? "▲" : "▼") : "";
+    }
+  }
+  for (const th of document.querySelectorAll("th.sortable")) {
+    th.onclick = () => {
+      if (sortState.key === th.dataset.sort) sortState.dir *= -1;
+      else { sortState.key = th.dataset.sort; sortState.dir = 1; }
+      applySort();
+    };
+  }
+
+  // ---- footer stats (reference updateFileListFooter) ----
+  function updateFooter() {
+    const footer = document.getElementById("file-list-footer");
+    if (!footer || !listBody) return;
+    const rows = [...listBody.querySelectorAll("tr[data-path]")];
+    let dirs = 0, files = 0, chunks = 0, bytes = 0;
+    for (const r of rows) {
+      if (/^t/i.test(r.dataset.dir)) dirs++; else files++;
+      chunks += Number(r.dataset.chunks || 0);
+      bytes += Number(r.dataset.size || 0);
+    }
+    footer.textContent = rows.length
+      ? `${dirs} folders · ${files} files · ${chunks.toLocaleString()} chunks` +
+        (bytes ? ` · ${fmtSize(bytes)}` : "")
+      : "";
   }
 
   // ---- WebSocket live events (reference app.js:45-274) ----
@@ -80,7 +151,11 @@
         clearTimeout(debounce);
         debounce = setTimeout(refreshList, 800);
       } else if (msg.type && msg.type.endsWith("_connected")) {
+        // OAuth popup finished (reference updateSpConnectStatus etc.):
+        // surface it in an open sync modal as well as a toast.
         toast(`${msg.type.replace("_connected", "")} connected: ${msg.path}`);
+        const st = document.getElementById("oauth-status");
+        if (st) { st.textContent = "Connected ✓"; st.className = "oauth-ok"; }
       }
     };
     ws.onclose = () => setTimeout(initWebSocket, 5000);
@@ -94,20 +169,27 @@
   async function runSearch() {
     const q = searchInput.value.trim();
     if (!q) { searchResults.classList.add("hidden"); return; }
-    const data = await api("GET",
-      `/api/search?q=${encodeURIComponent(q)}&limit=10`);
+    showSpinner();
+    let data;
+    try {
+      data = await api("GET",
+        `/api/search?q=${encodeURIComponent(q)}&limit=10`);
+    } finally { hideSpinner(); }
     searchResults.innerHTML = "";
     if (!data.results.length) {
       searchResults.textContent = "No results.";
     }
     for (const r of data.results) {
+      const dir = r.file_path.includes("/")
+        ? r.file_path.slice(0, r.file_path.lastIndexOf("/")) : "";
       const div = document.createElement("div");
       div.className = "result";
       div.innerHTML =
         `<div class="meta"><span class="score">${r.score.toFixed(3)}</span> ` +
-        `— ${r.file_path} · chunk ${r.chunk_index + 1}/${r.total_chunks}` +
+        `— <a href="/browse?path=${encodeURIComponent(dir)}">${esc(r.file_path)}</a>` +
+        ` · chunk ${r.chunk_index + 1}/${r.total_chunks}` +
         (r.memory_id ? " · memory" : "") + `</div>` +
-        `<div>${r.text.slice(0, 400)}</div>`;
+        `<div>${esc(r.text.slice(0, 400))}</div>`;
       searchResults.appendChild(div);
     }
     searchResults.classList.remove("hidden");
@@ -298,6 +380,7 @@
       `<div class="modal-actions">` +
       `<button id="sync-save">Save</button>` +
       `<button id="sync-connect" class="hidden">Connect…</button>` +
+      `<span id="oauth-status"></span>` +
       (existing ? `<button id="sync-trigger">Sync now</button>` +
                   `<button id="sync-remove" class="danger">Remove source</button>` : "") +
       `</div>` +
@@ -417,15 +500,59 @@
     } catch (e) { toast(e.message); }
   };
 
-  const uploadInput = document.getElementById("upload-input");
-  if (uploadInput) uploadInput.onchange = async () => {
+  async function uploadFiles(files) {
+    if (!files || !files.length) return;
     const form = new FormData();
     form.append("path", currentPath);
-    for (const f of uploadInput.files) form.append("files", f);
-    const resp = await fetch("/api/files/upload", { method: "POST", body: form });
-    if (resp.ok) { toast("Uploaded"); refreshList(); }
-    else toast("Upload failed");
-  };
+    for (const f of files) form.append("files", f);
+    showSpinner();
+    try {
+      const resp = await fetch("/api/files/upload",
+        { method: "POST", body: form });
+      if (resp.ok) {
+        toast(`Uploaded ${files.length} file${files.length > 1 ? "s" : ""}`);
+        refreshList();
+      } else {
+        const detail = await resp.json().catch(() => ({}));
+        toast(detail.detail || "Upload failed");
+      }
+    } finally { hideSpinner(); }
+  }
+  const uploadInput = document.getElementById("upload-input");
+  if (uploadInput) uploadInput.onchange =
+    () => uploadFiles(uploadInput.files);
+
+  // Drag-and-drop upload onto the browser area.
+  const dropHint = document.getElementById("drop-hint");
+  if (dropHint) {
+    let dragDepth = 0;
+    browser.addEventListener("dragenter", (e) => {
+      if (![...e.dataTransfer.types].includes("Files")) return;
+      e.preventDefault();
+      dragDepth++;
+      dropHint.classList.remove("hidden");
+    });
+    browser.addEventListener("dragover", (e) => e.preventDefault());
+    browser.addEventListener("dragleave", () => {
+      if (--dragDepth <= 0) { dragDepth = 0; dropHint.classList.add("hidden"); }
+    });
+    browser.addEventListener("drop", (e) => {
+      e.preventDefault();
+      dragDepth = 0;
+      dropHint.classList.add("hidden");
+      uploadFiles(e.dataTransfer.files);
+    });
+  }
+
+  // Escape closes the topmost surface: modal, then details panel.
+  document.addEventListener("keydown", (e) => {
+    if (e.key !== "Escape") return;
+    if (document.getElementById("modal-overlay")) closeModal();
+    else {
+      const panel = document.getElementById("details-panel");
+      if (panel) panel.classList.add("hidden");
+    }
+  });
 
   // ---- details sidebar (reference app.js:513-915: state, file-type stats,
   // sync info, metadata notes) ----
@@ -564,4 +691,5 @@
       }
     });
   }
+  updateFooter();
 })();
