@@ -310,3 +310,74 @@ def test_optimize_endpoint_contract(app_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_browse_list_subtree_rollups_and_sync_icons(app_env):
+    """gather_file_list_data rolls indexed stats up from nested folders and
+    marks rows inside a synced tree with the ancestor's source type
+    (reference pages.py folder_stats + current_sync_type)."""
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            # top/nested/deep.md — indexed record lives two levels down.
+            root = app_env
+            (root / "top" / "nested").mkdir(parents=True)
+            (root / "top" / "nested" / "deep.md").write_text("hello world")
+            from voitta_rag_tpu.db.database import get_db
+            from voitta_rag_tpu.db.models import IndexedFile
+            db = get_db()
+            db.upsert_indexed_file(IndexedFile(
+                file_path="top/nested/deep.md", folder_path="top/nested",
+                index_folder="top", content_hash="x", file_size=11,
+                chunk_count=3))
+            from voitta_rag_tpu.db.models import FolderSyncSource
+            db.upsert_sync_source(FolderSyncSource(
+                folder_path="top", source_type="github", gh_repo="o/r"))
+
+            resp = await client.get("/api/browse-list?path=&format=json")
+            data = await resp.json()
+            top = next(i for i in data["items"] if i["path"] == "top")
+            assert top["chunks"] == 3
+            assert top["stats"]["indexed_files"] == 1
+            assert top["stats"]["indexed_bytes"] == 11
+            assert top["sync"]["source_type"] == "github"
+
+            # Rows INSIDE the synced tree inherit the source type.
+            resp = await client.get("/api/browse-list?path=top&format=json")
+            data = await resp.json()
+            nested = next(i for i in data["items"] if i["path"] == "top/nested")
+            assert nested["sync_type_inherited"] == "github"
+            assert nested["chunks"] == 3
+
+            resp = await client.get(
+                "/api/browse-list?path=top/nested&format=json")
+            data = await resp.json()
+            f = next(i for i in data["items"]
+                     if i["path"] == "top/nested/deep.md")
+            assert f["extension"] == ".md"
+            assert f["sync_type_inherited"] == "github"
+
+            # Fragment render: source icon + slider + status glyph markup.
+            resp = await client.get("/api/browse-list?path=top")
+            html = await resp.text()
+            assert 'data-src="github"' in html
+            assert 'class="switch"' in html
+            assert 'data-chunks="3"' in html
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_browse_list_empty_folder_fragment(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            (app_env / "hollow").mkdir()
+            resp = await client.get("/api/browse-list?path=hollow")
+            html = await resp.text()
+            assert "empty" in html and "folder is empty" in html
+        finally:
+            await client.close()
+    run(body())
