@@ -115,6 +115,30 @@ def device_hybrid(q, qt, qw, vecs, cols, terms, weights, spec, scales=None):
     return hybrid_fuse(d, jnp.broadcast_to(s, d.shape), SPARSE_W, limit=LIMIT)
 
 
+SELECT_GROUP = 16
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def device_hybrid_select(q, qt, qw, vecs, cols, terms, weights, spec,
+                         scales=None, *, use_pallas=False):
+    """Flat hybrid via fused scan→group-winner selection: the [B, N] f32
+    score arrays and the [1, N]→[B, N] sparse broadcast never hit HBM
+    (ops/scan_select.py)."""
+    from voitta_rag_tpu.ops.scan_select import dense_scan_select
+
+    d_vals, d_ids = dense_scan_select(q, vecs, cols, spec, scales,
+                                      group=SELECT_GROUP,
+                                      use_pallas=use_pallas)
+    s = sparse_scan_scores(qt, qw, terms, weights, cols, spec)
+    p = LIMIT * 3
+    s_vals, s_gids = masked_topk(s, p, approx=s.shape[-1] > (1 << 16))
+    Bq = q.shape[0]
+    s_vals = jnp.broadcast_to(s_vals, (Bq, p))
+    s_gids = jnp.broadcast_to(s_gids, (Bq, p))
+    return hybrid_fuse_candidates(d_vals, d_ids, s_vals, s_gids, SPARSE_W,
+                                  limit=LIMIT)
+
+
 def cpu_hybrid(q, qt, qw, vecs, cols, terms, weights, inc_mask):
     """NumPy/BLAS reference implementation of the same search."""
     d = q @ vecs.T                       # [B, N]
@@ -270,6 +294,18 @@ def main():
     # dispatches get. Queued throughput is the honest number; chaining is
     # only used for p50 latency below, where serialization is the point.
 
+    # ---- fused scan→select variant (no [B, N] score materialization) ----
+    try:
+        sel_fn = functools.partial(device_hybrid_select, use_pallas=on_tpu)
+        sel_qps, sel_dt = queued_qps(sel_fn, qstack, qt_j, qw_j, vecs, cols,
+                                     terms, weights, spec)
+        extra["select_hybrid_qps"] = round(sel_qps, 1)
+        log(f"select-hybrid: {sel_qps:.0f} qps "
+            f"({sel_dt / N_ITERS * 1000:.2f} ms/batch)")
+    except Exception as e:
+        extra["select_error"] = str(e)[:200]
+        log(f"select variant failed: {e}")
+
     # Sanity: device result matches CPU oracle on one batch.
     inc_mask = np.isin(cols_np[COL_FOLDER], INCLUDE)
     cpu_top = cpu_hybrid(qpool[:2], qt, qw, vecs_np, cols_np, terms_np,
@@ -283,6 +319,19 @@ def main():
         dev_ids = {int(g) for g in dev_gids[b] if g >= 0}
         agree += len(cpu_ids & dev_ids) / max(len(cpu_ids), 1)
     extra["recall_vs_cpu_oracle"] = round(agree / 2, 3)
+    try:
+        _, sel_gids2 = device_hybrid_select(
+            qstack[0][:2], qt_j, qw_j, vecs, cols, terms, weights, spec,
+            use_pallas=on_tpu)
+        sel_gids2 = np.asarray(sel_gids2)
+        s_agree = 0
+        for b in range(2):
+            cpu_ids = {int(i) for i, _ in cpu_top[b]}
+            dev_ids = {int(g) for g in sel_gids2[b] if g >= 0}
+            s_agree += len(cpu_ids & dev_ids) / max(len(cpu_ids), 1)
+        extra["select_recall_vs_cpu_oracle"] = round(s_agree / 2, 3)
+    except Exception as e:
+        extra["select_recall_error"] = str(e)[:200]
     extra["batch"] = B
     extra["limit"] = LIMIT
     extra["corpus"] = N

@@ -105,6 +105,15 @@ class Settings:
         self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
         # Hybrid over-fetch multiplier (reference limit*3, vector_store.py:636).
         self.prefetch_multiplier: int = int(os.getenv("VOITTA_PREFETCH_MULT", "3"))
+        # Flat-scan fused candidate selection: rows per winner group
+        # (ops/scan_select.py). Default 0 = disabled: measured slower than
+        # the XLA full-score path on v5e at b32 (see the module docstring);
+        # enable for shapes where the trade flips. Only engages above
+        # flat_select_min_rows total rows.
+        self.flat_select_group: int = int(
+            os.getenv("VOITTA_FLAT_SELECT_GROUP", "0"))
+        self.flat_select_min_rows: int = int(
+            os.getenv("VOITTA_FLAT_SELECT_MIN_ROWS", str(1 << 17)))
         # Sparse postings snapshot: per-term impact-ordered posting cap
         # (index/postings.py; only the lowest-weight postings of very common
         # terms are dropped beyond it).

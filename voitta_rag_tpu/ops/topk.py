@@ -49,6 +49,20 @@ def masked_topk(
     return vals, idxs
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_from_lists(
+    vals: jax.Array, ids: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k of a (values, ids) candidate list [B, C] (ids < 0 or -inf vals
+    invalid). Used by the group-winner select path (ops/scan_select.py)."""
+    k = min(k, vals.shape[-1])
+    masked = jnp.where(ids >= 0, vals, NEG_INF)
+    top_vals, pos = jax.lax.top_k(masked, k)
+    top_ids = jnp.take_along_axis(ids, pos, axis=-1)
+    top_ids = jnp.where(top_vals > VALID_THRESHOLD, top_ids, -1)
+    return top_vals, top_ids.astype(jnp.int32)
+
+
 @jax.jit
 def dedup_candidates(
     vals: jax.Array, ids: jax.Array

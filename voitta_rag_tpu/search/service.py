@@ -34,7 +34,7 @@ from voitta_rag_tpu.services.embedding import EmbeddingService, get_embedding_se
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
-                     "fusion"),
+                     "fusion", "select_group", "select_pallas"),
 )
 def fused_query(
     params,
@@ -55,9 +55,55 @@ def fused_query(
     prefetch_multiplier: int,
     has_sparse: bool,
     fusion: str = "weighted",
+    select_group: int = 0,
+    select_pallas: bool = False,
 ):
-    """Encode the query and search all segments in one device program."""
+    """Encode the query and search all segments in one device program.
+
+    With ``select_group > 0`` the dense side runs the fused scan→group-winner
+    kernel (ops/scan_select.py) and fusion happens on candidate LISTS — the
+    [B, N] f32 score arrays (and the [1, N]→[B, N] sparse broadcast) never
+    materialize in HBM. The sparse side still scores all rows (its slot-array
+    read dominates; its [1, N] f32 output is N*4 bytes, not B*N*4) and is cut
+    to one top-p list broadcast across the batch.
+    """
+    from voitta_rag_tpu.ops.fusion import (
+        hybrid_fuse_candidates, rrf_fuse_candidates,
+    )
+    from voitta_rag_tpu.ops.scan_select import dense_scan_select
+    from voitta_rag_tpu.ops.topk import topk_from_lists
+
     q = encode_tokens(params, cfg, input_ids, attention_mask)  # [1, D]
+
+    if select_group:
+        dv, di, offset = [], [], 0
+        for v, c, s in zip(seg_vecs, seg_cols, seg_scales):
+            vals, rows = dense_scan_select(
+                q, v, c, spec, s, group=select_group, row_offset=offset,
+                use_pallas=select_pallas)
+            dv.append(vals)
+            di.append(rows)
+            offset += v.shape[0]
+        d_vals = jnp.concatenate(dv, axis=1)
+        d_ids = jnp.concatenate(di, axis=1)
+        if not has_sparse:
+            return topk_from_lists(d_vals, d_ids, limit)
+        s_parts = [sparse_scan_scores(qt, qw, t, w, c, spec)
+                   for t, w, c in zip(seg_terms, seg_weights, seg_cols)]
+        sparse_scores = jnp.concatenate(s_parts, axis=1)  # [1, N]
+        p = min(limit * prefetch_multiplier, sparse_scores.shape[-1])
+        s_vals, s_gids = masked_topk(
+            sparse_scores, p, approx=sparse_scores.shape[-1] > (1 << 16))
+        s_vals = jnp.broadcast_to(s_vals, (d_vals.shape[0], p))
+        s_gids = jnp.broadcast_to(s_gids, (d_vals.shape[0], p))
+        if fusion == "rrf":
+            return rrf_fuse_candidates(
+                d_vals, d_ids, s_vals, s_gids, limit=limit,
+                prefetch_multiplier=prefetch_multiplier)
+        return hybrid_fuse_candidates(
+            d_vals, d_ids, s_vals, s_gids, sparse_weight, limit=limit,
+            prefetch_multiplier=prefetch_multiplier)
+
     d_parts = [dense_scan_scores(q, v, c, spec, s)
                for v, c, s in zip(seg_vecs, seg_cols, seg_scales)]
     dense_scores = jnp.concatenate(d_parts, axis=1)
@@ -276,6 +322,12 @@ class SearchService:
                     fusion)
 
         segs = store.segments
+        total_rows = sum(s.vecs.shape[0] for s in segs)
+        settings = get_settings()
+        select_group = settings.flat_select_group
+        if total_rows < settings.flat_select_min_rows or any(
+                s.vecs.shape[0] % max(select_group, 1) for s in segs):
+            select_group = 0
         with trace("search.device"):
             scores, gids = fused_query(
                 params, cfg, jnp.asarray(ids), jnp.asarray(mask),
@@ -287,7 +339,9 @@ class SearchService:
                 spec, jnp.asarray(qt), jnp.asarray(qw),
                 jnp.asarray(sparse_weight, jnp.float32),
                 limit=limit, prefetch_multiplier=self.prefetch_multiplier,
-                has_sparse=has_sparse, fusion=fusion)
+                has_sparse=has_sparse, fusion=fusion,
+                select_group=select_group,
+                select_pallas=jax.default_backend() == "tpu")
         with trace("search.materialize"):
             return store._materialize(np.asarray(scores)[0],
                                       np.asarray(gids)[0])
