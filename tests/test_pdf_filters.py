@@ -218,16 +218,17 @@ def test_objstm_with_png_predictor(tmp_path):
 
 
 def test_objstm_direct_object_wins(tmp_path):
-    # A direct 4 0 obj alongside an ObjStm member 4: direct wins.
+    # A direct 4 0 obj alongside an ObjStm member 4: direct wins. The
+    # direct body carries a /Rotate marker the ObjStm member lacks.
     pdf = objstm_pdf()
-    direct = (b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> "
-              b"endobj\n")
+    direct = (b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R "
+              b"/Rotate 0 >> endobj\n")
     pdf = pdf.replace(b"3 0 obj", direct + b"3 0 obj", 1)
     p = tmp_path / "doc.pdf"
     p.write_bytes(pdf)
     doc = PdfDocument(p)
     assert doc.page_count == 1
-    assert b"endobj" not in doc.objects[4] or True  # direct body retained
+    assert b"/Rotate 0" in doc.objects[4]  # direct body retained
     assert "Filter chain works." in doc.page_text(0)
 
 
@@ -243,6 +244,19 @@ def test_unsupported_filter_returns_failure(tmp_path):
 def test_corrupt_lzw_is_failure_not_crash(tmp_path):
     obj = (b"5 0 obj << /Length 6 /Filter /LZWDecode >> stream\n"
            b"\xff\xff\xff\xff\xff\xff\nendstream endobj")
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(one_page_pdf(obj))
+    r = PdfParser().parse(p)
+    assert not r.success
+
+
+def test_forged_predictor_columns_rejected(tmp_path):
+    """/DecodeParms /Columns is attacker-controlled: a forged multi-GB row
+    length must fail the parse, not allocate or loop unbounded."""
+    payload = zlib.compress(b"\x02" + b"x" * 8)
+    obj = (b"5 0 obj << /Length %d /Filter /FlateDecode /DecodeParms "
+           b"<< /Predictor 12 /Columns 2000000000 >> >> stream\n"
+           % len(payload) + payload + b"\nendstream endobj")
     p = tmp_path / "doc.pdf"
     p.write_bytes(one_page_pdf(obj))
     r = PdfParser().parse(p)

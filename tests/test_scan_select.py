@@ -164,3 +164,17 @@ def test_fused_query_select_path_matches_full(monkeypatch, temp_root):
     finally:
         store.close()
         get_settings.cache_clear()
+
+
+def test_group_compatible_guard():
+    from voitta_rag_tpu.ops.scan_select import group_compatible
+
+    # Pallas needs lane-aligned output blocks on multi-tile segments.
+    assert group_compatible(1 << 17, 16, use_pallas=True)
+    assert not group_compatible(1 << 17, 32, use_pallas=True)   # block 64
+    assert not group_compatible(1 << 17, 128, use_pallas=True)  # block 16
+    assert group_compatible(1 << 17, 128, use_pallas=False)
+    # Single-tile segments: any divisor of the tile works.
+    assert group_compatible(1024, 128, use_pallas=True)
+    assert not group_compatible(1024, 3000, use_pallas=True)
+    assert not group_compatible(1024, 0, use_pallas=False)

@@ -39,22 +39,28 @@ def gather_file_list_data(rel_path: str, user) -> dict:
     entries = fs.list_dir(rel_path)
     project = db.get_active_project(user) if user else None
 
-    # One query; roll leaf folder groups up into per-child-dir subtree stats.
+    # One query scoped to this subtree; each leaf folder group is bucketed
+    # ONCE by its first path segment below rel_path — O(groups), not
+    # O(groups x listed dirs) (this runs on every WS-debounced refresh).
+    prefix = rel_path + "/" if rel_path else ""
     groups = db.query(
         "SELECT folder_path, COUNT(*) AS n, SUM(chunk_count) AS chunks, "
         "SUM(file_size) AS bytes FROM indexed_files WHERE chunk_count > 0 "
-        "GROUP BY folder_path")
+        "AND (folder_path = ? OR folder_path LIKE ?) GROUP BY folder_path",
+        (rel_path, prefix + "%"))
     dir_paths = [e.path for e in entries if e.is_dir]
     stats = {p: {"indexed_files": 0, "total_chunks": 0, "indexed_bytes": 0}
              for p in dir_paths}
     for r in groups:
         fp = r["folder_path"]
-        for p in dir_paths:
-            if fp == p or fp.startswith(p + "/"):
-                s = stats[p]
-                s["indexed_files"] += r["n"]
-                s["total_chunks"] += r["chunks"] or 0
-                s["indexed_bytes"] += r["bytes"] or 0
+        if fp == rel_path:
+            continue  # files directly in the listed dir are rows themselves
+        child = prefix + fp[len(prefix):].split("/", 1)[0]
+        s = stats.get(child)
+        if s is not None:
+            s["indexed_files"] += r["n"]
+            s["total_chunks"] += r["chunks"] or 0
+            s["indexed_bytes"] += r["bytes"] or 0
 
     inherited_sync = _ancestor_sync_type(db, rel_path)
 

@@ -54,6 +54,24 @@ from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, pick_tile
 TILE_N = 2048  # rows per grid step (see dense_scan.TILE_N)
 
 
+def group_compatible(n_rows: int, group: int, use_pallas: bool) -> bool:
+    """Whether ``dense_scan_select`` accepts this (segment size, group).
+
+    Callers (search service) use this to fall back to the full-score path
+    instead of crashing on configs the kernel cannot tile: the group must
+    divide the tile, and the Pallas path additionally needs a lane-aligned
+    (multiple-of-128) output block unless the segment is a single tile.
+    """
+    if group <= 0:
+        return False
+    tile = pick_tile(n_rows, TILE_N)
+    if tile % group:
+        return False
+    if use_pallas and n_rows != tile and (tile // group) % 128:
+        return False
+    return True
+
+
 def _select_groups(scores: jax.Array, group: int, row_base: jax.Array):
     """Per-group (max, argmax-row) of ``scores [B, T]`` → ([B, T/G], [B, T/G]).
 

@@ -325,8 +325,11 @@ class SearchService:
         total_rows = sum(s.vecs.shape[0] for s in segs)
         settings = get_settings()
         select_group = settings.flat_select_group
-        if total_rows < settings.flat_select_min_rows or any(
-                s.vecs.shape[0] % max(select_group, 1) for s in segs):
+        select_pallas = jax.default_backend() == "tpu"
+        from voitta_rag_tpu.ops.scan_select import group_compatible
+        if total_rows < settings.flat_select_min_rows or not all(
+                group_compatible(s.vecs.shape[0], select_group, select_pallas)
+                for s in segs):
             select_group = 0
         with trace("search.device"):
             scores, gids = fused_query(
@@ -341,7 +344,7 @@ class SearchService:
                 limit=limit, prefetch_multiplier=self.prefetch_multiplier,
                 has_sparse=has_sparse, fusion=fusion,
                 select_group=select_group,
-                select_pallas=jax.default_backend() == "tpu")
+                select_pallas=select_pallas)
         with trace("search.materialize"):
             return store._materialize(np.asarray(scores)[0],
                                       np.asarray(gids)[0])

@@ -165,12 +165,20 @@ def _flate_decode(raw: bytes) -> bytes:
         return d.decompress(raw)
 
 
+#: Sanity bound on predictor row width: declared /Columns is attacker
+#: controlled; a forged multi-GB rowlen would otherwise allocate unbounded
+#: memory and run a per-byte Python loop for hours.
+_MAX_PREDICTOR_ROWLEN = 1 << 20
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int,
                    bpc: int) -> bytes:
     """Undo PNG row filters (predictor types 10-15): each row is a filter
     byte followed by ``rowlen`` filtered bytes."""
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = (columns * colors * bpc + 7) // 8
+    if not 0 < rowlen <= _MAX_PREDICTOR_ROWLEN:
+        raise ValueError(f"implausible predictor row length {rowlen}")
     out = bytearray()
     prev = bytearray(rowlen)
     i = 0
@@ -210,6 +218,8 @@ def _tiff_unpredict(data: bytes, columns: int, colors: int,
     if bpc != 8:
         return data
     rowlen = columns * colors
+    if not 0 < rowlen <= _MAX_PREDICTOR_ROWLEN:
+        raise ValueError(f"implausible predictor row length {rowlen}")
     out = bytearray(data)
     for r in range(0, len(out) - rowlen + 1, rowlen):
         for j in range(colors, rowlen):
@@ -307,7 +317,8 @@ def _decode_stream(body: bytes) -> bytes | None:
             return None  # unsupported filter (DCTDecode images etc.)
         try:
             data = fn(data, parm)
-        except (ValueError, zlib.error, KeyError, IndexError):
+        except (ValueError, zlib.error, KeyError, IndexError,
+                MemoryError, OverflowError):
             return None
     return data
 

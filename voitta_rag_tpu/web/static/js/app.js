@@ -41,19 +41,27 @@
   }
 
   // ---- delayed spinner (reference app.js:942-970) ----
-  let spinnerTimer = null;
+  // Reference-counted: concurrent operations (upload + search) each call
+  // show/hide; the overlay survives until the LAST one finishes.
+  let spinnerCount = 0;
+  const spinnerTimers = new Set();
   function showSpinner(delay = 150) {
-    clearTimeout(spinnerTimer);
-    spinnerTimer = setTimeout(() => {
+    spinnerCount++;
+    const timer = setTimeout(() => {
+      spinnerTimers.delete(timer);
       if (document.getElementById("spinner-overlay")) return;
       const el = document.createElement("div");
       el.id = "spinner-overlay";
       el.innerHTML = `<div class="spinner"></div>`;
       document.body.appendChild(el);
     }, delay);
+    spinnerTimers.add(timer);
   }
   function hideSpinner() {
-    clearTimeout(spinnerTimer);
+    spinnerCount = Math.max(0, spinnerCount - 1);
+    if (spinnerCount > 0) return;
+    for (const t of spinnerTimers) clearTimeout(t);
+    spinnerTimers.clear();
     const el = document.getElementById("spinner-overlay");
     if (el) el.remove();
   }
@@ -522,21 +530,24 @@
   if (uploadInput) uploadInput.onchange =
     () => uploadFiles(uploadInput.files);
 
-  // Drag-and-drop upload onto the browser area.
+  // Drag-and-drop upload. Handlers live at the WINDOW level: the drop hint
+  // overlays the whole viewport, so a drop released outside the .browser
+  // element must still be intercepted — otherwise the browser navigates to
+  // the dropped file and the page state is lost.
   const dropHint = document.getElementById("drop-hint");
   if (dropHint) {
     let dragDepth = 0;
-    browser.addEventListener("dragenter", (e) => {
+    window.addEventListener("dragenter", (e) => {
       if (![...e.dataTransfer.types].includes("Files")) return;
       e.preventDefault();
       dragDepth++;
       dropHint.classList.remove("hidden");
     });
-    browser.addEventListener("dragover", (e) => e.preventDefault());
-    browser.addEventListener("dragleave", () => {
+    window.addEventListener("dragover", (e) => e.preventDefault());
+    window.addEventListener("dragleave", () => {
       if (--dragDepth <= 0) { dragDepth = 0; dropHint.classList.add("hidden"); }
     });
-    browser.addEventListener("drop", (e) => {
+    window.addEventListener("drop", (e) => {
       e.preventDefault();
       dragDepth = 0;
       dropHint.classList.add("hidden");
