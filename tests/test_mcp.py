@@ -335,3 +335,75 @@ def test_search_date_filter_and_dislike(mcp_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_get_file_and_uri_and_auth_meta(mcp_env):
+    """get_file parses + returns indexed content; get_file_uri builds a raw
+    download URI with mime/size (mcp_server.py:600-656, 785-853); every tool
+    result carries auth_status in _meta (AuthStatusMiddleware 48-72)."""
+    async def body():
+        from voitta_rag_tpu.db.database import get_db
+        from voitta_rag_tpu.db.models import IndexedFile
+
+        (mcp_env / "notes").mkdir()
+        p = mcp_env / "notes" / "plan.md"
+        p.write_text("# Plan\nShip the thing.\n")
+        get_db().upsert_indexed_file(IndexedFile(
+            file_path="notes/plan.md", folder_path="notes",
+            index_folder="notes", content_hash="h", file_size=p.stat().st_size,
+            chunk_count=1))
+        client = await make_client()
+        try:
+            res = await call_tool(client, "get_file",
+                                  {"file_path": "notes/plan.md"},
+                                  user="alice")
+            assert res["_meta"]["auth_status"]  # middleware meta present
+            import json as _json
+            payload = _json.loads(res["content"][0]["text"])
+            assert "Ship the thing." in payload["content"]
+            assert payload["chunk_count"] == 1
+
+            res = await call_tool(client, "get_file_uri",
+                                  {"file_path": "notes/plan.md"},
+                                  user="alice")
+            payload = _json.loads(res["content"][0]["text"])
+            assert payload["uri"].endswith("/api/raw/notes/plan.md")
+            assert payload["mime_type"].startswith("text/")
+            assert payload["size"] == p.stat().st_size
+
+            # Unindexed file → isError result, not a crash.
+            res = await call_tool(client, "get_file",
+                                  {"file_path": "notes/missing.md"},
+                                  user="alice")
+            assert res.get("isError"), res
+
+            # Directory → error for get_file_uri.
+            res = await call_tool(client, "get_file_uri",
+                                  {"file_path": "notes"}, user="alice")
+            assert res.get("isError"), res
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_list_indexed_folders_shape(mcp_env):
+    async def body():
+        from voitta_rag_tpu.db.database import get_db
+
+        (mcp_env / "kb").mkdir()
+        db = get_db()
+        db.set_index_status("kb", "indexed")
+        alice = db.get_or_create_user("alice")
+        db.upsert_folder_setting(alice.id, "kb", search_active=True)
+        client = await make_client()
+        try:
+            res = await call_tool(client, "list_indexed_folders", {},
+                                  user="alice")
+            import json as _json
+            folders = _json.loads(res["content"][0]["text"])
+            kb = next(f for f in folders if f["folder_path"] == "kb")
+            assert kb["status"] == "indexed"
+            assert "file_count" in kb and "total_chunks" in kb
+        finally:
+            await client.close()
+    run(body())
