@@ -36,7 +36,12 @@ def api(client: httpx.Client, method: str, path: str, **kw):
     if resp.status_code >= 400:
         raise RuntimeError(f"{method} {path} -> {resp.status_code}: "
                            f"{resp.text[:300]}")
-    return resp.json() if resp.content else {}
+    # Non-JSON responses (e.g. the select-user 302 redirect body) are not
+    # parsed — callers only consume JSON payloads.
+    ctype = resp.headers.get("content-type", "")
+    if resp.content and ctype.startswith("application/json"):
+        return resp.json()
+    return {}
 
 
 def import_repo(client: httpx.Client, folder: str, repo_spec: str,

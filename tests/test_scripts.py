@@ -91,3 +91,78 @@ def test_rebuild_sparse_vectors(temp_root, monkeypatch):
         assert hits and hits[0].text == "chunk 7 searchable text body"
     finally:
         s2.close()
+
+
+def test_import_repos_end_to_end(tmp_path):
+    """scripts/import_repos.py against a live app subprocess: creates the
+    folder, configures the github source, enables indexing, triggers sync,
+    and polls to a terminal status (reference scripts/import_repos.py
+    contract). The repo is nonexistent so the sync lands on 'error' —
+    the script must still drive the full sequence and terminate."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    root = tmp_path / "root"
+    root.mkdir()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "VOITTA_ROOT_PATH": str(root),
+        "VOITTA_DB_PATH": str(tmp_path / "app.db"),
+        "VOITTA_PORT": str(port),
+        "EMBEDDING_MODEL": "test-tiny",
+        "EMBEDDING_DIMENSION": "64",
+        "VOITTA_MAX_SEQ_LEN": "32",
+        "INDEXING_POLL_INTERVAL": "3600",
+    })
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app = subprocess.Popen(
+        [sys.executable, "-m", "voitta_rag_tpu.api.app"], env=env,
+        cwd=repo_dir, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):
+            try:
+                urllib.request.urlopen(base + "/", timeout=2)
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            raise AssertionError("app did not become ready")
+
+        cfg = tmp_path / "import.json"
+        cfg.write_text(json.dumps({
+            "base_url": base,
+            "user": "importer",
+            "hosts": {"github.com": {"auth_method": "token",
+                                     "username": "x", "pat": "nope"}},
+            "folders": {"repos": ["no-such-org/no-such-repo@main"]},
+        }))
+        proc = subprocess.run(
+            [sys.executable, "scripts/import_repos.py", str(cfg)],
+            cwd=repo_dir, env=env, capture_output=True, text=True,
+            timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "sync error" in proc.stdout or "sync synced" in proc.stdout, (
+            proc.stdout, proc.stderr[-1000:])
+
+        # The source was configured and reached a terminal state.
+        req = urllib.request.Request(
+            base + "/api/sync/repos/no-such-repo",
+            headers={"Cookie": "voitta_user=importer"})
+        data = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert data["source_type"] == "github"
+        assert data["gh_repo"] == "no-such-org/no-such-repo"
+        assert data["sync_status"] in ("error", "synced")
+    finally:
+        app.terminate()
+        app.wait(timeout=10)
