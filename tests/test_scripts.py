@@ -166,3 +166,43 @@ def test_import_repos_end_to_end(tmp_path):
     finally:
         app.terminate()
         app.wait(timeout=10)
+
+
+def test_export_repos_round_trip(temp_root, capsys):
+    """export_repos dumps github sources in the import-config format with
+    secrets stripped (reference scripts/export_repos.py contract)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from voitta_rag_tpu.db import database as dbmod
+    from voitta_rag_tpu.db.models import FolderSyncSource
+
+    dbmod.reset_db()
+    db = dbmod.get_db()
+    db.upsert_sync_source(FolderSyncSource(
+        folder_path="repos/alpha", source_type="github",
+        gh_repo="org/alpha", gh_branch="main", gh_auth_method="token",
+        gh_username="bot", gh_pat="SECRET"))
+    db.upsert_sync_source(FolderSyncSource(
+        folder_path="repos/beta", source_type="github", gh_repo="org/beta"))
+    db.upsert_sync_source(FolderSyncSource(
+        folder_path="sp", source_type="sharepoint"))  # skipped
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "export_repos", os.path.join(repo_dir, "scripts", "export_repos.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old_argv = sys.argv
+    sys.argv = ["export_repos.py"]
+    try:
+        assert mod.main() == 0
+    finally:
+        sys.argv = old_argv
+    out = json.loads(capsys.readouterr().out)
+    assert out["folders"]["repos"] == ["org/alpha@main", "org/beta"]
+    assert out["hosts"]["github.com"]["username"] == "bot"
+    assert "SECRET" not in json.dumps(out)
+    dbmod.reset_db()
