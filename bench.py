@@ -393,7 +393,7 @@ def main():
                              assign_k=1)
         jax.block_until_ready(ivf.vecs3)
         extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
-        for nprobe in (32, 64, 128):
+        for nprobe in (16, 32, 64, 128):
             def ivf_top(q, nprobe=nprobe):
                 return ivf.search_candidates(q, pass_all, nprobe=nprobe,
                                              limit=LIMIT)
@@ -626,26 +626,34 @@ def main():
         except Exception as e:
             extra["scale10M_error"] = str(e)[:300]
 
-    # vs_baseline: QPS ratio at recall@10 >= the CPU baseline's best — the
-    # TPU IVF (recall ~0.978) vs single-thread C++ HNSW at ef=64 (recall
-    # ~0.93). Falls back to flat-scan / ef32 when either side is missing.
+    # vs_baseline: QPS ratio at recall@10 at-or-above the CPU baseline's
+    # best honest operating point. CPU point = its highest measured recall
+    # (not exceeding the TPU's best, so recall parity holds); TPU point =
+    # the fastest nprobe whose recall >= that CPU recall.
     vs = None
-    ivf_qps = extra.get("ivf_qps_np32")
-    ivf_rec = extra.get("ivf_recall10_np32", 0)
-    # Compare against the CPU config with the HIGHEST recall not exceeding
-    # the TPU IVF's — the baseline's best honest operating point.
+    tpu_points = [(np_, extra.get(f"ivf_recall10_np{np_}"),
+                   extra.get(f"ivf_qps_np{np_}"))
+                  for np_ in (16, 32, 64, 128)]
+    tpu_points = [p for p in tpu_points if p[1] is not None and p[2]]
+    max_tpu_rec = max((p[1] for p in tpu_points), default=0)
     cpu_best = None
-    for ef in (128, 64, 32):
+    for ef in (128, 64, 32):  # highest-recall CPU config first
         r, qps = (extra.get(f"hnsw_recall10_ef{ef}"),
                   extra.get(f"hnsw_qps_ef{ef}"))
-        if r is not None and qps and r <= ivf_rec:
+        if r is not None and qps and r <= max_tpu_rec:
             cpu_best = (ef, r, qps)
             break
-    if ivf_qps and cpu_best:
+    tpu_best = None
+    if cpu_best:
+        for np_, r, qps in tpu_points:
+            if r >= cpu_best[1] and (tpu_best is None or qps > tpu_best[2]):
+                tpu_best = (np_, r, qps)
+    if tpu_best and cpu_best:
         ef, cpu_rec, cpu_qps = cpu_best
+        np_, ivf_rec, ivf_qps = tpu_best
         vs = round(ivf_qps / cpu_qps, 1)
         extra["vs_baseline_definition"] = (
-            f"ivf_qps_np32 / hnsw_qps_ef{ef} (TPU recall "
+            f"ivf_qps_np{np_} / hnsw_qps_ef{ef} (TPU recall "
             f"{ivf_rec} >= CPU recall {cpu_rec})")
     elif hnsw_qps:
         vs = round(tpu_qps / hnsw_qps, 1)
