@@ -41,3 +41,31 @@ def test_embedding_service_loads_native_checkpoint(tmp_path, temp_root,
                             model_path=str(tmp_path / "ft"), max_seq_len=16)
     np.testing.assert_allclose(emb, svc2.embed_query_array("hello world"),
                                atol=1e-6)
+
+
+def test_corrupt_spill_is_quarantined_not_fatal(temp_root, monkeypatch):
+    """A truncated/corrupt segment spill must not brick the store: it gets
+    quarantined and the store opens with the healthy segments (the indexing
+    repair cycle re-indexes the lost chunks, SURVEY §5.3)."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    index_dir = store.index_dir
+    store.close()
+    index_dir.mkdir(parents=True, exist_ok=True)
+    (index_dir / "segment_000.npz").write_bytes(b"not an npz file at all")
+
+    store = TpuVectorStore(dimension=64)
+    try:
+        assert store.segments == []  # opened despite the corrupt spill
+        assert not (index_dir / "segment_000.npz").exists()
+        assert list(index_dir.glob("segment_000.corrupt-*"))
+    finally:
+        store.close()
+    get_settings.cache_clear()

@@ -122,13 +122,17 @@ class TpuVectorStore:
                                   n_slices=get_settings().index_slices)
                 spill = self.index_dir / "sharded.npz"
                 if spill.exists():
-                    with np.load(spill, allow_pickle=False) as data:
-                        self._sharded = ShardedIndex.from_host(
-                            mesh, dict(data))
-                    logger.info(
-                        "Loaded sharded index (%d shards, %d live chunks) "
-                        "for '%s'", self._n_shards, self.count(),
-                        self.collection_name)
+                    try:
+                        with np.load(spill, allow_pickle=False) as data:
+                            self._sharded = ShardedIndex.from_host(
+                                mesh, dict(data))
+                        logger.info(
+                            "Loaded sharded index (%d shards, %d live "
+                            "chunks) for '%s'", self._n_shards, self.count(),
+                            self.collection_name)
+                    except Exception:
+                        self._quarantine_spill(spill)
+                        self._sharded = None
                 else:
                     # segment_capacity is the TOTAL row budget; each shard
                     # holds its slice (lane-aligned).
@@ -143,11 +147,31 @@ class TpuVectorStore:
                 return
             seg_files = sorted(self.index_dir.glob("segment_*.npz"))
             for f in seg_files:
-                with np.load(f, allow_pickle=False) as data:
-                    self._segments.append(Segment.from_host(dict(data)))
+                try:
+                    with np.load(f, allow_pickle=False) as data:
+                        self._segments.append(Segment.from_host(dict(data)))
+                except Exception:
+                    # A corrupt spill must not brick the store: quarantine
+                    # the file and keep serving the healthy segments. The
+                    # indexing repair cycle (chunk-count cross-checks,
+                    # SURVEY §5.3) re-indexes whatever the lost segment
+                    # held on its next pass.
+                    self._quarantine_spill(f)
             if self._segments:
                 logger.info("Loaded %d segments (%d live chunks) for '%s'",
                             len(self._segments), self.count(), self.collection_name)
+
+    def _quarantine_spill(self, path) -> None:
+        import time as _time
+
+        dest = path.with_suffix(f".corrupt-{int(_time.time())}")
+        logger.exception(
+            "Corrupt index spill %s — quarantined to %s; the segment's "
+            "chunks will be re-indexed by the repair cycle", path, dest)
+        try:
+            path.rename(dest)
+        except OSError:
+            logger.exception("quarantine rename failed for %s", path)
 
     def _segment_with_space(self, n: int) -> Segment:
         for seg in self._segments:
