@@ -381,3 +381,76 @@ def test_browse_list_empty_folder_fragment(app_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_oauth_login_redirect_and_state_guard(app_env, monkeypatch):
+    """OAuth flows (reference api/routes/auth.py:33-228): login 302s to the
+    IdP authorize URL with a state token; callback rejects unknown state;
+    unconfigured providers 404."""
+    async def body():
+        client = await make_client()
+        try:
+            # Not configured → 404.
+            resp = await client.get("/auth/microsoft/login",
+                                    allow_redirects=False)
+            assert resp.status == 404
+
+            from voitta_rag_tpu.config import get_settings
+            monkeypatch.setenv("MS_AUTH_TENANT_ID", "tid")
+            monkeypatch.setenv("MS_AUTH_CLIENT_ID", "cid")
+            monkeypatch.setenv("MS_AUTH_CLIENT_SECRET", "sec")
+            monkeypatch.setenv("VOITTA_BASE_URL", "http://example.test")
+            get_settings.cache_clear()
+
+            resp = await client.get("/auth/microsoft/login",
+                                    allow_redirects=False)
+            assert resp.status == 302
+            loc = resp.headers["Location"]
+            assert loc.startswith(
+                "https://login.microsoftonline.com/tid/oauth2/v2.0/authorize")
+            assert "client_id=cid" in loc
+            assert "state=" in loc
+            # yarl re-quotes the Location: ':' '/' are RFC-valid in query
+            # values, so accept either encoding.
+            from urllib.parse import unquote
+            assert ("redirect_uri=http://example.test/auth/microsoft/"
+                    "callback") in unquote(loc)
+
+            # Callback with an unknown state is rejected before any
+            # token exchange.
+            resp = await client.get(
+                "/auth/microsoft/callback?state=bogus&code=x",
+                allow_redirects=False)
+            assert resp.status == 400
+        finally:
+            await client.close()
+            from voitta_rag_tpu.config import get_settings
+            get_settings.cache_clear()
+    run(body())
+
+
+def test_login_as_matches_user_by_email(app_env):
+    """IdP callbacks match-or-create the user by email and set the session
+    cookie (reference auth.py user matching)."""
+    async def body():
+        from voitta_rag_tpu.api.routes.auth import _login_as
+        from voitta_rag_tpu.db.database import get_db
+        import aiohttp.web as web
+
+        db = get_db()
+        existing = db.get_or_create_user("casey", email="casey@corp.com")
+        try:
+            _login_as("casey@corp.com")
+        except web.HTTPFound as resp:
+            cookie = resp.cookies.get("voitta_user")
+            assert cookie is not None and cookie.value == existing.name
+        else:
+            raise AssertionError("expected redirect")
+
+        # Unknown email → user created with email as name.
+        try:
+            _login_as("new@corp.com")
+        except web.HTTPFound as resp:
+            assert resp.cookies["voitta_user"].value == "new@corp.com"
+        assert db.get_user_by_email("new@corp.com") is not None
+    run(body())
