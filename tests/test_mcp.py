@@ -407,3 +407,35 @@ def test_list_indexed_folders_shape(mcp_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_protocol_error_contract(mcp_env):
+    """JSON-RPC error codes: parse error -32700, method not found -32601,
+    unknown tool / bad arguments -32602 (streamable-http transport layer)."""
+    async def body():
+        client = await make_client()
+        try:
+            resp = await client.post(
+                "/mcp", data=b"{not json",
+                headers={"Content-Type": "application/json"})
+            data = await resp.json()
+            assert data["error"]["code"] == -32700
+
+            data = await rpc(client, "no/such/method")
+            assert data["error"]["code"] == -32601
+
+            data = await rpc(client, "tools/call",
+                             {"name": "not_a_tool", "arguments": {}})
+            assert data["error"]["code"] == -32602
+
+            # Wrong argument types are a protocol-level invalid-arguments
+            # error, not a 500.
+            data = await rpc(client, "tools/call",
+                             {"name": "get_chunk_range",
+                              "arguments": {"file_path": "x",
+                                            "first_chunk": "NaN",
+                                            "last_chunk": []}})
+            assert "error" in data or data["result"].get("isError"), data
+        finally:
+            await client.close()
+    run(body())
