@@ -38,6 +38,13 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # Position-embedding index of sequence position 0. RoBERTa reserves
+    # rows 0..1 (padding_idx + 1 convention), so real tokens start at 2;
+    # BERT starts at 0. Right-padded batches make the fixed-offset indexing
+    # exactly equal to HF's cumsum-based position ids at non-pad positions.
+    pos_offset: int = 0
+    # "bert" | "roberta" — weight naming + tokenizer family.
+    arch: str = "bert"
     # dtype for parameters/activations on device
     dtype: str = "float32"
 
@@ -53,6 +60,11 @@ PRESETS: dict[str, EncoderConfig] = {
     "sentence-transformers/all-MiniLM-L6-v2": EncoderConfig(
         hidden_size=384, num_layers=6, num_heads=12, intermediate_size=1536,
         max_position=512,
+    ),
+    # RoBERTa family (byte-level BPE tokenizer, offset position ids).
+    "sentence-transformers/all-distilroberta-v1": EncoderConfig(
+        vocab_size=50265, num_layers=6, max_position=514, type_vocab_size=1,
+        layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="roberta",
     ),
     # Tiny config for tests
     "test-tiny": EncoderConfig(
@@ -159,9 +171,10 @@ def encoder_forward(
         use_pallas_attn = on_tpu()
     B, L = input_ids.shape
     emb = params["embeddings"]
+    off = cfg.pos_offset
     h = (
         jnp.take(emb["word"], input_ids, axis=0)
-        + emb["position"][None, :L, :]
+        + emb["position"][None, off:off + L, :]
         + emb["token_type"][0][None, None, :]
     )
     h = _layer_norm(h, emb["ln"], cfg.layer_norm_eps)

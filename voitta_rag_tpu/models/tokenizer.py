@@ -196,10 +196,129 @@ class HashTokenizer:
         return input_ids, mask
 
 
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2 byte→printable-unicode table (the published byte-level BPE
+    alphabet): printable latin-1 bytes map to themselves, the rest to
+    256+n codepoints, so every byte has a lossless 1-char representation."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+class ByteLevelBpeTokenizer:
+    """GPT-2-style byte-level BPE (the RoBERTa tokenizer family), from the
+    published algorithm: vocab.json token→id plus ranked merges.txt pairs;
+    pre-tokenization by the GPT-2 regex; greedy lowest-rank pair merging.
+
+    Specials follow the RoBERTa convention (<s>/<pad>/</s>/<unk>); framing
+    is ``<s> ... </s>`` with ``<pad>`` fill.
+    """
+
+    def __init__(self, vocab: dict[str, int],
+                 merges: list[tuple[str, str]]):
+        import regex
+
+        self.vocab = vocab
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.byte_enc = _bytes_to_unicode()
+        self.pad_id = vocab.get("<pad>", 1)
+        self.unk_id = vocab.get("<unk>", 3)
+        self.cls_id = vocab.get("<s>", 0)       # BOS plays the CLS role
+        self.sep_id = vocab.get("</s>", 2)      # EOS plays the SEP role
+        self._pat = regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+            r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+        self._cache: dict[str, list[str]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_path: str | Path,
+                   merges_path: str | Path) -> "ByteLevelBpeTokenizer":
+        import json
+
+        vocab = json.loads(Path(vocab_path).read_text(encoding="utf-8"))
+        merges: list[tuple[str, str]] = []
+        with open(merges_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#version"):
+                    continue
+                a, _, b = line.partition(" ")
+                merges.append((a, b))
+        return cls(vocab, merges)
+
+    @property
+    def vocab_size(self) -> int:
+        return max(self.vocab.values()) + 1
+
+    def _bpe(self, token: str) -> list[str]:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        parts = list(token)
+        while len(parts) > 1:
+            best = None
+            best_rank = None
+            for pair in zip(parts[:-1], parts[1:]):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = pair, r
+            if best is None:
+                break
+            merged = []
+            i = 0
+            while i < len(parts):
+                if (i < len(parts) - 1
+                        and (parts[i], parts[i + 1]) == best):
+                    merged.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            parts = merged
+        if len(self._cache) < 65536:
+            self._cache[token] = parts
+        return parts
+
+    def tokenize_ids(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for pretok in self._pat.findall(text):
+            mapped = "".join(self.byte_enc[b] for b in pretok.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                ids.append(self.vocab.get(piece, self.unk_id))
+        return ids
+
+    def encode_batch(
+        self, texts: list[str], max_len: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        B = len(texts)
+        input_ids = np.full((B, max_len), self.pad_id, np.int32)
+        mask = np.zeros((B, max_len), np.int32)
+        for i, text in enumerate(texts):
+            ids = self.tokenize_ids(text)[: max_len - 2]
+            row = [self.cls_id] + ids + [self.sep_id]
+            input_ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return input_ids, mask
+
+
 def load_tokenizer(model_dir: str | Path | None, vocab_size: int = 30522):
-    """Load WordPiece from ``<dir>/vocab.txt`` when present, else HashTokenizer."""
+    """Pick the tokenizer family from the checkpoint directory: byte-level
+    BPE (``vocab.json`` + ``merges.txt``, RoBERTa family), WordPiece
+    (``vocab.txt``, BERT family), else the hashed-id fallback."""
     if model_dir:
         p = Path(model_dir)
+        for base in (p, p / "0_Transformer"):
+            vj, mt = base / "vocab.json", base / "merges.txt"
+            if vj.exists() and mt.exists():
+                return ByteLevelBpeTokenizer.from_files(vj, mt)
         for cand in (p / "vocab.txt", p / "0_Transformer" / "vocab.txt"):
             if cand.exists():
                 return WordPieceTokenizer.from_vocab_file(cand)

@@ -18,14 +18,33 @@ from voitta_rag_tpu.models.encoder import EncoderConfig, Params, stack_layers
 
 
 def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """Drop leading 'bert.' / '0.' / 'auto_model.' wrappers."""
+    """Drop leading 'bert.' / 'roberta.' / '0.' / 'auto_model.' wrappers."""
     out = {}
     for k, v in state.items():
-        for pref in ("bert.", "0.auto_model.", "auto_model.", "model."):
+        for pref in ("0.auto_model.", "auto_model.", "model.", "bert.",
+                     "roberta.", "distilroberta."):
             if k.startswith(pref):
                 k = k[len(pref):]
         out[k] = v
     return out
+
+
+def _detect_arch(state: dict[str, np.ndarray]) -> str:
+    """Arch from raw checkpoint keys or embedding geometry. RoBERTa keeps a
+    'roberta.' prefix in plain HF checkpoints; sentence-transformers strips
+    it, so fall back to the family's 514-row position table + single token
+    type."""
+    if any(".roberta." in f".{k}" for k in state):
+        return "roberta"
+    s = _strip_prefix(state)
+    pos = s.get("embeddings.position_embeddings.weight")
+    tt = s.get("embeddings.token_type_embeddings.weight")
+    if pos is not None and tt is not None and pos.shape[0] % 4 == 2 \
+            and tt.shape[0] == 1:
+        # 514/130/1026-row position tables: a power-of-two usable length
+        # plus the two reserved rows.
+        return "roberta"
+    return "bert"
 
 
 def load_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
@@ -98,9 +117,14 @@ def params_from_state_dict(
     return params
 
 
-def config_from_state_dict(state: dict[str, np.ndarray]) -> EncoderConfig:
-    """Infer encoder geometry from checkpoint shapes."""
+def config_from_state_dict(
+    state: dict[str, np.ndarray], hints: dict | None = None
+) -> EncoderConfig:
+    """Infer encoder geometry from checkpoint shapes (+ optional HF
+    config.json ``hints`` for heads / layer-norm eps)."""
+    arch = _detect_arch(state)
     state = _strip_prefix(state)
+    hints = hints or {}
     vocab, hidden = state["embeddings.word_embeddings.weight"].shape
     max_pos = state["embeddings.position_embeddings.weight"].shape[0]
     type_vocab = state["embeddings.token_type_embeddings.weight"].shape[0]
@@ -108,18 +132,38 @@ def config_from_state_dict(state: dict[str, np.ndarray]) -> EncoderConfig:
     n_layers = 0
     while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
         n_layers += 1
-    # Heads: assume head_dim 64 (true for the supported families).
-    num_heads = max(hidden // 64, 1)
+    # Heads: config.json when present, else assume head_dim 64.
+    num_heads = int(hints.get("num_attention_heads", max(hidden // 64, 1)))
+    if hints.get("model_type") in ("roberta", "xlm-roberta"):
+        arch = "roberta"
+    eps = float(hints.get(
+        "layer_norm_eps", 1e-5 if arch == "roberta" else 1e-12))
     return EncoderConfig(
         vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
         num_heads=num_heads, intermediate_size=inter, max_position=max_pos,
-        type_vocab_size=type_vocab,
+        type_vocab_size=type_vocab, layer_norm_eps=eps,
+        pad_token_id=int(hints.get("pad_token_id",
+                                   1 if arch == "roberta" else 0)),
+        pos_offset=2 if arch == "roberta" else 0, arch=arch,
     )
+
+
+def _config_hints(model_dir: str | Path) -> dict:
+    import json
+
+    p = Path(model_dir)
+    for cand in (p / "config.json", p / "0_Transformer" / "config.json"):
+        if cand.exists():
+            try:
+                return json.loads(cand.read_text())
+            except ValueError:
+                pass
+    return {}
 
 
 def load_encoder(model_dir: str | Path) -> tuple[EncoderConfig, Params]:
     state = load_state_dict(model_dir)
-    cfg = config_from_state_dict(state)
+    cfg = config_from_state_dict(state, hints=_config_hints(model_dir))
     return cfg, params_from_state_dict(state, cfg)
 
 
