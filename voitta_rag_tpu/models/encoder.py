@@ -38,13 +38,19 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
-    # Position-embedding index of sequence position 0. RoBERTa reserves
-    # rows 0..1 (padding_idx + 1 convention), so real tokens start at 2;
-    # BERT starts at 0. Right-padded batches make the fixed-offset indexing
-    # exactly equal to HF's cumsum-based position ids at non-pad positions.
+    # Position-embedding index of sequence position 0. RoBERTa/MPNet
+    # reserve rows 0..1 (padding_idx + 1 convention), so real tokens start
+    # at 2; BERT starts at 0. Right-padded batches make the fixed-offset
+    # indexing exactly equal to HF's cumsum-based position ids at non-pad
+    # positions.
     pos_offset: int = 0
-    # "bert" | "roberta" — weight naming + tokenizer family.
+    # "bert" | "roberta" | "mpnet" — weight naming + tokenizer family.
     arch: str = "bert"
+    # MPNet/T5-style relative attention bias: bucket count (0 = none) and
+    # the log-bucketing max distance. The bias table is shared by all
+    # layers (HF MPNetEncoder.relative_attention_bias).
+    rel_pos_buckets: int = 0
+    rel_pos_max_distance: int = 128
     # dtype for parameters/activations on device
     dtype: str = "float32"
 
@@ -65,6 +71,13 @@ PRESETS: dict[str, EncoderConfig] = {
     "sentence-transformers/all-distilroberta-v1": EncoderConfig(
         vocab_size=50265, num_layers=6, max_position=514, type_vocab_size=1,
         layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="roberta",
+    ),
+    # MPNet family (WordPiece with <s>/</s> specials, offset position ids,
+    # shared T5-style relative attention bias).
+    "sentence-transformers/all-mpnet-base-v2": EncoderConfig(
+        vocab_size=30527, max_position=514, type_vocab_size=0,
+        layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="mpnet",
+        rel_pos_buckets=32,
     ),
     # Tiny config for tests
     "test-tiny": EncoderConfig(
@@ -114,10 +127,18 @@ def init_params(rng: jax.Array, cfg: EncoderConfig) -> Params:
         "embeddings": {
             "word": (jax.random.normal(next(keys), (cfg.vocab_size, H)) * 0.02).astype(dt),
             "position": (jax.random.normal(next(keys), (cfg.max_position, H)) * 0.02).astype(dt),
-            "token_type": (jax.random.normal(next(keys), (cfg.type_vocab_size, H)) * 0.02).astype(dt),
             "ln": ln(),
         },
     }
+    if cfg.type_vocab_size:  # MPNet has no token-type embedding
+        params["embeddings"]["token_type"] = (
+            jax.random.normal(next(keys), (cfg.type_vocab_size, H)) * 0.02
+        ).astype(dt)
+    if cfg.rel_pos_buckets:
+        params["rel_bias"] = (
+            jax.random.normal(next(keys), (cfg.rel_pos_buckets,
+                                           cfg.num_heads)) * 0.02
+        ).astype(dt)
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
@@ -158,6 +179,39 @@ def _dense(x, p):
     return x @ p["kernel"] + p["bias"]
 
 
+def _relative_position_bucket(rel: jax.Array, num_buckets: int,
+                              max_distance: int) -> jax.Array:
+    """T5/MPNet bidirectional log-bucketing of relative positions (the
+    published formula; HF MPNetEncoder.relative_position_bucket)."""
+    import numpy as np
+
+    n = -rel
+    num_buckets //= 2
+    ret = (n < 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(n)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    # max(n, 1) keeps log() finite for the small-n entries where() discards.
+    val_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+def _relative_position_bias(table: jax.Array, L: int, num_buckets: int,
+                            max_distance: int) -> jax.Array:
+    """[1, H, L, L] f32 additive attention bias from the shared bucket
+    table [num_buckets, H] (positions are plain arange — HF
+    compute_position_bias ignores the embedding pos offset here)."""
+    pos = jnp.arange(L, dtype=jnp.int32)
+    rel = pos[None, :] - pos[:, None]           # memory - context
+    buckets = _relative_position_bucket(rel, num_buckets, max_distance)
+    values = jnp.take(table, buckets, axis=0)   # [L, L, H]
+    return values.astype(jnp.float32).transpose(2, 0, 1)[None]
+
+
 def encoder_forward(
     params: Params,
     cfg: EncoderConfig,
@@ -175,12 +229,21 @@ def encoder_forward(
     h = (
         jnp.take(emb["word"], input_ids, axis=0)
         + emb["position"][None, off:off + L, :]
-        + emb["token_type"][0][None, None, :]
     )
+    if "token_type" in emb:  # MPNet has no token-type embedding
+        h = h + emb["token_type"][0][None, None, :]
     h = _layer_norm(h, emb["ln"], cfg.layer_norm_eps)
 
     # Additive key-padding bias shared by all layers.
     bias = jnp.where(attention_mask > 0, 0.0, -1e30).astype(jnp.float32)[:, None, :]
+
+    # MPNet: a T5-style relative-position bias [1, H, L, L], computed once
+    # and shared by every layer (HF MPNetEncoder.compute_position_bias).
+    rel_bias = None
+    if cfg.rel_pos_buckets:
+        rel_bias = _relative_position_bias(
+            params["rel_bias"], L, cfg.rel_pos_buckets,
+            cfg.rel_pos_max_distance)
 
     nh, dh = cfg.num_heads, cfg.head_dim
 
@@ -189,7 +252,8 @@ def encoder_forward(
         q = _dense(h, a["q"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
         k = _dense(h, a["k"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
         v = _dense(h, a["v"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-        o = fused_attention(q, k, v, bias, use_pallas=use_pallas_attn)
+        o = fused_attention(q, k, v, bias, rel_bias=rel_bias,
+                            use_pallas=use_pallas_attn)
         o = o.transpose(0, 2, 1, 3).reshape(B, L, nh * dh)
         h = _layer_norm(h + _dense(o, a["o"]), a["ln"], cfg.layer_norm_eps)
 

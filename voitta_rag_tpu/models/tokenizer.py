@@ -77,10 +77,18 @@ class WordPieceTokenizer:
         self.vocab = vocab
         self.lowercase = lowercase
         self.max_word_chars = max_word_chars
-        self.pad_id = vocab.get(PAD, 0)
-        self.unk_id = vocab.get(UNK, 1)
-        self.cls_id = vocab.get(CLS, 2)
-        self.sep_id = vocab.get(SEP, 3)
+
+        def special(*names, default):
+            for n in names:
+                if n in vocab:
+                    return vocab[n]
+            return default
+
+        # BERT bracket names, with MPNet's <s>/</s>/<pad> aliases.
+        self.pad_id = special(PAD, "<pad>", default=0)
+        self.unk_id = special(UNK, "<unk>", default=1)
+        self.cls_id = special(CLS, "<s>", default=2)
+        self.sep_id = special(SEP, "</s>", default=3)
         self._native_state: bool | None = None
 
     @classmethod

@@ -22,7 +22,7 @@ def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     out = {}
     for k, v in state.items():
         for pref in ("0.auto_model.", "auto_model.", "model.", "bert.",
-                     "roberta.", "distilroberta."):
+                     "roberta.", "distilroberta.", "mpnet."):
             if k.startswith(pref):
                 k = k[len(pref):]
         out[k] = v
@@ -34,6 +34,8 @@ def _detect_arch(state: dict[str, np.ndarray]) -> str:
     'roberta.' prefix in plain HF checkpoints; sentence-transformers strips
     it, so fall back to the family's 514-row position table + single token
     type."""
+    if any("relative_attention_bias" in k for k in state):
+        return "mpnet"
     if any(".roberta." in f".{k}" for k in state):
         return "roberta"
     s = _strip_prefix(state)
@@ -92,13 +94,35 @@ def params_from_state_dict(
         "embeddings": {
             "word": a("embeddings.word_embeddings.weight"),
             "position": a("embeddings.position_embeddings.weight"),
-            "token_type": a("embeddings.token_type_embeddings.weight"),
             "ln": ln("embeddings.LayerNorm"),
         },
     }
+    if "embeddings.token_type_embeddings.weight" in state:
+        params["embeddings"]["token_type"] = a(
+            "embeddings.token_type_embeddings.weight")
+    if "encoder.relative_attention_bias.weight" in state:
+        params["rel_bias"] = a("encoder.relative_attention_bias.weight")
     layers = []
     for i in range(cfg.num_layers):
         pre = f"encoder.layer.{i}"
+        if cfg.arch == "mpnet":
+            # MPNet attention keys: attention.attn.{q,k,v,o} with the
+            # LayerNorm directly under attention.
+            layers.append({
+                "attn": {
+                    "q": dense(f"{pre}.attention.attn.q"),
+                    "k": dense(f"{pre}.attention.attn.k"),
+                    "v": dense(f"{pre}.attention.attn.v"),
+                    "o": dense(f"{pre}.attention.attn.o"),
+                    "ln": ln(f"{pre}.attention.LayerNorm"),
+                },
+                "mlp": {
+                    "up": dense(f"{pre}.intermediate.dense"),
+                    "down": dense(f"{pre}.output.dense"),
+                    "ln": ln(f"{pre}.output.LayerNorm"),
+                },
+            })
+            continue
         layers.append({
             "attn": {
                 "q": dense(f"{pre}.attention.self.query"),
@@ -125,26 +149,40 @@ def config_from_state_dict(
     arch = _detect_arch(state)
     state = _strip_prefix(state)
     hints = hints or {}
-    vocab, hidden = state["embeddings.word_embeddings.weight"].shape
-    max_pos = state["embeddings.position_embeddings.weight"].shape[0]
-    type_vocab = state["embeddings.token_type_embeddings.weight"].shape[0]
-    inter = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
-    n_layers = 0
-    while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
-        n_layers += 1
-    # Heads: config.json when present, else assume head_dim 64.
-    num_heads = int(hints.get("num_attention_heads", max(hidden // 64, 1)))
     if hints.get("model_type") in ("roberta", "xlm-roberta"):
         arch = "roberta"
+    elif hints.get("model_type") == "mpnet":
+        arch = "mpnet"
+    vocab, hidden = state["embeddings.word_embeddings.weight"].shape
+    max_pos = state["embeddings.position_embeddings.weight"].shape[0]
+    tt = state.get("embeddings.token_type_embeddings.weight")
+    type_vocab = tt.shape[0] if tt is not None else 0
+    inter = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
+    attn_q = ("attention.attn.q" if arch == "mpnet"
+              else "attention.self.query")
+    n_layers = 0
+    while f"encoder.layer.{n_layers}.{attn_q}.weight" in state:
+        n_layers += 1
+    rel = state.get("encoder.relative_attention_bias.weight")
+    # Heads: the rel-bias table's second axis IS the head count (MPNet);
+    # else config.json, else assume head_dim 64.
+    if rel is not None:
+        num_heads = rel.shape[1]
+    else:
+        num_heads = int(hints.get("num_attention_heads",
+                                  max(hidden // 64, 1)))
     eps = float(hints.get(
-        "layer_norm_eps", 1e-5 if arch == "roberta" else 1e-12))
+        "layer_norm_eps", 1e-12 if arch == "bert" else 1e-5))
     return EncoderConfig(
         vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
         num_heads=num_heads, intermediate_size=inter, max_position=max_pos,
         type_vocab_size=type_vocab, layer_norm_eps=eps,
         pad_token_id=int(hints.get("pad_token_id",
-                                   1 if arch == "roberta" else 0)),
-        pos_offset=2 if arch == "roberta" else 0, arch=arch,
+                                   0 if arch == "bert" else 1)),
+        pos_offset=0 if arch == "bert" else 2, arch=arch,
+        rel_pos_buckets=rel.shape[0] if rel is not None else 0,
+        rel_pos_max_distance=int(hints.get(
+            "relative_attention_max_distance", 128)),
     )
 
 

@@ -41,10 +41,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-def _xla_attention(q, k, v, bias):
+def _xla_attention(q, k, v, bias, rel_bias=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     s = s + bias[:, :, None, :]
+    if rel_bias is not None:
+        s = s + rel_bias
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
@@ -88,6 +90,7 @@ def fused_attention(
     v: jax.Array,
     bias: jax.Array,
     *,
+    rel_bias: jax.Array | None = None,
     use_pallas: bool = True,
 ) -> jax.Array:
     """Bidirectional multi-head attention with additive key bias.
@@ -96,10 +99,17 @@ def fused_attention(
         q, k, v: [B, H, L, Dh].
         bias: f32 [B, 1, L] additive key-padding bias (0 for real tokens,
             large-negative for padding).
+        rel_bias: optional f32 [1, H, L, L] relative-position bias (MPNet
+            family), added to post-scale scores. The Pallas kernel streams
+            key blocks and has no per-(head, q, k) operand, so a rel_bias
+            routes to the XLA path — at encoder lengths (L <= 512) the full
+            attention matrix is VMEM-trivial and XLA fuses it well.
 
     Returns:
         [B, H, L, Dh] attention output, dtype of q.
     """
+    if rel_bias is not None:
+        return _xla_attention(q, k, v, bias, rel_bias)
     if not use_pallas:
         return _xla_attention(q, k, v, bias)
     return _pallas_attention(q, k, v, bias)
