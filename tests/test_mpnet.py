@@ -134,3 +134,34 @@ def test_embedding_service_end_to_end_with_mpnet_checkpoint(
     finally:
         embmod.reset_embedding_service()
         get_settings.cache_clear()
+
+
+def test_sharded_train_step_with_mpnet(temp_root, monkeypatch):
+    """The dp×tp contrastive train step handles the MPNet param tree
+    (no token_type, replicated rel_bias)."""
+    import jax
+    import numpy as np
+    from voitta_rag_tpu.models.encoder import EncoderConfig, init_params
+    from voitta_rag_tpu.models.training import (
+        make_optimizer, make_sharded_train_step,
+    )
+    from voitta_rag_tpu.parallel.mesh import train_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = EncoderConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=34, type_vocab_size=0,
+        pad_token_id=1, pos_offset=2, arch="mpnet", rel_pos_buckets=32)
+    mesh = train_mesh(dp=2, tp=2)
+    tx = make_optimizer(lr=1e-4, warmup_steps=1, total_steps=4)
+    params, opt_state, step = make_sharded_train_step(
+        mesh, cfg, tx, init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+    mk = lambda: (jnp.asarray(rng.integers(4, 64, (4, 8)), jnp.int32),
+                  jnp.ones((4, 8), jnp.int32))
+    qi, qm = mk()
+    pi, pm = mk()
+    params, opt_state, loss = step(params, opt_state, qi, qm, pi, pm)
+    assert np.isfinite(float(loss))

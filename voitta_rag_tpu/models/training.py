@@ -58,13 +58,19 @@ def param_specs(params: Params) -> Any:
         "down": {"kernel": P(None, TP_AXIS, None), "bias": P(None)},
         "ln": {"scale": P(None), "bias": P(None)},
     }
-    return {
-        "embeddings": {
-            "word": P(), "position": P(), "token_type": P(),
-            "ln": {"scale": P(), "bias": P()},
-        },
+    # Adapt to the model family's actual tree: token_type is absent for
+    # MPNet, rel_bias present only for MPNet — both replicated.
+    emb_specs = {"word": P(), "position": P(),
+                 "ln": {"scale": P(), "bias": P()}}
+    if "token_type" in params["embeddings"]:
+        emb_specs["token_type"] = P()
+    specs: dict = {
+        "embeddings": emb_specs,
         "layers": {"attn": attn_specs, "mlp": mlp_specs},
     }
+    if "rel_bias" in params:
+        specs["rel_bias"] = P()
+    return specs
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
