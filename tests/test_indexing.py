@@ -177,3 +177,41 @@ def test_worker_processes_pending(env, monkeypatch):
     assert n == 1
     assert db.get_index_status("docs").status == "indexed"
     assert store.count() > 0
+
+
+def test_worker_auto_optimizes_after_burst(env, monkeypatch):
+    """After the last pending folder of a burst, the worker rebuilds stale
+    snapshots so serving returns to the postings/IVF fast path without a
+    manual /api/index/optimize call."""
+    root, svc, store = env
+    write_docs(root)
+    import voitta_rag_tpu.services.indexing as indexing_mod
+    import voitta_rag_tpu.index.store as storemod
+    monkeypatch.setattr(indexing_mod, "_indexing_service", svc)
+    monkeypatch.setattr(storemod, "_vector_store", store)
+    monkeypatch.setenv("VOITTA_AUTO_OPTIMIZE_MIN_ROWS", "1")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.services.indexing_worker import IndexingWorker
+
+    db = dbmod.get_db()
+    db.set_index_status("docs", "pending")
+    worker = IndexingWorker(poll_interval=9999)
+    assert not store.postings_active
+    worker.process_pending()
+    assert store.postings_active  # rebuilt by the worker
+
+    # New mutations invalidate; the next burst rebuilds again.
+    (root / "docs" / "d.md").write_text("delta document about oceans. " * 10)
+    db.set_index_status("docs", "pending")
+    worker.process_pending()
+    assert store.postings_active
+
+    # Disabled via env → stale snapshots stay stale.
+    monkeypatch.setenv("VOITTA_AUTO_OPTIMIZE", "false")
+    get_settings.cache_clear()
+    (root / "docs" / "e.md").write_text("epsilon document about trains. " * 10)
+    db.set_index_status("docs", "pending")
+    worker.process_pending()
+    assert not store.postings_active
+    get_settings.cache_clear()

@@ -114,6 +114,13 @@ class Settings:
             os.getenv("VOITTA_FLAT_SELECT_GROUP", "0"))
         self.flat_select_min_rows: int = int(
             os.getenv("VOITTA_FLAT_SELECT_MIN_ROWS", str(1 << 17)))
+        # Auto-rebuild of stale read-optimized snapshots after an indexing
+        # burst settles (postings always; IVF when ivf_cells opts in).
+        # Below the row threshold flat scans are already fast and snapshot
+        # builds would just churn.
+        self.auto_optimize: bool = _env_bool("VOITTA_AUTO_OPTIMIZE", "true")
+        self.auto_optimize_min_rows: int = int(
+            os.getenv("VOITTA_AUTO_OPTIMIZE_MIN_ROWS", "10000"))
         # Sparse postings snapshot: per-term impact-ordered posting cap
         # (index/postings.py; only the lowest-weight postings of very common
         # terms are dropped beyond it).

@@ -65,7 +65,44 @@ class IndexingWorker:
             status = db.get_index_status(path)
             final = status.status if status else "indexed"
             self._notify("index_complete", path, final, stats=stats)
+        if pending:
+            self.maybe_auto_optimize()
         return len(pending)
+
+    def maybe_auto_optimize(self) -> bool:
+        """Rebuild stale read-optimized snapshots once an indexing burst
+        settles. Qdrant keeps its HNSW/inverted structures fresh on every
+        upsert; here snapshots invalidate on mutation and searches fall
+        back to exact flat scans — correct but slower at scale. After the
+        last pending folder of a burst, rebuild the sparse postings (and
+        the IVF partition when VOITTA_IVF_CELLS opts in) so serving returns
+        to the fast path without operator action. Skips while more work is
+        queued, below the row threshold, or when disabled
+        (VOITTA_AUTO_OPTIMIZE=false)."""
+        settings = get_settings()
+        if not settings.auto_optimize:
+            return False
+        db = get_db()
+        if db.folders_with_status("pending"):
+            return False  # another burst is queued; rebuild once at the end
+        from voitta_rag_tpu.index.store import get_vector_store
+
+        store = get_vector_store()
+        if store.count() < settings.auto_optimize_min_rows:
+            return False
+        did = False
+        try:
+            if not store.postings_active:
+                info = store.build_postings()
+                logger.info("auto-optimize: postings rebuilt (%s)", info)
+                did = True
+            if settings.ivf_cells and not store.ivf_active:
+                info = store.build_ivf()
+                logger.info("auto-optimize: IVF rebuilt (%s)", info)
+                did = True
+        except ValueError as e:
+            logger.warning("auto-optimize skipped: %s", e)
+        return did
 
     @staticmethod
     def _notify(event_type: str, folder: str, status: str, stats=None) -> None:
