@@ -27,7 +27,8 @@ async def search(request: web.Request) -> web.Response:
             sparse_weight=float(sparse_weight) if sparse_weight else None,
             date_start=request.query.get("date_start"),
             date_end=request.query.get("date_end"),
-            date_field=request.query.get("date_field"))
+            date_field=request.query.get("date_field"),
+            fusion=request.query.get("fusion", "weighted"))
     except ValueError as e:
         return json_error(400, str(e))
     return web.json_response({

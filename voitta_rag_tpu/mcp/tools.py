@@ -105,7 +105,10 @@ def search(user_name: str | None, query: str, limit: int | None = None,
            exclude_folders: list[str] | None = None,
            sparse_weight: float | None = None,
            date_start: str | None = None, date_end: str | None = None,
-           date_field: str | None = None) -> list[SearchResult]:
+           date_field: str | None = None,
+           fusion: str = "weighted") -> list[SearchResult]:
+    # ``fusion`` ("weighted" | "rrf") is an HTTP-API extra; the MCP tool
+    # schema stays on the reference's 8-argument contract.
     settings = get_settings()
     limit = limit or settings.mcp_search_limit
     if sparse_weight is None:
@@ -124,7 +127,7 @@ def search(user_name: str | None, query: str, limit: int | None = None,
         sparse_weight=sparse_weight,
         date_start=_parse_date_to_epoch(date_start) if date_start else None,
         date_end=_parse_date_to_epoch(date_end) if date_end else None,
-        date_field=date_field)
+        date_field=date_field, fusion=fusion)
 
     db = get_db()
     meta_map = db.file_metadata_for_paths(
