@@ -454,3 +454,44 @@ def test_login_as_matches_user_by_email(app_env):
             assert resp.cookies["voitta_user"].value == "new@corp.com"
         assert db.get_user_by_email("new@corp.com") is not None
     run(body())
+
+
+def test_search_fusion_validation(app_env):
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            resp = await client.get("/api/search?q=x&fusion=bogus")
+            assert resp.status == 400
+            detail = (await resp.json())["detail"]
+            assert "fusion" in detail
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_browse_rollup_like_escaping(app_env):
+    """'my_app' must not absorb 'myxapp' rows via LIKE '_' wildcards."""
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            root = app_env
+            (root / "my_app" / "docs").mkdir(parents=True)
+            (root / "myxapp" / "docs").mkdir(parents=True)
+            from voitta_rag_tpu.db.database import get_db
+            from voitta_rag_tpu.db.models import IndexedFile
+            db = get_db()
+            db.upsert_indexed_file(IndexedFile(
+                file_path="myxapp/docs/f.md", folder_path="myxapp/docs",
+                index_folder="myxapp", content_hash="x", file_size=7,
+                chunk_count=5))
+            resp = await client.get("/api/browse-list?path=my_app&format=json")
+            data = await resp.json()
+            docs = next(i for i in data["items"]
+                        if i["path"] == "my_app/docs")
+            assert docs["stats"]["indexed_files"] == 0
+            assert docs["chunks"] == 0
+        finally:
+            await client.close()
+    run(body())

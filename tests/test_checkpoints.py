@@ -63,9 +63,66 @@ def test_corrupt_spill_is_quarantined_not_fatal(temp_root, monkeypatch):
 
     store = TpuVectorStore(dimension=64)
     try:
-        assert store.segments == []  # opened despite the corrupt spill
+        # Opened despite the corrupt spill; the slot is held by an EMPTY
+        # placeholder segment so later segments' gid ranges stay aligned
+        # with the payload store.
+        assert len(store.segments) == 1
+        assert store.segments[0].live_count == 0
         assert not (index_dir / "segment_000.npz").exists()
         assert list(index_dir.glob("segment_000.corrupt-*"))
+    finally:
+        store.close()
+    get_settings.cache_clear()
+
+
+def test_corrupt_middle_segment_keeps_gid_alignment(temp_root, monkeypatch):
+    """A corrupt MIDDLE segment must not shift later segments' positions:
+    gid = slot * capacity + row, so slot integrity is what keeps search
+    results pointing at the right payloads."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from datetime import datetime, timezone
+
+    from voitta_rag_tpu.core_types import ChunkMetadata
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(0)
+
+    def add(n, tag):
+        vecs = rng.standard_normal((n, 64)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        metas = [ChunkMetadata(
+            file_path=f"{tag}/{i}.md", folder_path=tag, index_folder=tag,
+            file_name=f"{i}.md", chunk_index=0, total_chunks=1,
+            start_char=0, end_char=1,
+            indexed_at=datetime.now(timezone.utc).isoformat())
+            for i in range(n)]
+        store.store_chunks([f"{tag} {i}" for i in range(n)], vecs, metas)
+        return vecs
+
+    add(1024, "seg0")           # fills segment 0
+    add(1024, "seg1")           # fills segment 1
+    v2 = add(10, "seg2")        # lands in segment 2
+    store.save()
+    index_dir = store.index_dir
+    store.close()
+
+    # Corrupt the MIDDLE segment's spill.
+    (index_dir / "segment_0001.npz").write_bytes(b"garbage")
+
+    store = TpuVectorStore(dimension=64)
+    try:
+        assert len(store.segments) == 3  # slot 1 is an empty placeholder
+        assert store.segments[1].live_count == 0
+        assert store.segments[2].live_count == 10
+        # seg2's vectors still resolve to seg2's payloads.
+        hits = store.search(v2[3], limit=1)
+        assert hits and hits[0].metadata.file_path == "seg2/3.md"
     finally:
         store.close()
     get_settings.cache_clear()

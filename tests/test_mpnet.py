@@ -165,3 +165,18 @@ def test_sharded_train_step_with_mpnet(temp_root, monkeypatch):
     pi, pm = mk()
     params, opt_state, loss = step(params, opt_state, qi, qm, pi, pm)
     assert np.isfinite(float(loss))
+
+
+def test_mixed_vocab_specials_prefer_angle_framing(tmp_path):
+    """Real MPNet vocab.txt contains BOTH angle specials (ids 0-2) and
+    BERT's bracket names at shifted ids — framing must use the angle ids
+    (HF MPNetTokenizer: cls=<s>=0, sep=</s>=2, pad=<pad>=1, unk=[UNK])."""
+    from voitta_rag_tpu.models.tokenizer import WordPieceTokenizer
+
+    vocab_lines = ["<s>", "<pad>", "</s>", "<unk>", "[PAD]", "[UNK]",
+                   "[CLS]", "[SEP]", "hello"]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab_lines) + "\n")
+    tok = WordPieceTokenizer.from_vocab_file(p)
+    assert (tok.cls_id, tok.pad_id, tok.sep_id) == (0, 1, 2)
+    assert tok.unk_id == 5  # [UNK] wins for unk

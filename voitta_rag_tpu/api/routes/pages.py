@@ -43,11 +43,17 @@ def gather_file_list_data(rel_path: str, user) -> dict:
     # ONCE by its first path segment below rel_path — O(groups), not
     # O(groups x listed dirs) (this runs on every WS-debounced refresh).
     prefix = rel_path + "/" if rel_path else ""
+    # LIKE wildcards must be escaped: an unescaped '_' in a folder name
+    # would match siblings ("my_app/%" matching "myxapp/...") and inflate
+    # this listing's roll-ups with their rows.
+    like = (prefix.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_") + "%")
     groups = db.query(
         "SELECT folder_path, COUNT(*) AS n, SUM(chunk_count) AS chunks, "
         "SUM(file_size) AS bytes FROM indexed_files WHERE chunk_count > 0 "
-        "AND (folder_path = ? OR folder_path LIKE ?) GROUP BY folder_path",
-        (rel_path, prefix + "%"))
+        "AND (folder_path = ? OR folder_path LIKE ? ESCAPE '\\') "
+        "GROUP BY folder_path",
+        (rel_path, like))
     dir_paths = [e.path for e in entries if e.is_dir]
     stats = {p: {"indexed_files": 0, "total_chunks": 0, "indexed_bytes": 0}
              for p in dir_paths}

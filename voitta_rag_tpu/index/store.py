@@ -133,7 +133,11 @@ class TpuVectorStore:
                     except Exception:
                         self._quarantine_spill(spill)
                         self._sharded = None
-                else:
+                if self._sharded is None:
+                    # No spill (or a quarantined one): start a fresh empty
+                    # sharded index — falling through to flat segments here
+                    # would strand re-indexed data in files the sharded
+                    # branch never loads on the next restart.
                     # segment_capacity is the TOTAL row budget; each shard
                     # holds its slice (lane-aligned).
                     from voitta_rag_tpu.ops.pallas_utils import round_up
@@ -147,16 +151,32 @@ class TpuVectorStore:
                 return
             seg_files = sorted(self.index_dir.glob("segment_*.npz"))
             for f in seg_files:
+                # gid = segment-list-index * capacity + row, so POSITION is
+                # load-bearing: a lost middle segment must become an empty
+                # placeholder at its original index, never a skip (skipping
+                # would shift every later segment's gid range onto the
+                # wrong payloads).
+                try:
+                    idx = int(f.stem.split("_")[-1])
+                except ValueError:
+                    idx = len(self._segments)
+                while len(self._segments) < idx:
+                    self._segments.append(Segment(
+                        self.segment_capacity, self.dimension,
+                        self.sparse_slots, self.segment_dtype))
                 try:
                     with np.load(f, allow_pickle=False) as data:
                         self._segments.append(Segment.from_host(dict(data)))
                 except Exception:
                     # A corrupt spill must not brick the store: quarantine
-                    # the file and keep serving the healthy segments. The
+                    # the file and hold its slot with an empty segment. The
                     # indexing repair cycle (chunk-count cross-checks,
                     # SURVEY §5.3) re-indexes whatever the lost segment
                     # held on its next pass.
                     self._quarantine_spill(f)
+                    self._segments.append(Segment(
+                        self.segment_capacity, self.dimension,
+                        self.sparse_slots, self.segment_dtype))
             if self._segments:
                 logger.info("Loaded %d segments (%d live chunks) for '%s'",
                             len(self._segments), self.count(), self.collection_name)

@@ -108,7 +108,12 @@ def search(user_name: str | None, query: str, limit: int | None = None,
            date_field: str | None = None,
            fusion: str = "weighted") -> list[SearchResult]:
     # ``fusion`` ("weighted" | "rrf") is an HTTP-API extra; the MCP tool
-    # schema stays on the reference's 8-argument contract.
+    # schema stays on the reference's 8-argument contract. Validated here
+    # because it becomes a jit STATIC argument downstream — an unvalidated
+    # string would compile (and cache) one program per distinct value.
+    if fusion not in ("weighted", "rrf"):
+        raise ValueError(f"unknown fusion mode: {fusion!r} "
+                         "(expected 'weighted' or 'rrf')")
     settings = get_settings()
     limit = limit or settings.mcp_search_limit
     if sparse_weight is None:

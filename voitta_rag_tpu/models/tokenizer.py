@@ -69,6 +69,22 @@ def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
     return tokens
 
 
+
+def _frame_batch(tokenize_ids, cls_id: int, sep_id: int, pad_id: int,
+                 texts: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared CLS/BOS + ids + SEP/EOS framing with pad + mask (one
+    implementation for all tokenizer families)."""
+    B = len(texts)
+    input_ids = np.full((B, max_len), pad_id, np.int32)
+    mask = np.zeros((B, max_len), np.int32)
+    for i, text in enumerate(texts):
+        ids = tokenize_ids(text)[: max_len - 2]
+        row = [cls_id] + ids + [sep_id]
+        input_ids[i, : len(row)] = row
+        mask[i, : len(row)] = 1
+    return input_ids, mask
+
+
 class WordPieceTokenizer:
     """Greedy longest-match-first WordPiece over a BERT vocab."""
 
@@ -84,11 +100,15 @@ class WordPieceTokenizer:
                     return vocab[n]
             return default
 
-        # BERT bracket names, with MPNet's <s>/</s>/<pad> aliases.
-        self.pad_id = special(PAD, "<pad>", default=0)
+        # MPNet vocabs contain BOTH the angle specials (<s>/<pad>/</s> at
+        # ids 0-2, the ones HF MPNetTokenizer frames with) AND BERT's
+        # bracket names at shifted ids — so angle names take priority for
+        # framing tokens. UNK is the exception: HF MPNet keeps
+        # unk_token="[UNK]", so brackets win there.
+        self.pad_id = special("<pad>", PAD, default=0)
         self.unk_id = special(UNK, "<unk>", default=1)
-        self.cls_id = special(CLS, "<s>", default=2)
-        self.sep_id = special(SEP, "</s>", default=3)
+        self.cls_id = special("<s>", CLS, default=2)
+        self.sep_id = special("</s>", SEP, default=3)
         self._native_state: bool | None = None
 
     @classmethod
@@ -154,15 +174,8 @@ class WordPieceTokenizer:
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (input_ids [B, max_len] int32, attention_mask [B, max_len] int32)
         with [CLS] ... [SEP] framing and truncation."""
-        B = len(texts)
-        input_ids = np.full((B, max_len), self.pad_id, np.int32)
-        mask = np.zeros((B, max_len), np.int32)
-        for i, text in enumerate(texts):
-            ids = self.tokenize_ids(text)[: max_len - 2]
-            row = [self.cls_id] + ids + [self.sep_id]
-            input_ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return input_ids, mask
+        return _frame_batch(self.tokenize_ids, self.cls_id, self.sep_id,
+                            self.pad_id, texts, max_len)
 
 
 class HashTokenizer:
@@ -193,15 +206,8 @@ class HashTokenizer:
     def encode_batch(
         self, texts: list[str], max_len: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        B = len(texts)
-        input_ids = np.full((B, max_len), self.pad_id, np.int32)
-        mask = np.zeros((B, max_len), np.int32)
-        for i, text in enumerate(texts):
-            ids = self.tokenize_ids(text)[: max_len - 2]
-            row = [self.cls_id] + ids + [self.sep_id]
-            input_ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return input_ids, mask
+        return _frame_batch(self.tokenize_ids, self.cls_id, self.sep_id,
+                            self.pad_id, texts, max_len)
 
 
 def _bytes_to_unicode() -> dict[int, str]:
@@ -306,15 +312,8 @@ class ByteLevelBpeTokenizer:
     def encode_batch(
         self, texts: list[str], max_len: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        B = len(texts)
-        input_ids = np.full((B, max_len), self.pad_id, np.int32)
-        mask = np.zeros((B, max_len), np.int32)
-        for i, text in enumerate(texts):
-            ids = self.tokenize_ids(text)[: max_len - 2]
-            row = [self.cls_id] + ids + [self.sep_id]
-            input_ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return input_ids, mask
+        return _frame_batch(self.tokenize_ids, self.cls_id, self.sep_id,
+                            self.pad_id, texts, max_len)
 
 
 def load_tokenizer(model_dir: str | Path | None, vocab_size: int = 30522):
@@ -326,7 +325,15 @@ def load_tokenizer(model_dir: str | Path | None, vocab_size: int = 30522):
         for base in (p, p / "0_Transformer"):
             vj, mt = base / "vocab.json", base / "merges.txt"
             if vj.exists() and mt.exists():
-                return ByteLevelBpeTokenizer.from_files(vj, mt)
+                try:
+                    return ByteLevelBpeTokenizer.from_files(vj, mt)
+                except ImportError:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "byte-level BPE needs the 'regex' package; "
+                        "falling back to vocab.txt/hash tokenization")
+                    break
         for cand in (p / "vocab.txt", p / "0_Transformer" / "vocab.txt"):
             if cand.exists():
                 return WordPieceTokenizer.from_vocab_file(cand)

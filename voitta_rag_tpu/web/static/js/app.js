@@ -543,14 +543,19 @@
       dragDepth++;
       dropHint.classList.remove("hidden");
     });
-    window.addEventListener("dragover", (e) => e.preventDefault());
+    // Guard every handler on Files: hijacking text/link drags would break
+    // native drag-to-input behavior across the page.
+    window.addEventListener("dragover", (e) => {
+      if ([...e.dataTransfer.types].includes("Files")) e.preventDefault();
+    });
     window.addEventListener("dragleave", () => {
       if (--dragDepth <= 0) { dragDepth = 0; dropHint.classList.add("hidden"); }
     });
     window.addEventListener("drop", (e) => {
-      e.preventDefault();
       dragDepth = 0;
       dropHint.classList.add("hidden");
+      if (![...e.dataTransfer.types].includes("Files")) return;
+      e.preventDefault();
       uploadFiles(e.dataTransfer.files);
     });
   }
