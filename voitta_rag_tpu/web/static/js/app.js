@@ -187,6 +187,11 @@
     if (!data.results.length) {
       searchResults.textContent = "No results.";
     }
+    // Highlight query terms (>= 3 chars) in the escaped snippets.
+    const terms = q.split(/\s+/).filter((t) => t.length >= 3)
+      .map((t) => esc(t).replace(/[.*+?^${}()|[\]\\]/g, "\\$&"));
+    const hl = terms.length ? new RegExp(`(${terms.join("|")})`, "gi") : null;
+    const mark = (s) => hl ? s.replace(hl, "<mark>$1</mark>") : s;
     for (const r of data.results) {
       const dir = r.file_path.includes("/")
         ? r.file_path.slice(0, r.file_path.lastIndexOf("/")) : "";
@@ -197,7 +202,7 @@
         `— <a href="/browse?path=${encodeURIComponent(dir)}">${esc(r.file_path)}</a>` +
         ` · chunk ${r.chunk_index + 1}/${r.total_chunks}` +
         (r.memory_id ? " · memory" : "") + `</div>` +
-        `<div>${esc(r.text.slice(0, 400))}</div>`;
+        `<div>${mark(esc(r.text.slice(0, 400)))}</div>`;
       searchResults.appendChild(div);
     }
     searchResults.classList.remove("hidden");
