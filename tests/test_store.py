@@ -196,3 +196,98 @@ def test_collection_info(store):
     info = store.get_collection_info()
     assert info["points_count"] == 0
     assert info["status"] == "green"
+
+
+def make_corpus_chunks(store, n, tag, rng):
+    import numpy as np
+    from datetime import datetime, timezone
+
+    from voitta_rag_tpu.core_types import ChunkMetadata
+
+    vecs = rng.standard_normal((n, store.dimension)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    metas = [ChunkMetadata(
+        file_path=f"{tag}/{i}.md", folder_path=tag, index_folder=tag,
+        file_name=f"{i}.md", chunk_index=0, total_chunks=1, start_char=0,
+        end_char=1, indexed_at=datetime.now(timezone.utc).isoformat())
+        for i in range(n)]
+    store.store_chunks([f"{tag} {i}" for i in range(n)], vecs, metas)
+    return vecs
+
+
+def test_compaction_merges_segments_and_remaps_gids(temp_root, monkeypatch):
+    """Delete-heavy histories leave tombstone-sparse segments; compact()
+    left-packs live rows, remaps payload gids, drops empty tails, and
+    search still resolves the right payloads (SURVEY §7 hard part)."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(0)
+    try:
+        make_corpus_chunks(store, 1024, "a", rng)
+        make_corpus_chunks(store, 1024, "b", rng)
+        keep_vecs = make_corpus_chunks(store, 100, "c", rng)
+        assert len(store.segments) == 3
+        # Delete 2048 of 2148 rows.
+        store.delete_by_folder("a")
+        store.delete_by_folder("b")
+        assert store.count() == 100
+
+        info = store.compact()
+        assert info["compacted"] and info["segments"] == 1
+        assert info["segments_dropped"] == 2
+        assert len(store.segments) == 1
+        assert store.count() == 100
+
+        # Payload remap: every survivor still resolves to ITS text.
+        for i in (0, 37, 99):
+            hits = store.search(keep_vecs[i], limit=1)
+            assert hits and hits[0].metadata.file_path == f"c/{i}.md", i
+
+        # Stale high-index spills removed; restart loads the compacted set.
+        index_dir = store.index_dir
+        files = sorted(f.name for f in index_dir.glob("segment_*.npz"))
+        assert files == ["segment_0000.npz"]
+        store.close()
+        store = TpuVectorStore(dimension=64)
+        assert len(store.segments) == 1 and store.count() == 100
+        hits = store.search(keep_vecs[42], limit=1)
+        assert hits[0].metadata.file_path == "c/42.md"
+
+        # Below-threshold call is a no-op.
+        info = store.compact()
+        assert not info["compacted"]
+    finally:
+        store.close()
+        get_settings.cache_clear()
+
+
+def test_compaction_with_int8_segments(temp_root, monkeypatch):
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_SEGMENT_DTYPE", "int8")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(1)
+    try:
+        make_corpus_chunks(store, 1024, "x", rng)
+        keep = make_corpus_chunks(store, 50, "y", rng)
+        store.delete_by_folder("x")
+        info = store.compact()
+        assert info["compacted"] and len(store.segments) == 1
+        hits = store.search(keep[7], limit=1)
+        assert hits[0].metadata.file_path == "y/7.md"
+    finally:
+        store.close()
+        get_settings.cache_clear()

@@ -35,6 +35,11 @@ async def optimize_index(request: web.Request, user) -> web.Response:
     loop = asyncio.get_running_loop()
     store = get_vector_store()
     stats = {}
+    if body.get("compact"):
+        try:
+            stats.update(await loop.run_in_executor(None, store.compact))
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
     try:
         stats.update(await loop.run_in_executor(
             None, store.build_postings))

@@ -77,6 +77,19 @@ class PayloadStore:
             )
             self._conn.commit()
 
+    def remap_gids(self, mapping: dict[int, int]) -> None:
+        """Rewrite gids after segment compaction (old → new). Two-phase via
+        the negative range so overlapping old/new ids never collide (gids
+        are non-negative by construction)."""
+        if not mapping:
+            return
+        with self._conn:
+            self._conn.executemany(
+                "UPDATE chunks SET gid = -2 - ? WHERE gid = ?",
+                [(new, old) for old, new in mapping.items()])
+            self._conn.execute(
+                "UPDATE chunks SET gid = -2 - gid WHERE gid <= -2")
+
     def delete_gids(self, gids: list[int]) -> None:
         with self._lock:
             self._conn.executemany("DELETE FROM chunks WHERE gid=?",

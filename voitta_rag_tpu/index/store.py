@@ -735,7 +735,101 @@ class TpuVectorStore:
                 tmp = final.with_name(f"segment_{i:04d}.tmp.npz")
                 np.savez_compressed(tmp, **seg.to_host())
                 os.replace(tmp, final)
+            # Drop spills beyond the current segment count (compaction can
+            # shrink the list; a stale higher-index file would resurrect a
+            # pre-compaction segment on the next restart).
+            for f in self.index_dir.glob("segment_*.npz"):
+                try:
+                    if int(f.stem.split("_")[-1]) >= len(self._segments):
+                        f.unlink()
+                except (ValueError, OSError):
+                    pass
             self._unsaved_mutations = 0
+
+    def compact(self, min_waste_fraction: float = 0.25) -> dict:
+        """Merge live rows into the fewest segments (SURVEY §7 hard part:
+        deletes are tombstones, so a delete-heavy history leaves sparse
+        segments whose dead rows are still scanned every query).
+
+        Left-packs all live rows into fresh segments, remaps payload gids
+        (gid = slot * capacity + row makes positions load-bearing), drops
+        the now-empty tail segments, invalidates snapshots, and spills. A
+        no-op unless at least ``min_waste_fraction`` of allocated rows are
+        dead or a whole segment can be dropped. int8 segments re-quantize
+        from their dequantized values (second-order error only).
+        """
+        with self._lock:
+            self._ensure_open()
+            if self._sharded is not None:
+                raise ValueError(
+                    "compaction applies to flat segments (sharded mode "
+                    "reuses tombstoned rows in place)")
+            if not self._segments:
+                return {"compacted": False, "reason": "empty store"}
+            cap = self.segment_capacity
+            live_total = sum(s.live_count for s in self._segments)
+            n_needed = max((live_total + cap - 1) // cap, 1)
+            allocated = sum(min(s._next, s.capacity) for s in self._segments)
+            dead = allocated - live_total
+            if (n_needed == len(self._segments)
+                    and dead < allocated * min_waste_fraction):
+                return {"compacted": False, "reason": "below waste threshold",
+                        "live": live_total, "dead": dead}
+
+            dense_l, cols_l, terms_l, weights_l, old_gids = [], [], [], [], []
+            for si, seg in enumerate(self._segments):
+                rows = np.nonzero(seg.valid_np)[0]
+                if not len(rows):
+                    continue
+                host = seg.to_host()
+                vecs = host["vecs"]
+                if seg.dtype == "int8":
+                    vecs = vecs.astype(np.float32) * host["scales"][0][:, None]
+                dense_l.append(vecs[rows])
+                cols_l.append(host["cols"][:, rows].T)
+                terms_l.append(host["terms"][:, rows].T)
+                weights_l.append(host["weights"][:, rows].T)
+                old_gids.append(rows + si * cap)
+            dense = np.concatenate(dense_l) if dense_l else np.zeros(
+                (0, self.dimension), np.float32)
+            cols_rows = np.concatenate(cols_l) if cols_l else None
+            terms_rows = np.concatenate(terms_l) if terms_l else None
+            weights_rows = np.concatenate(weights_l) if weights_l else None
+            old = np.concatenate(old_gids) if old_gids else np.zeros(
+                0, np.int64)
+
+            new_segments = []
+            mapping: dict[int, int] = {}
+            pos = 0
+            for si in range(n_needed):
+                seg = Segment(cap, self.dimension, self.sparse_slots,
+                              self.segment_dtype)
+                n = min(cap, len(dense) - pos)
+                if n > 0:
+                    rows = seg.allocate(n)
+                    seg.write_rows(rows, dense[pos:pos + n],
+                                   cols_rows[pos:pos + n],
+                                   terms_rows[pos:pos + n],
+                                   weights_rows[pos:pos + n])
+                    for j, r in enumerate(rows):
+                        mapping[int(old[pos + j])] = si * cap + int(r)
+                    pos += n
+                new_segments.append(seg)
+            dropped = len(self._segments) - n_needed
+            self._segments = new_segments
+            self._payloads.remap_gids(
+                {o: n for o, n in mapping.items() if o != n})
+            self._ivf_dirty = True
+            self._postings_dirty = True
+            self._unsaved_mutations += max(live_total, 1)
+            self.save()
+            logger.info(
+                "Compacted %d live rows into %d segments (%d dead rows "
+                "reclaimed, %d segments dropped)", live_total, n_needed,
+                dead, dropped)
+            return {"compacted": True, "live": live_total,
+                    "reclaimed": dead, "segments": n_needed,
+                    "segments_dropped": dropped}
 
     def save_if_dirty(self, min_mutations: int = 1) -> bool:
         """Autosave hook: spill device segments to disk when mutated."""
