@@ -92,6 +92,14 @@ class IndexingWorker:
             return False
         did = False
         try:
+            if store.sharded_active is False and store.segments:
+                # Reclaim tombstone-heavy segments first (no-op below the
+                # waste threshold) so the snapshot builds below see the
+                # packed layout.
+                info = store.compact()
+                if info.get("compacted"):
+                    logger.info("auto-optimize: compacted (%s)", info)
+                    did = True
             if not store.postings_active:
                 info = store.build_postings()
                 logger.info("auto-optimize: postings rebuilt (%s)", info)
