@@ -291,3 +291,139 @@ def test_compaction_with_int8_segments(temp_root, monkeypatch):
     finally:
         store.close()
         get_settings.cache_clear()
+
+
+def test_compaction_crash_recovery_roll_forward(temp_root, monkeypatch):
+    """Crash AFTER the payload remap committed (stamp == journal gen):
+    recovery promotes the temp spills to match the new numbering."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(2)
+    keep = make_corpus_chunks(store, 100, "k", rng)
+    store.save()
+    index_dir = store.index_dir
+    # Simulate the mid-compaction state: temp spill written, journal
+    # written, remap committed (here: identity remap, stamp bumped), crash
+    # before the rename. The OLD final is replaced by garbage to prove the
+    # temp (not the old final) is what recovery must promote.
+    shutil.copy(index_dir / "segment_0000.npz",
+                index_dir / "compact_0000.tmp.npz")
+    (index_dir / "compaction.journal").write_text(
+        json.dumps({"generation": 7, "segments": 1}))
+    store.payloads.remap_gids({}, generation=7)
+    (index_dir / "segment_0000.npz").write_bytes(b"pre-compaction garbage")
+    (index_dir / "segment_0001.npz").write_bytes(b"stale extra")
+    store.close()
+
+    store = TpuVectorStore(dimension=64)
+    try:
+        assert store.generation == 7
+        assert len(store.segments) == 1
+        assert not (index_dir / "compaction.journal").exists()
+        assert not (index_dir / "segment_0001.npz").exists()
+        hits = store.search(keep[5], limit=1)
+        assert hits and hits[0].metadata.file_path == "k/5.md"
+    finally:
+        store.close()
+        get_settings.cache_clear()
+
+
+def test_compaction_crash_recovery_roll_back(temp_root, monkeypatch):
+    """Crash BEFORE the remap committed (stamp != journal gen): recovery
+    discards the temps and keeps the old spills."""
+    import json
+
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(3)
+    keep = make_corpus_chunks(store, 50, "m", rng)
+    store.save()
+    index_dir = store.index_dir
+    (index_dir / "compact_0000.tmp.npz").write_bytes(b"half-written temp")
+    (index_dir / "compaction.journal").write_text(
+        json.dumps({"generation": 9, "segments": 1}))
+    store.close()
+
+    store = TpuVectorStore(dimension=64)
+    try:
+        assert store.generation == 0  # remap never committed
+        assert not list(index_dir.glob("compact_*.tmp.npz"))
+        assert not (index_dir / "compaction.journal").exists()
+        hits = store.search(keep[11], limit=1)
+        assert hits and hits[0].metadata.file_path == "m/11.md"
+    finally:
+        store.close()
+        get_settings.cache_clear()
+
+
+def test_materialize_generation_guard(temp_root, monkeypatch):
+    """A search whose gids predate a compaction returns [] instead of the
+    wrong payloads (gid REUSE is the dangerous case; plain deletes skip
+    defensively)."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(4)
+    try:
+        make_corpus_chunks(store, 10, "g", rng)
+        out = store._materialize(np.asarray([1.0]), np.asarray([0]),
+                                 expected_generation=store.generation - 1)
+        assert out == []
+        out = store._materialize(np.asarray([1.0]), np.asarray([0]),
+                                 expected_generation=store.generation)
+        assert len(out) == 1
+    finally:
+        store.close()
+        get_settings.cache_clear()
+
+
+def test_compaction_above_write_bucket_limit(temp_root, monkeypatch):
+    """Compaction batches its writes: stores with more live rows than the
+    largest scatter bucket (4096) must compact without error."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "16384")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "16")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=16)
+    rng = np.random.default_rng(5)
+    try:
+        make_corpus_chunks(store, 9000, "big", rng)
+        keep = make_corpus_chunks(store, 200, "keep", rng)
+        # Push allocation into a second segment, then free most of it.
+        make_corpus_chunks(store, 9000, "big2", rng)
+        store.delete_by_folder("big2")
+        info = store.compact()
+        assert info["compacted"], info
+        assert store.count() == 9200
+        hits = store.search(keep[123], limit=1)
+        assert hits and hits[0].metadata.file_path == "keep/123.md"
+    finally:
+        store.close()
+        get_settings.cache_clear()

@@ -77,18 +77,32 @@ class PayloadStore:
             )
             self._conn.commit()
 
-    def remap_gids(self, mapping: dict[int, int]) -> None:
-        """Rewrite gids after segment compaction (old → new). Two-phase via
-        the negative range so overlapping old/new ids never collide (gids
-        are non-negative by construction)."""
-        if not mapping:
-            return
-        with self._conn:
-            self._conn.executemany(
-                "UPDATE chunks SET gid = -2 - ? WHERE gid = ?",
-                [(new, old) for old, new in mapping.items()])
-            self._conn.execute(
-                "UPDATE chunks SET gid = -2 - gid WHERE gid <= -2")
+    def all_gids(self) -> list[int]:
+        with self._lock:
+            return [r[0] for r in
+                    self._conn.execute("SELECT gid FROM chunks")]
+
+    def remap_gids(self, mapping: dict[int, int],
+                   generation: int | None = None) -> None:
+        """Rewrite gids after segment compaction (old → new), atomically
+        with a ``gid_generation`` meta stamp (the compaction journal uses
+        it to tell whether this transaction committed before a crash).
+        Two-phase via the negative range so overlapping old/new ids never
+        collide (gids are non-negative by construction). Caller must have
+        removed any payload rows NOT in the mapping whose gid collides
+        with a target (orphans of lost segments)."""
+        with self._lock, self._conn:
+            if mapping:
+                self._conn.executemany(
+                    "UPDATE chunks SET gid = -2 - ? WHERE gid = ?",
+                    [(new, old) for old, new in mapping.items()])
+                self._conn.execute(
+                    "UPDATE chunks SET gid = -2 - gid WHERE gid <= -2")
+            if generation is not None:
+                self._conn.execute(
+                    "INSERT INTO collection_meta (key, value) VALUES "
+                    "('gid_generation', ?) ON CONFLICT(key) DO UPDATE "
+                    "SET value=excluded.value", (str(generation),))
 
     def delete_gids(self, gids: list[int]) -> None:
         with self._lock:

@@ -126,8 +126,19 @@ class Segment:
         weights: np.ndarray,
     ) -> None:
         """Write n chunk rows. dense [n, D] f32 (unit-norm), col_rows
-        [n, NUM_COLS] int32, terms [n, S] int32, weights [n, S] f32."""
+        [n, NUM_COLS] int32, terms [n, S] int32, weights [n, S] f32.
+
+        Batches larger than the biggest scatter bucket are split here so
+        every caller (bulk upsert, compaction) can pass arbitrary sizes.
+        """
         n = len(rows)
+        max_b = UPDATE_BUCKETS[-1]
+        if n > max_b:
+            for s in range(0, n, max_b):
+                e = min(s + max_b, n)
+                self.write_rows(rows[s:e], dense[s:e], col_rows[s:e],
+                                terms[s:e], weights[s:e])
+            return
         b = _bucket(n)
         # Pad with out-of-range rows -> dropped by scatter mode='drop'.
         rows_p = np.full(b, self.capacity, np.int32)
@@ -169,10 +180,13 @@ class Segment:
     def tombstone_rows(self, rows: np.ndarray) -> None:
         if len(rows) == 0:
             return
-        b = _bucket(len(rows))
-        rows_p = np.full(b, self.capacity, np.int32)
-        rows_p[: len(rows)] = rows
-        self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
+        max_b = UPDATE_BUCKETS[-1]
+        for s in range(0, len(rows), max_b):  # split over scatter buckets
+            chunk = rows[s:s + max_b]
+            b = _bucket(len(chunk))
+            rows_p = np.full(b, self.capacity, np.int32)
+            rows_p[: len(chunk)] = chunk
+            self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
         self.valid_np[rows] = False
         self._free.extend(int(r) for r in rows)
 

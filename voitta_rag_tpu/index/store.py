@@ -17,6 +17,7 @@ encode-to-candidates is one jittable function (see
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import threading
@@ -78,6 +79,10 @@ class TpuVectorStore:
         self._sparse_max_postings = settings.sparse_max_postings
         # Mutations since last save() (host spill/restore, SURVEY §5.4).
         self._unsaved_mutations = 0
+        # Compaction generation: bumped whenever gids are REUSED (not just
+        # deleted), so lock-free searches can detect that their scored gids
+        # belong to a previous numbering (see _materialize).
+        self._generation = 0
 
     @staticmethod
     def _resolve_shards(setting: str) -> int:
@@ -113,6 +118,9 @@ class TpuVectorStore:
                 return
             self.index_dir.mkdir(parents=True, exist_ok=True)
             self._payloads = PayloadStore(self.index_dir / "payloads.db")
+            self._generation = int(
+                self._payloads.get_meta("gid_generation", "0") or 0)
+            self._recover_compaction()
             self._segments = []
             if self._n_shards > 1:
                 from voitta_rag_tpu.parallel.mesh import index_mesh
@@ -149,7 +157,8 @@ class TpuVectorStore:
                         mesh, cap, self.dimension,
                         self.sparse_slots, self.segment_dtype)
                 return
-            seg_files = sorted(self.index_dir.glob("segment_*.npz"))
+            seg_files = sorted(f for f in self.index_dir.glob("segment_*.npz")
+                               if ".tmp" not in f.name)
             for f in seg_files:
                 # gid = segment-list-index * capacity + row, so POSITION is
                 # load-bearing: a lost middle segment must become an empty
@@ -548,6 +557,7 @@ class TpuVectorStore:
     ) -> list[StoredChunk]:
         """Dense or hybrid search (reference search signature + semantics)."""
         self._ensure_open()
+        gen = self._generation  # detect gid reuse racing this search
         if (self._sharded is None and not self._segments) or self.count() == 0:
             return []
         include_ids, exclude_ids, exclude_if_ids, impossible = (
@@ -596,7 +606,8 @@ class TpuVectorStore:
         else:
             scores, gids = masked_topk(dense_scores, limit)
 
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
+                                 expected_generation=gen)
 
     def _search_sharded(self, q, spec, qt, qw, limit, sparse_weight,
                         has_sparse):
@@ -611,10 +622,12 @@ class TpuVectorStore:
             nprobe=self._ivf_nprobe if self.ivf_active else None,
             use_postings=self.postings_active,
             max_postings=self._sparse_max_postings)
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
+                                 expected_generation=gen)
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
+        gen = self._generation  # detect gid reuse racing this search
         """Read-optimized path: dense candidates from the IVF probe (or flat
         scan) + sparse candidates from the inverted postings (or full slot
         scan), fused on the candidate lists — the serving analogue of the
@@ -637,7 +650,8 @@ class TpuVectorStore:
 
         if not has_sparse:
             return self._materialize(np.asarray(d_vals)[0][:limit],
-                                     np.asarray(d_gids)[0][:limit])
+                                     np.asarray(d_gids)[0][:limit],
+                                     expected_generation=gen)
 
         if self.postings_active:
             s_vals, s_gids = self._postings.candidates(
@@ -661,9 +675,26 @@ class TpuVectorStore:
             scores, gids = hybrid_fuse_candidates(
                 d_vals, d_gids, s_vals, s_gids, sparse_weight,
                 limit=limit, prefetch_multiplier=self.prefetch_multiplier)
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
+                                 expected_generation=gen)
 
-    def _materialize(self, scores: np.ndarray, gids: np.ndarray) -> list[StoredChunk]:
+    @property
+    def generation(self) -> int:
+        """Gid-numbering generation (bumped by compaction's gid reuse)."""
+        self._ensure_open()
+        return self._generation
+
+    def _materialize(self, scores: np.ndarray, gids: np.ndarray,
+                     expected_generation: int | None = None) -> list[StoredChunk]:
+        if (expected_generation is not None
+                and expected_generation != self._generation):
+            # A compaction REUSED gids while this search was in flight: its
+            # scored gids belong to the old numbering and would resolve to
+            # the wrong payloads. Deletes alone are safe (missing gids skip
+            # defensively below); reuse is not — return empty for this rare
+            # race rather than wrong results.
+            logger.warning("search crossed a compaction; dropping results")
+            return []
         keep = [(int(g), float(s)) for s, g in zip(scores, gids)
                 if g >= 0 and s > VALID_THRESHOLD]
         payload = self._payloads.get_chunks([g for g, _ in keep])
@@ -757,6 +788,13 @@ class TpuVectorStore:
         no-op unless at least ``min_waste_fraction`` of allocated rows are
         dead or a whole segment can be dropped. int8 segments re-quantize
         from their dequantized values (second-order error only).
+
+        Crash safety (journaled): new segments are spilled to temp files
+        FIRST; the payload remap commits atomically with a bumped
+        ``gid_generation`` stamp that a journal file also records; only
+        then are temps renamed over the old spills. Recovery on open
+        (:meth:`_recover_compaction`) uses the stamp to tell which side of
+        the remap a crash landed on and rolls forward or discards temps.
         """
         with self._lock:
             self._ensure_open()
@@ -771,8 +809,8 @@ class TpuVectorStore:
             n_needed = max((live_total + cap - 1) // cap, 1)
             allocated = sum(min(s._next, s.capacity) for s in self._segments)
             dead = allocated - live_total
-            if (n_needed == len(self._segments)
-                    and dead < allocated * min_waste_fraction):
+            if allocated == 0 or (n_needed == len(self._segments)
+                                  and dead < allocated * min_waste_fraction):
                 return {"compacted": False, "reason": "below waste threshold",
                         "live": live_total, "dead": dead}
 
@@ -782,10 +820,11 @@ class TpuVectorStore:
                 if not len(rows):
                     continue
                 host = seg.to_host()
-                vecs = host["vecs"]
+                vecs = host["vecs"][rows]
                 if seg.dtype == "int8":
-                    vecs = vecs.astype(np.float32) * host["scales"][0][:, None]
-                dense_l.append(vecs[rows])
+                    vecs = (vecs.astype(np.float32)
+                            * host["scales"][0][rows][:, None])
+                dense_l.append(vecs)
                 cols_l.append(host["cols"][:, rows].T)
                 terms_l.append(host["terms"][:, rows].T)
                 weights_l.append(host["weights"][:, rows].T)
@@ -815,14 +854,49 @@ class TpuVectorStore:
                         mapping[int(old[pos + j])] = si * cap + int(r)
                     pos += n
                 new_segments.append(seg)
+
+            # ---- journaled commit ----
+            # 1. New spills under temp names (old finals stay valid).
+            tmp_paths = []
+            for i, seg in enumerate(new_segments):
+                tmp = self.index_dir / f"compact_{i:04d}.tmp.npz"
+                np.savez_compressed(tmp, **seg.to_host())
+                tmp_paths.append(tmp)
+            # 2. Journal records the generation the remap will stamp.
+            new_gen = self._generation + 1
+            journal = self.index_dir / "compaction.journal"
+            journal.write_text(json.dumps(
+                {"generation": new_gen, "segments": n_needed}))
+            # 3. Drop orphan payload rows (lost/quarantined segments: their
+            #    device rows are gone and the repair cycle re-indexes the
+            #    files) so remap targets cannot collide, then remap + stamp
+            #    in ONE transaction.
+            orphans = set(self._payloads.all_gids()) - set(mapping)
+            if orphans:
+                self._payloads.delete_gids(sorted(orphans))
+                logger.info("compact: dropped %d orphan payload rows "
+                            "(pending repair)", len(orphans))
+            self._payloads.remap_gids(
+                {o: nw for o, nw in mapping.items() if o != nw},
+                generation=new_gen)
+            # 4. Swap in memory + on disk, then clear the journal.
             dropped = len(self._segments) - n_needed
             self._segments = new_segments
-            self._payloads.remap_gids(
-                {o: n for o, n in mapping.items() if o != n})
+            self._generation = new_gen
             self._ivf_dirty = True
             self._postings_dirty = True
-            self._unsaved_mutations += max(live_total, 1)
-            self.save()
+            for i, tmp in enumerate(tmp_paths):
+                os.replace(tmp, self.index_dir / f"segment_{i:04d}.npz")
+            for f in self.index_dir.glob("segment_*.npz"):
+                if ".tmp" in f.name:
+                    continue
+                try:
+                    if int(f.stem.split("_")[-1]) >= n_needed:
+                        f.unlink()
+                except (ValueError, OSError):
+                    pass
+            journal.unlink(missing_ok=True)
+            self._unsaved_mutations = 0
             logger.info(
                 "Compacted %d live rows into %d segments (%d dead rows "
                 "reclaimed, %d segments dropped)", live_total, n_needed,
@@ -830,6 +904,50 @@ class TpuVectorStore:
             return {"compacted": True, "live": live_total,
                     "reclaimed": dead, "segments": n_needed,
                     "segments_dropped": dropped}
+
+    def _recover_compaction(self) -> None:
+        """Roll an interrupted compaction forward or back (called with the
+        lock held, payloads open, before segment spills are read).
+
+        The ``gid_generation`` stamp commits in the SAME transaction as the
+        payload remap, so: stamp == journal generation → the remap
+        committed; promote the temp spills (they match the new numbering).
+        Otherwise the remap never happened; discard temps and keep the old
+        spills."""
+        journal = self.index_dir / "compaction.journal"
+        tmps = sorted(self.index_dir.glob("compact_*.tmp.npz"))
+        if not journal.exists():
+            for t in tmps:
+                t.unlink(missing_ok=True)
+            return
+        try:
+            meta = json.loads(journal.read_text())
+            gen = int(meta["generation"])
+            n_segments = int(meta["segments"])
+        except (ValueError, KeyError):
+            gen, n_segments = -1, -1
+        stamped = int(self._payloads.get_meta("gid_generation", "0") or 0)
+        if gen > 0 and stamped == gen and len(tmps) == n_segments:
+            logger.warning(
+                "Recovering interrupted compaction (generation %d): "
+                "promoting %d temp spills", gen, n_segments)
+            for i, t in enumerate(sorted(tmps)):
+                os.replace(t, self.index_dir / f"segment_{i:04d}.npz")
+            for f in self.index_dir.glob("segment_*.npz"):
+                if ".tmp" in f.name:
+                    continue
+                try:
+                    if int(f.stem.split("_")[-1]) >= n_segments:
+                        f.unlink()
+                except (ValueError, OSError):
+                    pass
+        else:
+            logger.warning(
+                "Discarding incomplete compaction attempt (journal gen %d, "
+                "payload stamp %d)", gen, stamped)
+            for t in tmps:
+                t.unlink(missing_ok=True)
+        journal.unlink(missing_ok=True)
 
     def save_if_dirty(self, min_mutations: int = 1) -> bool:
         """Autosave hook: spill device segments to disk when mutated."""

@@ -268,6 +268,7 @@ class SearchService:
                     q, spec, qt, qw, limit,
                     jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
+        gen = store.generation  # detect gid reuse racing this search
         use_ivf = store.ivf_active
         use_postings = store.postings_active
         if (use_ivf and not has_sparse) or (has_sparse and use_postings):
@@ -308,7 +309,8 @@ class SearchService:
                     use_ivf=use_ivf)
             with trace("search.materialize"):
                 return store._materialize(np.asarray(scores)[0],
-                                          np.asarray(gids)[0])
+                                          np.asarray(gids)[0],
+                                          expected_generation=gen)
         if use_ivf or (has_sparse and use_postings):
             # Mixed snapshot states (e.g. IVF active, postings stale with a
             # sparse query) fall back to the store's multi-dispatch path.
@@ -347,7 +349,8 @@ class SearchService:
                 select_pallas=select_pallas)
         with trace("search.materialize"):
             return store._materialize(np.asarray(scores)[0],
-                                      np.asarray(gids)[0])
+                                      np.asarray(gids)[0],
+                                      expected_generation=gen)
 
 
 _search_service: SearchService | None = None
