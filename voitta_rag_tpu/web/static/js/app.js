@@ -187,11 +187,22 @@
     if (!data.results.length) {
       searchResults.textContent = "No results.";
     }
-    // Highlight query terms (>= 3 chars) in the escaped snippets.
+    // Highlight query terms (>= 3 chars). Match on the RAW text and escape
+    // each piece separately — running the regex over escaped HTML would
+    // split entities (searching "amp" must not corrupt an "&amp;").
     const terms = q.split(/\s+/).filter((t) => t.length >= 3)
-      .map((t) => esc(t).replace(/[.*+?^${}()|[\]\\]/g, "\\$&"));
-    const hl = terms.length ? new RegExp(`(${terms.join("|")})`, "gi") : null;
-    const mark = (s) => hl ? s.replace(hl, "<mark>$1</mark>") : s;
+      .map((t) => t.replace(/[.*+?^${}()|[\]\\]/g, "\\$&"));
+    const hl = terms.length ? new RegExp(terms.join("|"), "gi") : null;
+    function mark(s) {
+      if (!hl) return esc(s);
+      let out = "", last = 0;
+      for (const m of s.matchAll(hl)) {
+        out += esc(s.slice(last, m.index)) +
+          `<mark>${esc(m[0])}</mark>`;
+        last = m.index + m[0].length;
+      }
+      return out + esc(s.slice(last));
+    }
     for (const r of data.results) {
       const dir = r.file_path.includes("/")
         ? r.file_path.slice(0, r.file_path.lastIndexOf("/")) : "";
@@ -202,7 +213,7 @@
         `— <a href="/browse?path=${encodeURIComponent(dir)}">${esc(r.file_path)}</a>` +
         ` · chunk ${r.chunk_index + 1}/${r.total_chunks}` +
         (r.memory_id ? " · memory" : "") + `</div>` +
-        `<div>${mark(esc(r.text.slice(0, 400)))}</div>`;
+        `<div>${mark(r.text.slice(0, 400))}</div>`;
       searchResults.appendChild(div);
     }
     searchResults.classList.remove("hidden");
