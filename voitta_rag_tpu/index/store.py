@@ -622,8 +622,9 @@ class TpuVectorStore:
             nprobe=self._ivf_nprobe if self.ivf_active else None,
             use_postings=self.postings_active,
             max_postings=self._sparse_max_postings)
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
-                                 expected_generation=gen)
+        # Sharded mode never compacts (gids are stable), so no generation
+        # race is possible here.
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
