@@ -495,3 +495,45 @@ def test_browse_rollup_like_escaping(app_env):
         finally:
             await client.close()
     run(body())
+
+
+def test_sharded_mode_end_to_end_via_api(app_env, monkeypatch):
+    """The full app stack on a sharded index (virtual 8-device CPU mesh):
+    upload → index → search through /api/search with VOITTA_INDEX_SHARDS=2
+    — per-chip scans + all-gather merge behind the same HTTP contract."""
+    monkeypatch.setenv("VOITTA_INDEX_SHARDS", "2")
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    import voitta_rag_tpu.index.store as storemod
+    storemod.reset_vector_store()
+
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            d = app_env / "sh"
+            d.mkdir()
+            (d / "a.md").write_text("the walrus guards the lighthouse " * 5)
+            (d / "b.md").write_text("rockets launch from the desert pad " * 5)
+            from voitta_rag_tpu.services.indexing import get_indexing_service
+            import voitta_rag_tpu.services.indexing as idxmod
+            idxmod.reset_indexing_service()
+            get_indexing_service().index_folder("sh")
+
+            from voitta_rag_tpu.index.store import get_vector_store
+            assert get_vector_store().sharded_active
+
+            resp = await client.post(
+                "/api/settings/folders/sh/search-active",
+                json={"search_active": True})
+            assert resp.status == 200
+            resp = await client.get(
+                "/api/search?q=walrus+lighthouse&limit=2&sparse_weight=0.9")
+            assert resp.status == 200
+            results = (await resp.json())["results"]
+            assert results and results[0]["file_path"] == "sh/a.md"
+        finally:
+            await client.close()
+    run(body())
+    storemod.reset_vector_store()
