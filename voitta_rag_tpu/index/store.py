@@ -165,9 +165,8 @@ class TpuVectorStore:
                 # placeholder at its original index, never a skip (skipping
                 # would shift every later segment's gid range onto the
                 # wrong payloads).
-                try:
-                    idx = int(f.stem.split("_")[-1])
-                except ValueError:
+                idx = self._spill_index(f)
+                if idx is None:
                     idx = len(self._segments)
                 while len(self._segments) < idx:
                     self._segments.append(Segment(
@@ -189,6 +188,27 @@ class TpuVectorStore:
             if self._segments:
                 logger.info("Loaded %d segments (%d live chunks) for '%s'",
                             len(self._segments), self.count(), self.collection_name)
+
+    @staticmethod
+    def _spill_index(path) -> int | None:
+        """Segment list index encoded in a spill filename, or None."""
+        try:
+            return int(path.stem.split("_")[-1])
+        except ValueError:
+            return None
+
+    def _prune_spills(self, keep: int) -> None:
+        """Unlink segment spills with index >= keep (a shrunk store must
+        not resurrect pre-compaction segments on restart)."""
+        for f in self.index_dir.glob("segment_*.npz"):
+            if ".tmp" in f.name:
+                continue
+            idx = self._spill_index(f)
+            try:
+                if idx is not None and idx >= keep:
+                    f.unlink()
+            except OSError:
+                pass
 
     def _quarantine_spill(self, path) -> None:
         import time as _time
@@ -628,12 +648,12 @@ class TpuVectorStore:
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
-        gen = self._generation  # detect gid reuse racing this search
         """Read-optimized path: dense candidates from the IVF probe (or flat
         scan) + sparse candidates from the inverted postings (or full slot
         scan), fused on the candidate lists — the serving analogue of the
         reference's Qdrant HNSW + sparse-index hybrid query
         (services/vector_store.py:621-697)."""
+        gen = self._generation  # detect gid reuse racing this search
         from voitta_rag_tpu.ops.fusion import (
             hybrid_fuse_candidates, rrf_fuse_candidates,
         )
@@ -767,15 +787,7 @@ class TpuVectorStore:
                 tmp = final.with_name(f"segment_{i:04d}.tmp.npz")
                 np.savez_compressed(tmp, **seg.to_host())
                 os.replace(tmp, final)
-            # Drop spills beyond the current segment count (compaction can
-            # shrink the list; a stale higher-index file would resurrect a
-            # pre-compaction segment on the next restart).
-            for f in self.index_dir.glob("segment_*.npz"):
-                try:
-                    if int(f.stem.split("_")[-1]) >= len(self._segments):
-                        f.unlink()
-                except (ValueError, OSError):
-                    pass
+            self._prune_spills(len(self._segments))
             self._unsaved_mutations = 0
 
     def compact(self, min_waste_fraction: float = 0.25) -> dict:
@@ -888,14 +900,7 @@ class TpuVectorStore:
             self._postings_dirty = True
             for i, tmp in enumerate(tmp_paths):
                 os.replace(tmp, self.index_dir / f"segment_{i:04d}.npz")
-            for f in self.index_dir.glob("segment_*.npz"):
-                if ".tmp" in f.name:
-                    continue
-                try:
-                    if int(f.stem.split("_")[-1]) >= n_needed:
-                        f.unlink()
-                except (ValueError, OSError):
-                    pass
+            self._prune_spills(n_needed)
             journal.unlink(missing_ok=True)
             self._unsaved_mutations = 0
             logger.info(
@@ -934,14 +939,7 @@ class TpuVectorStore:
                 "promoting %d temp spills", gen, n_segments)
             for i, t in enumerate(sorted(tmps)):
                 os.replace(t, self.index_dir / f"segment_{i:04d}.npz")
-            for f in self.index_dir.glob("segment_*.npz"):
-                if ".tmp" in f.name:
-                    continue
-                try:
-                    if int(f.stem.split("_")[-1]) >= n_segments:
-                        f.unlink()
-                except (ValueError, OSError):
-                    pass
+            self._prune_spills(n_segments)
         else:
             logger.warning(
                 "Discarding incomplete compaction attempt (journal gen %d, "

@@ -108,29 +108,23 @@ def params_from_state_dict(
         if cfg.arch == "mpnet":
             # MPNet attention keys: attention.attn.{q,k,v,o} with the
             # LayerNorm directly under attention.
-            layers.append({
-                "attn": {
-                    "q": dense(f"{pre}.attention.attn.q"),
-                    "k": dense(f"{pre}.attention.attn.k"),
-                    "v": dense(f"{pre}.attention.attn.v"),
-                    "o": dense(f"{pre}.attention.attn.o"),
-                    "ln": ln(f"{pre}.attention.LayerNorm"),
-                },
-                "mlp": {
-                    "up": dense(f"{pre}.intermediate.dense"),
-                    "down": dense(f"{pre}.output.dense"),
-                    "ln": ln(f"{pre}.output.LayerNorm"),
-                },
-            })
-            continue
-        layers.append({
-            "attn": {
+            attn = {
+                "q": dense(f"{pre}.attention.attn.q"),
+                "k": dense(f"{pre}.attention.attn.k"),
+                "v": dense(f"{pre}.attention.attn.v"),
+                "o": dense(f"{pre}.attention.attn.o"),
+                "ln": ln(f"{pre}.attention.LayerNorm"),
+            }
+        else:
+            attn = {
                 "q": dense(f"{pre}.attention.self.query"),
                 "k": dense(f"{pre}.attention.self.key"),
                 "v": dense(f"{pre}.attention.self.value"),
                 "o": dense(f"{pre}.attention.output.dense"),
                 "ln": ln(f"{pre}.attention.output.LayerNorm"),
-            },
+            }
+        layers.append({
+            "attn": attn,
             "mlp": {
                 "up": dense(f"{pre}.intermediate.dense"),
                 "down": dense(f"{pre}.output.dense"),
