@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from voitta_rag_tpu.ops.flash_attention import fused_attention
-from voitta_rag_tpu.ops.pallas_utils import on_tpu
 
 Params = dict[str, Any]
 
@@ -220,9 +219,17 @@ def encoder_forward(
     *,
     use_pallas_attn: bool | None = None,
 ) -> jax.Array:
-    """Token-level hidden states [B, L, H]."""
+    """Token-level hidden states [B, L, H].
+
+    Attention defaults to XLA's fused path: measured 20-35% faster than the
+    hand-written Pallas kernel at every bulk encode shape on v5e (3,668 vs
+    2,739 chunks/s at b128xL128 e5-base; 4,070 vs 2,928 at b256) and equal
+    at b=1 (0.88 ms) — the same "let XLA fuse" outcome as the flat scans.
+    The Pallas kernel stays available (use_pallas_attn=True) as the
+    parity-tested template for shapes where a fused kernel wins.
+    """
     if use_pallas_attn is None:
-        use_pallas_attn = on_tpu()
+        use_pallas_attn = False
     B, L = input_ids.shape
     emb = params["embeddings"]
     off = cfg.pos_offset
