@@ -43,7 +43,9 @@ class EncoderConfig:
     # indexing exactly equal to HF's cumsum-based position ids at non-pad
     # positions.
     pos_offset: int = 0
-    # "bert" | "roberta" | "mpnet" — weight naming + tokenizer family.
+    # "bert" | "roberta" | "mpnet" | "distilbert" — weight naming +
+    # tokenizer family. DistilBERT is BERT geometry with no token-type
+    # table and DistilBert checkpoint key names; the forward is identical.
     arch: str = "bert"
     # MPNet/T5-style relative attention bias: bucket count (0 = none) and
     # the log-bucketing max distance. The bias table is shared by all
@@ -77,6 +79,13 @@ PRESETS: dict[str, EncoderConfig] = {
         vocab_size=30527, max_position=514, type_vocab_size=0,
         layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="mpnet",
         rel_pos_buckets=32,
+    ),
+    # DistilBERT family (WordPiece like BERT, no token-type embedding).
+    "sentence-transformers/multi-qa-distilbert-cos-v1": EncoderConfig(
+        num_layers=6, type_vocab_size=0, arch="distilbert",
+    ),
+    "sentence-transformers/msmarco-distilbert-cos-v5": EncoderConfig(
+        num_layers=6, type_vocab_size=0, arch="distilbert",
     ),
     # Tiny config for tests
     "test-tiny": EncoderConfig(

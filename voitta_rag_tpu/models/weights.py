@@ -22,7 +22,7 @@ def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     out = {}
     for k, v in state.items():
         for pref in ("0.auto_model.", "auto_model.", "model.", "bert.",
-                     "roberta.", "distilroberta.", "mpnet."):
+                     "roberta.", "distilroberta.", "mpnet.", "distilbert."):
             if k.startswith(pref):
                 k = k[len(pref):]
         out[k] = v
@@ -36,6 +36,8 @@ def _detect_arch(state: dict[str, np.ndarray]) -> str:
     type."""
     if any("relative_attention_bias" in k for k in state):
         return "mpnet"
+    if any("transformer.layer." in k for k in state):
+        return "distilbert"
     if any(".roberta." in f".{k}" for k in state):
         return "roberta"
     s = _strip_prefix(state)
@@ -105,6 +107,27 @@ def params_from_state_dict(
     layers = []
     for i in range(cfg.num_layers):
         pre = f"encoder.layer.{i}"
+        if cfg.arch == "distilbert":
+            # DistilBERT layer keys: transformer.layer.N.attention.{q,k,v,
+            # out}_lin with sa_layer_norm / ffn.lin1+lin2 / output_layer_norm
+            # (HF DistilBertModel naming — structurally the same post-LN
+            # block as BERT, so it maps onto the same pytree).
+            pre = f"transformer.layer.{i}"
+            layers.append({
+                "attn": {
+                    "q": dense(f"{pre}.attention.q_lin"),
+                    "k": dense(f"{pre}.attention.k_lin"),
+                    "v": dense(f"{pre}.attention.v_lin"),
+                    "o": dense(f"{pre}.attention.out_lin"),
+                    "ln": ln(f"{pre}.sa_layer_norm"),
+                },
+                "mlp": {
+                    "up": dense(f"{pre}.ffn.lin1"),
+                    "down": dense(f"{pre}.ffn.lin2"),
+                    "ln": ln(f"{pre}.output_layer_norm"),
+                },
+            })
+            continue
         if cfg.arch == "mpnet":
             # MPNet attention keys: attention.attn.{q,k,v,o} with the
             # LayerNorm directly under attention.
@@ -147,15 +170,22 @@ def config_from_state_dict(
         arch = "roberta"
     elif hints.get("model_type") == "mpnet":
         arch = "mpnet"
+    elif hints.get("model_type") == "distilbert":
+        arch = "distilbert"
     vocab, hidden = state["embeddings.word_embeddings.weight"].shape
     max_pos = state["embeddings.position_embeddings.weight"].shape[0]
     tt = state.get("embeddings.token_type_embeddings.weight")
     type_vocab = tt.shape[0] if tt is not None else 0
-    inter = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
-    attn_q = ("attention.attn.q" if arch == "mpnet"
-              else "attention.self.query")
+    if arch == "distilbert":
+        inter = state["transformer.layer.0.ffn.lin1.weight"].shape[0]
+        layer_key = "transformer.layer.{}.attention.q_lin.weight"
+    else:
+        inter = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
+        attn_q = ("attention.attn.q" if arch == "mpnet"
+                  else "attention.self.query")
+        layer_key = f"encoder.layer.{{}}.{attn_q}.weight"
     n_layers = 0
-    while f"encoder.layer.{n_layers}.{attn_q}.weight" in state:
+    while layer_key.format(n_layers) in state:
         n_layers += 1
     rel = state.get("encoder.relative_attention_bias.weight")
     # Heads: the rel-bias table's second axis IS the head count (MPNet);
@@ -163,17 +193,21 @@ def config_from_state_dict(
     if rel is not None:
         num_heads = rel.shape[1]
     else:
+        # DistilBertConfig names the head count ``n_heads``; BERT/RoBERTa
+        # use ``num_attention_heads``.
         num_heads = int(hints.get("num_attention_heads",
-                                  max(hidden // 64, 1)))
+                                  hints.get("n_heads",
+                                            max(hidden // 64, 1))))
     eps = float(hints.get(
-        "layer_norm_eps", 1e-12 if arch == "bert" else 1e-5))
+        "layer_norm_eps",
+        1e-12 if arch in ("bert", "distilbert") else 1e-5))
     return EncoderConfig(
         vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
         num_heads=num_heads, intermediate_size=inter, max_position=max_pos,
         type_vocab_size=type_vocab, layer_norm_eps=eps,
-        pad_token_id=int(hints.get("pad_token_id",
-                                   0 if arch == "bert" else 1)),
-        pos_offset=0 if arch == "bert" else 2, arch=arch,
+        pad_token_id=int(hints.get(
+            "pad_token_id", 0 if arch in ("bert", "distilbert") else 1)),
+        pos_offset=0 if arch in ("bert", "distilbert") else 2, arch=arch,
         rel_pos_buckets=rel.shape[0] if rel is not None else 0,
         rel_pos_max_distance=int(hints.get(
             "relative_attention_max_distance", 128)),

@@ -94,6 +94,14 @@ class EmbeddingService:
                 params)
             cfg = dataclasses.replace(cfg, dtype="bfloat16")
         self._cfg = cfg
+        # Clamp to the checkpoint's usable position rows (sentence-
+        # transformers max_seq_length behaves the same way) — a model with
+        # a short position table must truncate, not crash the encode.
+        usable = cfg.max_position - cfg.pos_offset
+        if self.max_seq_len > usable:
+            logger.info("max_seq_len %d clamped to model's %d usable "
+                        "positions", self.max_seq_len, usable)
+            self.max_seq_len = usable
         # Index-build data parallelism (SURVEY §7.3): with several chips,
         # replicate the params over a dp mesh and shard the batch axis —
         # XLA splits each encode across chips with zero collective cost
