@@ -42,6 +42,9 @@ def finetune(
     """Contrastive fine-tune on (query, passage) pairs; returns
     (cfg, trained_params, losses)."""
     cfg = cfg or config_for(model_name)
+    # Same clamp as the serving path (services/embedding.py): a model with
+    # a short position table must truncate, not crash mid-training.
+    max_seq_len = min(max_seq_len, cfg.max_position - cfg.pos_offset)
     params = init if init is not None else init_params(
         jax.random.PRNGKey(seed), cfg)
     tokenizer = load_tokenizer(None, cfg.vocab_size)

@@ -106,7 +106,6 @@ def params_from_state_dict(
         params["rel_bias"] = a("encoder.relative_attention_bias.weight")
     layers = []
     for i in range(cfg.num_layers):
-        pre = f"encoder.layer.{i}"
         if cfg.arch == "distilbert":
             # DistilBERT layer keys: transformer.layer.N.attention.{q,k,v,
             # out}_lin with sa_layer_norm / ffn.lin1+lin2 / output_layer_norm
@@ -128,6 +127,7 @@ def params_from_state_dict(
                 },
             })
             continue
+        pre = f"encoder.layer.{i}"
         if cfg.arch == "mpnet":
             # MPNet attention keys: attention.attn.{q,k,v,o} with the
             # LayerNorm directly under attention.
