@@ -56,10 +56,14 @@ async def delete_folder(request: web.Request, user) -> web.Response:
         db.delete_index_status(rel)
         for rec in db.indexed_files_under(rel):
             db.delete_indexed_file(rec.file_path)
+        # LIKE wildcards escaped: '_'/'%' in a folder name must not widen
+        # the delete to sibling folders' settings (same as pages.py).
+        like = (rel.replace("\\", "\\\\").replace("%", "\\%")
+                .replace("_", "\\_") + "/%")
         db.execute("DELETE FROM user_folder_settings WHERE folder_path=? "
-                   "OR folder_path LIKE ?", (rel, rel + "/%"))
+                   "OR folder_path LIKE ? ESCAPE '\\'", (rel, like))
         db.execute("DELETE FROM project_folder_settings WHERE folder_path=? "
-                   "OR folder_path LIKE ?", (rel, rel + "/%"))
+                   "OR folder_path LIKE ? ESCAPE '\\'", (rel, like))
         get_vector_store().delete_by_folder(rel)
         fs.delete(rel)
     finally:

@@ -8,20 +8,23 @@ from __future__ import annotations
 
 from aiohttp import web
 
-from voitta_rag_tpu.api.routes.helpers import current_user, json_error
+from voitta_rag_tpu.api.routes.helpers import json_error, require_user
 from voitta_rag_tpu.mcp import tools as mcp_tools
 
 
-async def search(request: web.Request) -> web.Response:
+@require_user
+async def search(request: web.Request, user) -> web.Response:
+    # Login required: the MCP transport's "no identity -> all folders"
+    # contract (reference mcp_server.py:535) is for trusted MCP clients;
+    # the cookie-facing HTTP endpoint scopes to the session user.
     q = request.query.get("q", "").strip()
     if not q:
         return json_error(400, "query parameter 'q' required")
-    user = current_user(request)
     try:
         limit = int(request.query.get("limit", "10"))
         sparse_weight = request.query.get("sparse_weight")
         results = mcp_tools.search(
-            user.name if user else None, q, limit=limit,
+            user.name, q, limit=limit,
             include_folders=request.query.getall("include_folder", None),
             exclude_folders=request.query.getall("exclude_folder", None),
             sparse_weight=float(sparse_weight) if sparse_weight else None,

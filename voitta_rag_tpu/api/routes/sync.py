@@ -99,11 +99,30 @@ async def upsert_source(request: web.Request, user) -> web.Response:
     existing = db.get_sync_source(rel)
     src = existing or FolderSyncSource(folder_path=rel,
                                        source_type=source_type)
+    # Credential-exfiltration guard: retargeting an endpoint URL while the
+    # stored secret is preserved would send that secret to the NEW host on
+    # the next lookup/sync (e.g. jira_url -> attacker, then
+    # /jira-projects ships the stored token there). Changing an endpoint
+    # field invalidates every secret not re-supplied in the same request.
+    # (Prior values snapshotted before the field loop mutates ``src``.)
+    endpoint_fields = {
+        "jira": ("jira_url",), "confluence": ("confluence_url",),
+        "azure_devops": ("ado_url", "ado_organization"),
+        "github": ("gh_repo",),
+    }.get(source_type, ())
+    retargeted = existing is not None and (
+        source_type != existing.source_type
+        or any(f in body and body[f] != getattr(existing, f, None)
+               for f in endpoint_fields))
     src.source_type = source_type
     schema = CONFIG_SCHEMAS.get(source_type, {"fields": [], "secrets": []})
     for f in schema["fields"] + schema["secrets"]:
         if f in body and body[f] != "***":
             setattr(src, f, body[f])
+    if retargeted:
+        for f in schema["secrets"]:
+            if body.get(f) in (None, "***"):
+                setattr(src, f, None)
     db.upsert_sync_source(src)
     # Install filesystem mappings immediately (+ live watch on the target);
     # retargeting or switching source type tears the old watch down first.
@@ -292,6 +311,35 @@ _OAUTH_SOURCES = {
 }
 
 
+_oauth_states: dict[str, tuple[str, float]] = {}  # nonce -> (folder, t)
+_OAUTH_STATE_TTL = 600.0
+
+
+def _issue_oauth_state(folder_path: str) -> str:
+    """Single-use, expiring state nonce bound server-side to the folder
+    (a guessable base64(folder) state would let anyone bind their own
+    cloud account's token to a victim's sync source)."""
+    import secrets
+    import time
+
+    now = time.monotonic()
+    for k in [k for k, (_, t) in _oauth_states.items()
+              if now - t > _OAUTH_STATE_TTL]:
+        _oauth_states.pop(k, None)
+    nonce = secrets.token_urlsafe(24)
+    _oauth_states[nonce] = (folder_path, now)
+    return nonce
+
+
+def _redeem_oauth_state(state: str) -> str | None:
+    import time
+
+    entry = _oauth_states.pop(state, None)
+    if entry is None or time.monotonic() - entry[1] > _OAUTH_STATE_TTL:
+        return None
+    return entry[0]
+
+
 def _oauth_redirect_uri() -> str:
     from voitta_rag_tpu.config import get_settings
 
@@ -313,7 +361,7 @@ async def oauth_auth(request: web.Request, user) -> web.Response:
         return json_error(
             400, "Save configuration (client ID, client secret) before "
                  "connecting")
-    state = base64.urlsafe_b64encode(folder_path.encode()).decode()
+    state = _issue_oauth_state(folder_path)
     redirect = _oauth_redirect_uri()
     if src.source_type == "google_drive":
         from voitta_rag_tpu.services.sync.google_drive import get_auth_url
@@ -345,9 +393,8 @@ async def oauth_callback(request: web.Request) -> web.Response:
     state = request.query.get("state", "")
     if not code:
         return json_error(400, "Missing code")
-    try:
-        folder_path = base64.urlsafe_b64decode(state.encode()).decode()
-    except Exception:
+    folder_path = _redeem_oauth_state(state)
+    if folder_path is None:
         return json_error(400, "Invalid state parameter")
     db = get_db()
     src = db.get_sync_source(folder_path)

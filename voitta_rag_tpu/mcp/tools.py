@@ -9,6 +9,7 @@ routes through the fused device program (search/service.py).
 from __future__ import annotations
 
 import logging
+import os
 import mimetypes
 import re
 from datetime import datetime, timezone
@@ -301,7 +302,7 @@ def get_file_uri(user_name: str | None, file_path: str,
         raise ValueError("File path required")
     clean = file_path.lstrip("/")
     full = (root / clean).resolve()
-    if not str(full).startswith(str(root)):
+    if full != root and not str(full).startswith(str(root) + os.sep):
         raise ValueError("Invalid file path")
     if not full.exists():
         raise ValueError(f"File not found: {file_path}")
@@ -393,7 +394,7 @@ def set_folder_active(user_name: str | None, folder_path: str,
     root = settings.root_path
     clean = (folder_path or "").lstrip("/")
     target = (root / clean).resolve() if clean else root
-    if not str(target).startswith(str(root)):
+    if target != root and not str(target).startswith(str(root) + os.sep):
         return fail("Invalid folder path")
     if not target.exists() or not target.is_dir():
         return fail(f"Folder not found: {folder_path}")

@@ -16,12 +16,28 @@ from voitta_rag_tpu.config import get_settings
 ANAMNESIS_DIR = "Anamnesis"
 
 
+def _safe_component(value: str, what: str) -> str:
+    """Reject path separators / traversal in identity-derived path pieces.
+
+    The MCP transport accepts a client-asserted user name (reference
+    mcp_server.py X-User-Name fallback) and memory ids arrive from tool
+    arguments — neither may escape ``<root>/Anamnesis/``. The reference
+    interpolates both unchecked; legitimate values (emails, uuids) are
+    unaffected by this guard.
+    """
+    if (not value or value in (".", "..") or "/" in value or "\\" in value
+            or "\x00" in value):
+        raise ValueError(f"invalid {what}: {value!r}")
+    return value
+
+
 def user_dir(user_name: str) -> Path:
-    return get_settings().root_path / ANAMNESIS_DIR / user_name
+    return (get_settings().root_path / ANAMNESIS_DIR
+            / _safe_component(user_name, "user name"))
 
 
 def memory_path(user_name: str, memory_id: str) -> Path:
-    return user_dir(user_name) / f"{memory_id}.md"
+    return user_dir(user_name) / f"{_safe_component(memory_id, 'memory id')}.md"
 
 
 def memory_rel_path(user_name: str, memory_id: str) -> str:

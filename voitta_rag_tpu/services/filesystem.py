@@ -10,6 +10,7 @@ upload/create (199-256).
 from __future__ import annotations
 
 import logging
+import os
 import re
 import shutil
 from dataclasses import dataclass
@@ -82,11 +83,12 @@ class FilesystemService:
             folder, target = hit
             sub = rel[len(folder):].strip("/")
             p = (target / sub).resolve() if sub else target.resolve()
-            if not str(p).startswith(str(target.resolve())):
+            t = target.resolve()
+            if p != t and not str(p).startswith(str(t) + os.sep):
                 raise PermissionError(f"path escapes mapping: {rel_path}")
             return p
         p = (self.root / rel).resolve()
-        if not str(p).startswith(str(self.root)):
+        if p != self.root and not str(p).startswith(str(self.root) + os.sep):
             raise PermissionError(f"path escapes root: {rel_path}")
         return p
 

@@ -46,10 +46,20 @@ def _run_git(args: list[str], cwd: Path | None = None,
     return proc.stdout
 
 
+def _safe_git_arg(value: str, what: str) -> str:
+    """Argv guard: repo/branch values come from the sync-config API and (in
+    all-branches mode) from ls-remote output; none may parse as a git option
+    (``--upload-pack=<cmd>`` would execute commands server-side)."""
+    v = (value or "").strip()
+    if not v or v.startswith("-") or "\x00" in v:
+        raise RuntimeError(f"invalid git {what}: {value!r}")
+    return v
+
+
 class GithubConnector(BaseSyncConnector):
     # -- auth / URLs (reference github.py:22-54, 351-365) --------------------
     def _repo_url(self, source) -> str:
-        repo = source.gh_repo or ""
+        repo = _safe_git_arg(source.gh_repo, "repo")
         if repo.startswith(("http://", "https://", "git@", "file://", "/")):
             base = repo  # full URL or local path (mirrors, air-gapped tests)
         else:
@@ -77,6 +87,7 @@ class GithubConnector(BaseSyncConnector):
 
     # -- git plumbing (reference github.py:375-511) --------------------------
     def _clone_or_update(self, source, branch: str) -> Path:
+        branch = _safe_git_arg(branch, "branch")
         env, key = self._git_env(source)
         cache = self._cache_dir(source, branch)
         try:

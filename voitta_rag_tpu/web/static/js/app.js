@@ -230,7 +230,7 @@
     overlay.className = "modal-overlay";
     overlay.id = "modal-overlay";
     overlay.innerHTML =
-      `<div class="modal"><div class="modal-head"><h3>${title}</h3>` +
+      `<div class="modal"><div class="modal-head"><h3>${esc(title)}</h3>` +
       `<button class="modal-close">✕</button></div>` +
       `<div class="modal-body"></div></div>`;
     document.body.appendChild(overlay);
@@ -409,7 +409,8 @@
                   `<button id="sync-remove" class="danger">Remove source</button>` : "") +
       `</div>` +
       (existing && existing.sync_error
-        ? `<p class="sync-error">Last error: ${existing.sync_error}</p>` : "");
+        // esc: sync_error carries remote-controlled text (git stderr etc.)
+        ? `<p class="sync-error">Last error: ${esc(existing.sync_error)}</p>` : "");
 
     const typeSel = body.querySelector("#sync-type");
     const form = body.querySelector("#sync-form");
