@@ -168,47 +168,77 @@ def test_sibling_prefix_dir_rejected(app_env, monkeypatch):
 # OAuth login state: single-use, expiring, cookie-bound
 # ---------------------------------------------------------------------------
 
-def test_oauth_state_expiry_and_single_use(monkeypatch):
-    import time as _time
+def test_oauth_state_store_expiry_single_use_and_cookie_binding():
+    from voitta_rag_tpu.api.routes.helpers import (
+        STATE_COOKIE, STATE_INVALID, OAuthStateStore, bind_state_cookie,
+        cookie_has_state)
 
-    from voitta_rag_tpu.api.routes import auth as authmod
-
-    authmod._states.clear()
-    s1 = authmod._issue_state()
-    assert s1 in authmod._states
-
-    class Req:
-        def __init__(self, state, cookie):
-            self.query = {"state": state}
-            self.cookies = ({authmod._STATE_COOKIE: cookie}
-                            if cookie else {})
-
-    # wrong/missing cookie -> rejected (and consumed: single-use)
-    assert authmod._check_state(Req(s1, None)) is None
-    assert s1 not in authmod._states
-
-    s2 = authmod._issue_state()
-    assert authmod._check_state(Req(s2, s2)) == s2
-    # second redemption fails
-    assert authmod._check_state(Req(s2, s2)) is None
+    store = OAuthStateStore(ttl=600.0)
+    s1 = store.issue("payload-1")
+    assert store.redeem(s1) == "payload-1"
+    assert store.redeem(s1) is STATE_INVALID  # single-use
+    assert store.redeem("forged") is STATE_INVALID
 
     # expiry pruning bounds the dict
-    s3 = authmod._issue_state()
-    authmod._states[s3] -= authmod._STATE_TTL + 1
-    authmod._issue_state()
-    assert s3 not in authmod._states
+    s2 = store.issue()
+    store._entries[s2] = (None, store._entries[s2][1] - 601)
+    store.issue()
+    assert s2 not in store._entries
+
+    # cookie binding: multi-value so concurrent tabs don't clobber flows
+    class Req:
+        def __init__(self, jar):
+            self.cookies = jar
+
+    class Resp:
+        def __init__(self):
+            self.jar = {}
+
+        def set_cookie(self, name, value, **kw):
+            self.jar[name] = value
+
+    r1 = Resp()
+    bind_state_cookie(r1, Req({}), "stateA")
+    r2 = Resp()
+    bind_state_cookie(r2, Req(r1.jar), "stateB")
+    assert cookie_has_state(Req(r2.jar), "stateA")  # first flow survives
+    assert cookie_has_state(Req(r2.jar), "stateB")
+    assert not cookie_has_state(Req(r2.jar), "stateC")
+    # bounded: only the last 5 are kept
+    jar = {}
+    for i in range(8):
+        r = Resp()
+        bind_state_cookie(r, Req(jar), f"s{i}")
+        jar = r.jar
+    assert not cookie_has_state(Req(jar), "s0")
+    assert cookie_has_state(Req(jar), "s7")
 
 
 def test_connector_oauth_state_is_unguessable(app_env):
-    from voitta_rag_tpu.api.routes import sync as syncmod
-
-    nonce = syncmod._issue_oauth_state("Work")
-    # not derivable from the folder name (previously base64(folder))
     import base64
+
+    from voitta_rag_tpu.api.routes import sync as syncmod
+    from voitta_rag_tpu.api.routes.helpers import STATE_INVALID
+
+    nonce = syncmod._oauth_store.issue("Work")
+    # not derivable from the folder name (previously base64(folder))
     assert nonce != base64.urlsafe_b64encode(b"Work").decode()
-    assert syncmod._redeem_oauth_state(nonce) == "Work"
-    assert syncmod._redeem_oauth_state(nonce) is None  # single-use
-    assert syncmod._redeem_oauth_state("forged") is None
+    assert syncmod._oauth_store.redeem(nonce) == "Work"
+    assert syncmod._oauth_store.redeem(nonce) is STATE_INVALID
+
+
+def test_gh_path_contained_in_clone(tmp_path):
+    from voitta_rag_tpu.services.sync.github import _safe_subpath
+
+    base = tmp_path / "cache"
+    for bad in ("../..", "a/../../b", ".."):
+        with pytest.raises(RuntimeError, match="invalid gh_path"):
+            _safe_subpath(base, bad)
+    assert _safe_subpath(base, None) == base
+    assert _safe_subpath(base, "docs/sub/") == base / "docs/sub"
+    # a leading slash is treated as repo-relative, not absolute
+    # (Path join would otherwise yield /etc itself)
+    assert _safe_subpath(base, "/etc") == base / "etc"
 
 
 # ---------------------------------------------------------------------------
@@ -229,16 +259,29 @@ def test_folder_delete_cascade_does_not_hit_like_siblings(app_env):
                     json={"search_active": True})
                 assert resp.status == 200
 
+            # index a file in the sibling so the cascade has rows to spare
+            from voitta_rag_tpu.db.database import get_db
+            from voitta_rag_tpu.index.store import get_vector_store
+            db = get_db()
+            (app_env / "myxapp" / "keep.md").write_text("sibling doc")
+            from voitta_rag_tpu.services.indexing import get_indexing_service
+            get_indexing_service().index_file("myxapp/keep.md", "myxapp")
+            assert db.get_indexed_file("myxapp/keep.md") is not None
+            store = get_vector_store()
+            assert store.payloads.gids_where_prefix(
+                "folder_path", "myxapp")
+
             resp = await client.delete("/api/folders/my_app")
             assert resp.status == 200
 
-            from voitta_rag_tpu.db.database import get_db
-            from voitta_rag_tpu.db.models import User
-            db = get_db()
             rows = db.query("SELECT folder_path FROM user_folder_settings")
             paths = {r["folder_path"] for r in rows}
             assert not any(p.startswith("my_app") for p in paths)
             assert any(p.startswith("myxapp") for p in paths), paths
+            # sibling's indexed rows and chunks survive the cascade
+            # (unescaped "my_app/%" would have matched and deleted them)
+            assert db.get_indexed_file("myxapp/keep.md") is not None
+            assert store.payloads.gids_where_prefix("folder_path", "myxapp")
         finally:
             await client.close()
 

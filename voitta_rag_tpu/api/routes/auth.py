@@ -6,48 +6,21 @@ configured (config.py ms_auth_enabled / google_auth_enabled)."""
 from __future__ import annotations
 
 import logging
-import secrets
+
 from urllib.parse import urlencode
 
 import aiohttp
 from aiohttp import web
 
-from voitta_rag_tpu.api.routes.helpers import USER_COOKIE, json_error
+from voitta_rag_tpu.api.routes.helpers import (
+    STATE_INVALID, USER_COOKIE, OAuthStateStore, bind_state_cookie,
+    cookie_has_state, json_error)
 from voitta_rag_tpu.config import get_settings
 from voitta_rag_tpu.db.database import get_db
 
 logger = logging.getLogger(__name__)
 
-_states: dict[str, float] = {}  # CSRF state token -> issue time
-_STATE_TTL = 600.0  # seconds; also bounds the dict (pruned on each login)
-_STATE_COOKIE = "voitta_oauth_state"
-
-
-def _issue_state() -> str:
-    """Mint a single-use, expiring login state token."""
-    import time
-
-    now = time.monotonic()
-    for k in [k for k, t in _states.items() if now - t > _STATE_TTL]:
-        _states.pop(k, None)
-    state = secrets.token_urlsafe(24)
-    _states[state] = now
-    return state
-
-
-def _check_state(request: web.Request) -> str | None:
-    """Validate callback state: known, unexpired, single-use, AND matching
-    the short-lived cookie set at login (binds the flow to the browser that
-    initiated it — blocks login CSRF / session fixation)."""
-    import time
-
-    state = request.query.get("state", "")
-    issued = _states.pop(state, None)
-    if issued is None or time.monotonic() - issued > _STATE_TTL:
-        return None
-    if request.cookies.get(_STATE_COOKIE) != state:
-        return None
-    return state
+_store = OAuthStateStore()
 
 
 def _redirect_uri(provider: str) -> str:
@@ -58,7 +31,7 @@ async def ms_login(request: web.Request) -> web.Response:
     s = get_settings()
     if not s.ms_auth_enabled:
         return json_error(404, "Microsoft auth not configured")
-    state = _issue_state()
+    state = _store.issue()
     params = urlencode({
         "client_id": s.ms_auth_client_id,
         "response_type": "code",
@@ -69,14 +42,15 @@ async def ms_login(request: web.Request) -> web.Response:
     resp = web.HTTPFound(
         f"https://login.microsoftonline.com/{s.ms_auth_tenant_id}"
         f"/oauth2/v2.0/authorize?{params}")
-    resp.set_cookie(_STATE_COOKIE, state, max_age=int(_STATE_TTL),
-                    httponly=True, samesite="Lax")
+    bind_state_cookie(resp, request, state)
     raise resp
 
 
 async def ms_callback(request: web.Request) -> web.Response:
     s = get_settings()
-    if _check_state(request) is None:
+    state = request.query.get("state", "")
+    if (_store.redeem(state) is STATE_INVALID
+            or not cookie_has_state(request, state)):
         return json_error(400, "invalid state")
     code = request.query.get("code")
     if not code:
@@ -110,7 +84,7 @@ async def google_login(request: web.Request) -> web.Response:
     s = get_settings()
     if not s.google_auth_enabled:
         return json_error(404, "Google auth not configured")
-    state = _issue_state()
+    state = _store.issue()
     params = urlencode({
         "client_id": s.google_auth_client_id,
         "response_type": "code",
@@ -120,14 +94,15 @@ async def google_login(request: web.Request) -> web.Response:
     })
     resp = web.HTTPFound(
         f"https://accounts.google.com/o/oauth2/v2/auth?{params}")
-    resp.set_cookie(_STATE_COOKIE, state, max_age=int(_STATE_TTL),
-                    httponly=True, samesite="Lax")
+    bind_state_cookie(resp, request, state)
     raise resp
 
 
 async def google_callback(request: web.Request) -> web.Response:
     s = get_settings()
-    if _check_state(request) is None:
+    state = request.query.get("state", "")
+    if (_store.redeem(state) is STATE_INVALID
+            or not cookie_has_state(request, state)):
         return json_error(400, "invalid state")
     code = request.query.get("code")
     if not code:

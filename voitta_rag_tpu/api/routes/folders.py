@@ -57,9 +57,9 @@ async def delete_folder(request: web.Request, user) -> web.Response:
         for rec in db.indexed_files_under(rel):
             db.delete_indexed_file(rec.file_path)
         # LIKE wildcards escaped: '_'/'%' in a folder name must not widen
-        # the delete to sibling folders' settings (same as pages.py).
-        like = (rel.replace("\\", "\\\\").replace("%", "\\%")
-                .replace("_", "\\_") + "/%")
+        # the delete to sibling folders' settings.
+        from voitta_rag_tpu.db.database import like_prefix
+        like = like_prefix(rel)
         db.execute("DELETE FROM user_folder_settings WHERE folder_path=? "
                    "OR folder_path LIKE ? ESCAPE '\\'", (rel, like))
         db.execute("DELETE FROM project_folder_settings WHERE folder_path=? "

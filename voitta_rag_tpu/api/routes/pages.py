@@ -42,12 +42,12 @@ def gather_file_list_data(rel_path: str, user) -> dict:
     # One query scoped to this subtree; each leaf folder group is bucketed
     # ONCE by its first path segment below rel_path — O(groups), not
     # O(groups x listed dirs) (this runs on every WS-debounced refresh).
-    prefix = rel_path + "/" if rel_path else ""
     # LIKE wildcards must be escaped: an unescaped '_' in a folder name
     # would match siblings ("my_app/%" matching "myxapp/...") and inflate
     # this listing's roll-ups with their rows.
-    like = (prefix.replace("\\", "\\\\").replace("%", "\\%")
-            .replace("_", "\\_") + "%")
+    from voitta_rag_tpu.db.database import like_prefix
+    prefix = rel_path + "/" if rel_path else ""
+    like = like_prefix(rel_path) if rel_path else "%"
     groups = db.query(
         "SELECT folder_path, COUNT(*) AS n, SUM(chunk_count) AS chunks, "
         "SUM(file_size) AS bytes FROM indexed_files WHERE chunk_count > 0 "

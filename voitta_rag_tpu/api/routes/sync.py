@@ -15,7 +15,9 @@ from datetime import datetime, timezone
 
 from aiohttp import web
 
-from voitta_rag_tpu.api.routes.helpers import json_error, require_user, tail_path
+from voitta_rag_tpu.api.routes.helpers import (
+    STATE_INVALID, OAuthStateStore, bind_state_cookie, cookie_has_state,
+    json_error, require_user, tail_path)
 from voitta_rag_tpu.db.database import get_db
 from voitta_rag_tpu.db.models import SOURCE_TYPES, FolderSyncSource
 
@@ -311,33 +313,10 @@ _OAUTH_SOURCES = {
 }
 
 
-_oauth_states: dict[str, tuple[str, float]] = {}  # nonce -> (folder, t)
-_OAUTH_STATE_TTL = 600.0
-
-
-def _issue_oauth_state(folder_path: str) -> str:
-    """Single-use, expiring state nonce bound server-side to the folder
-    (a guessable base64(folder) state would let anyone bind their own
-    cloud account's token to a victim's sync source)."""
-    import secrets
-    import time
-
-    now = time.monotonic()
-    for k in [k for k, (_, t) in _oauth_states.items()
-              if now - t > _OAUTH_STATE_TTL]:
-        _oauth_states.pop(k, None)
-    nonce = secrets.token_urlsafe(24)
-    _oauth_states[nonce] = (folder_path, now)
-    return nonce
-
-
-def _redeem_oauth_state(state: str) -> str | None:
-    import time
-
-    entry = _oauth_states.pop(state, None)
-    if entry is None or time.monotonic() - entry[1] > _OAUTH_STATE_TTL:
-        return None
-    return entry[0]
+# Single-use, expiring, cookie-bound connector-OAuth state (shared
+# mechanism with the login flows — helpers.OAuthStateStore; the payload is
+# the folder path the token will be stored on).
+_oauth_store = OAuthStateStore()
 
 
 def _oauth_redirect_uri() -> str:
@@ -349,8 +328,6 @@ def _oauth_redirect_uri() -> str:
 @require_user
 async def oauth_auth(request: web.Request, user) -> web.Response:
     """Unified OAuth2 initiation — dispatches by source_type."""
-    import base64
-
     folder_path = request.query.get("folder_path", "")
     src = get_db().get_sync_source(folder_path)
     if not src or src.source_type not in _OAUTH_SOURCES:
@@ -361,7 +338,7 @@ async def oauth_auth(request: web.Request, user) -> web.Response:
         return json_error(
             400, "Save configuration (client ID, client secret) before "
                  "connecting")
-    state = _issue_oauth_state(folder_path)
+    state = _oauth_store.issue(folder_path)
     redirect = _oauth_redirect_uri()
     if src.source_type == "google_drive":
         from voitta_rag_tpu.services.sync.google_drive import get_auth_url
@@ -381,20 +358,23 @@ async def oauth_auth(request: web.Request, user) -> web.Response:
                                scope=f"offline_access {ADO_SCOPE}")
         else:
             url = get_auth_url(tenant, client_id, redirect, state)
-    return web.json_response({"auth_url": url})
+    resp = web.json_response({"auth_url": url})
+    # Bind the flow to this browser: the callback (which arrives in the
+    # OAuth popup, same cookie jar) must echo the state cookie, so an
+    # attacker-minted auth_url clicked by a victim is rejected.
+    bind_state_cookie(resp, request, state)
+    return resp
 
 
 async def oauth_callback(request: web.Request) -> web.Response:
     """Unified OAuth2 callback — exchanges the code, stores the refresh
     token, and notifies the UI over WebSocket."""
-    import base64
-
     code = request.query.get("code")
     state = request.query.get("state", "")
     if not code:
         return json_error(400, "Missing code")
-    folder_path = _redeem_oauth_state(state)
-    if folder_path is None:
+    folder_path = _oauth_store.redeem(state)
+    if folder_path is STATE_INVALID or not cookie_has_state(request, state):
         return json_error(400, "Invalid state parameter")
     db = get_db()
     src = db.get_sync_source(folder_path)

@@ -26,6 +26,18 @@ logger = logging.getLogger(__name__)
 T = TypeVar("T")
 
 
+def like_prefix(path: str) -> str:
+    r"""Escaped LIKE pattern matching strict descendants of ``path``.
+
+    Use with ``ESCAPE '\'``: an unescaped ``_``/``%`` in a folder name
+    would make "my_app/%" match sibling "myxapp/..." rows — in a DELETE
+    cascade that is silent data loss. Single shared helper so every
+    prefix-LIKE in the codebase gets the same treatment.
+    """
+    return (path.rstrip("/").replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_") + "/%")
+
+
 def _to_row(cls, row: sqlite3.Row):
     if row is None:
         return None
@@ -288,8 +300,9 @@ class Database:
 
     def indexed_files_under(self, folder: str) -> list[m.IndexedFile]:
         return [_to_row(m.IndexedFile, r) for r in self.query(
-            "SELECT * FROM indexed_files WHERE folder_path=? OR folder_path LIKE ?",
-            (folder, folder.rstrip("/") + "/%"))]
+            "SELECT * FROM indexed_files WHERE folder_path=? "
+            "OR folder_path LIKE ? ESCAPE '\\'",
+            (folder, like_prefix(folder)))]
 
     def distinct_indexed_folders(self) -> list[str]:
         return [r["folder_path"] for r in

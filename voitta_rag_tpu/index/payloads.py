@@ -136,11 +136,14 @@ class PayloadStore:
 
     def gids_where_prefix(self, column: str, prefix: str) -> list[int]:
         """gids whose column equals prefix or starts with prefix + '/'."""
+        from voitta_rag_tpu.db.database import like_prefix
+
         assert column in ("file_path", "folder_path", "index_folder")
         with self._lock:
             rows = self._conn.execute(
-                f"SELECT gid FROM chunks WHERE {column}=? OR {column} LIKE ?",
-                (prefix, prefix.rstrip("/") + "/%"),
+                f"SELECT gid FROM chunks WHERE {column}=? "
+                f"OR {column} LIKE ? ESCAPE '\\'",
+                (prefix, like_prefix(prefix)),
             ).fetchall()
         return [r[0] for r in rows]
 

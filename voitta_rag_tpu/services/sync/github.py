@@ -46,6 +46,19 @@ def _run_git(args: list[str], cwd: Path | None = None,
     return proc.stdout
 
 
+def _safe_subpath(base: Path, sub: str | None) -> Path:
+    """Contain ``gh_path`` inside the clone: an absolute path or ``..``
+    would mirror arbitrary server files into the indexed folder
+    (``Path(cache) / "/etc" == Path("/etc")``)."""
+    sub = (sub or "").strip().strip("/")
+    if not sub:
+        return base
+    p = Path(sub)
+    if p.is_absolute() or ".." in p.parts:
+        raise RuntimeError(f"invalid gh_path: {sub!r}")
+    return base / p
+
+
 def _safe_git_arg(value: str, what: str) -> str:
     """Argv guard: repo/branch values come from the sync-config API and (in
     all-branches mode) from ls-remote output; none may parse as a git option
@@ -190,14 +203,14 @@ class GithubConnector(BaseSyncConnector):
             branches = self._remote_branches(source)
             for br in branches:
                 cache = self._clone_or_update(source, br)
-                src = cache / (source.gh_path or "") if source.gh_path else cache
+                src = _safe_subpath(cache, source.gh_path)
                 c, d = self._mirror_tree(src, local_root / "branches" / br)
                 stats["downloaded"] += c
                 stats["deleted"] += d
         else:
             branch = source.gh_branch or self.detect_default_branch(source)
             cache = self._clone_or_update(source, branch)
-            src = cache / (source.gh_path or "") if source.gh_path else cache
+            src = _safe_subpath(cache, source.gh_path)
             if not src.exists():
                 raise RuntimeError(f"path '{source.gh_path}' not in repo")
             c, d = self._mirror_tree(src, local_root)
