@@ -23,15 +23,22 @@ async def search(request: web.Request, user) -> web.Response:
     try:
         limit = int(request.query.get("limit", "10"))
         sparse_weight = request.query.get("sparse_weight")
-        results = mcp_tools.search(
-            user.name, q, limit=limit,
-            include_folders=request.query.getall("include_folder", None),
-            exclude_folders=request.query.getall("exclude_folder", None),
-            sparse_weight=float(sparse_weight) if sparse_weight else None,
-            date_start=request.query.get("date_start"),
-            date_end=request.query.get("date_end"),
-            date_field=request.query.get("date_field"),
-            fusion=request.query.get("fusion", "weighted"))
+        import asyncio
+        import functools
+
+        # Executor: the search body is synchronous device + SQLite work;
+        # inline it would stall the event loop behind store/payload locks.
+        results = await asyncio.get_running_loop().run_in_executor(
+            None, functools.partial(
+                mcp_tools.search,
+                user.name, q, limit=limit,
+                include_folders=request.query.getall("include_folder", None),
+                exclude_folders=request.query.getall("exclude_folder", None),
+                sparse_weight=float(sparse_weight) if sparse_weight else None,
+                date_start=request.query.get("date_start"),
+                date_end=request.query.get("date_end"),
+                date_field=request.query.get("date_field"),
+                fusion=request.query.get("fusion", "weighted")))
     except ValueError as e:
         return json_error(400, str(e))
     return web.json_response({

@@ -127,7 +127,8 @@ class PayloadStore:
         return {r[0]: self._row_to_chunk(r) for r in rows}
 
     def gids_where(self, column: str, value: str) -> list[int]:
-        assert column in ("file_path", "folder_path", "index_folder", "source_url")
+        assert column in ("file_path", "folder_path", "index_folder",
+                          "source_url", "point_id")
         with self._lock:
             rows = self._conn.execute(
                 f"SELECT gid FROM chunks WHERE {column}=?", (value,)

@@ -61,6 +61,10 @@ class TpuVectorStore:
         self.sparse_query_terms = settings.sparse_query_terms
         self.prefetch_multiplier = settings.prefetch_multiplier
         self._lock = threading.RLock()
+        # Serializes whole save() calls (capture + compress) without
+        # holding the store lock during compression.
+        self._save_lock = threading.Lock()
+        self._closed = False
         self._payloads: PayloadStore | None = None
         self._segments: list[Segment] | None = None
         # Multi-chip mode: VOITTA_INDEX_SHARDS > 1 (or "auto" with multiple
@@ -116,6 +120,7 @@ class TpuVectorStore:
         with self._lock:
             if self._segments is not None:
                 return
+            self._closed = False
             self.index_dir.mkdir(parents=True, exist_ok=True)
             self._payloads = PayloadStore(self.index_dir / "payloads.db")
             self._generation = int(
@@ -394,9 +399,7 @@ class TpuVectorStore:
             self._ensure_open()
             gids = []
             for pid in point_ids:
-                rows = self._payloads._conn.execute(
-                    "SELECT gid FROM chunks WHERE point_id=?", (pid,)).fetchall()
-                gids.extend(r[0] for r in rows)
+                gids.extend(self._payloads.gids_where("point_id", pid))
             return self._delete_gids(gids)
 
     # -- search (reference vector_store.py:560-697) --------------------------
@@ -575,7 +578,28 @@ class TpuVectorStore:
         date_field: str | None = None,
         fusion: str = "weighted",
     ) -> list[StoredChunk]:
-        """Dense or hybrid search (reference search signature + semantics)."""
+        """Dense or hybrid search (reference search signature + semantics).
+
+        Runs under the store lock: segment mutations are donated scatter
+        programs (segment.py) that invalidate the buffers they update, so
+        a search capturing ``seg.vecs`` while a concurrent upsert/delete
+        donates it would crash with "Array has been deleted". The lock
+        makes ref-capture + dispatch atomic against mutations; PJRT's
+        event ordering handles the device side. Mutation batches hold the
+        lock for milliseconds, so search latency is unaffected; the
+        generation check stays as the guard for gid renumbering.
+        """
+        with self._lock:
+            return self._search_locked(
+                query_embedding, limit, folder_filter, include_folders,
+                exclude_folders, exclude_index_folders, sparse_query,
+                sparse_weight, date_start, date_end, date_field, fusion)
+
+    def _search_locked(
+        self, query_embedding, limit, folder_filter, include_folders,
+        exclude_folders, exclude_index_folders, sparse_query, sparse_weight,
+        date_start, date_end, date_field, fusion,
+    ) -> list[StoredChunk]:
         self._ensure_open()
         gen = self._generation  # detect gid reuse racing this search
         if (self._sharded is None and not self._segments) or self.count() == 0:
@@ -769,26 +793,43 @@ class TpuVectorStore:
 
     # -- persistence ---------------------------------------------------------
     def save(self) -> None:
+        """Spill device segments to disk.
+
+        Only the device→host pulls run under the store lock; zlib
+        compression (the dominant cost — seconds for GB-scale segments)
+        runs outside it so autosave never blocks the watcher's synchronous
+        deletes, the indexing worker, or searches for the compression
+        time. The host snapshot is consistent-at-capture; mutations that
+        land mid-compression are picked up by the next autosave (the
+        dirty counter resets under the lock at capture time).
+        """
+        with self._save_lock:
+            self._save_impl()
+
+    def _save_impl(self) -> None:
         with self._lock:
+            if self._closed:
+                return  # autosave racing close() must not reopen the store
             self._ensure_open()
             if self._sharded is not None:
-                final = self.index_dir / "sharded.npz"
-                tmp = self.index_dir / "sharded.tmp.npz"
-                np.savez_compressed(tmp, **self._sharded.to_host())
-                os.replace(tmp, final)
-                self._unsaved_mutations = 0
-                return
-            for i, seg in enumerate(self._segments):
-                final = self.index_dir / f"segment_{i:04d}.npz"
-                # Write-then-rename: a crash (or a concurrent reader) mid-
-                # write must never leave a corrupt spill at the final path.
-                # (savez appends ".npz" to paths without it, so the temp
-                # name must already end in .npz.)
-                tmp = final.with_name(f"segment_{i:04d}.tmp.npz")
-                np.savez_compressed(tmp, **seg.to_host())
-                os.replace(tmp, final)
-            self._prune_spills(len(self._segments))
+                host_states = [("sharded", self._sharded.to_host())]
+                n_segments = None
+            else:
+                host_states = [(f"segment_{i:04d}", seg.to_host())
+                               for i, seg in enumerate(self._segments)]
+                n_segments = len(self._segments)
             self._unsaved_mutations = 0
+        for name, state in host_states:
+            final = self.index_dir / f"{name}.npz"
+            # Write-then-rename: a crash (or a concurrent reader) mid-
+            # write must never leave a corrupt spill at the final path.
+            # (savez appends ".npz" to paths without it, so the temp
+            # name must already end in .npz.)
+            tmp = final.with_name(f"{name}.tmp.npz")
+            np.savez_compressed(tmp, **state)
+            os.replace(tmp, final)
+        if n_segments is not None:
+            self._prune_spills(n_segments)
 
     def compact(self, min_waste_fraction: float = 0.25) -> dict:
         """Merge live rows into the fewest segments (SURVEY §7 hard part:
@@ -878,8 +919,13 @@ class TpuVectorStore:
             # 2. Journal records the generation the remap will stamp.
             new_gen = self._generation + 1
             journal = self.index_dir / "compaction.journal"
-            journal.write_text(json.dumps(
+            # Atomic journal write (write-then-rename): a torn journal at
+            # recovery time with a committed remap would discard the temps
+            # the roll-forward needs.
+            jtmp = journal.with_suffix(".journal.tmp")
+            jtmp.write_text(json.dumps(
                 {"generation": new_gen, "segments": n_needed}))
+            os.replace(jtmp, journal)
             # 3. Drop orphan payload rows (lost/quarantined segments: their
             #    device rows are gone and the repair cycle re-indexes the
             #    files) so remap targets cannot collide, then remap + stamp
@@ -889,13 +935,19 @@ class TpuVectorStore:
                 self._payloads.delete_gids(sorted(orphans))
                 logger.info("compact: dropped %d orphan payload rows "
                             "(pending repair)", len(orphans))
+            # In-memory generation bumps BEFORE the SQL remap commits: a
+            # reader that somehow observes the remapped payloads must also
+            # observe the bumped generation (its gen check then fails and
+            # it returns empty instead of wrong rows). With searches now
+            # under the store lock this is belt-and-braces, but the
+            # ordering keeps the guarantee independent of lock discipline.
+            self._generation = new_gen
             self._payloads.remap_gids(
                 {o: nw for o, nw in mapping.items() if o != nw},
                 generation=new_gen)
             # 4. Swap in memory + on disk, then clear the journal.
             dropped = len(self._segments) - n_needed
             self._segments = new_segments
-            self._generation = new_gen
             self._ivf_dirty = True
             self._postings_dirty = True
             for i, tmp in enumerate(tmp_paths):
@@ -933,13 +985,21 @@ class TpuVectorStore:
         except (ValueError, KeyError):
             gen, n_segments = -1, -1
         stamped = int(self._payloads.get_meta("gid_generation", "0") or 0)
-        if gen > 0 and stamped == gen and len(tmps) == n_segments:
+        if gen > 0 and stamped == gen:
+            # The remap committed: roll FORWARD unconditionally. A crash
+            # mid-rename leaves only SOME temps (the rest already sit at
+            # their final paths); discarding the remainder would mix
+            # old-numbering spills with remapped payloads — silent
+            # corruption. Each temp carries its own index in its name, so
+            # partial sets promote to the right slots.
             logger.warning(
                 "Recovering interrupted compaction (generation %d): "
-                "promoting %d temp spills", gen, n_segments)
-            for i, t in enumerate(sorted(tmps)):
-                os.replace(t, self.index_dir / f"segment_{i:04d}.npz")
-            self._prune_spills(n_segments)
+                "promoting %d remaining temp spills", gen, len(tmps))
+            for t in tmps:
+                idx = int(t.name.split("_")[1].split(".")[0])
+                os.replace(t, self.index_dir / f"segment_{idx:04d}.npz")
+            if n_segments > 0:
+                self._prune_spills(n_segments)
         else:
             logger.warning(
                 "Discarding incomplete compaction attempt (journal gen %d, "
@@ -955,11 +1015,14 @@ class TpuVectorStore:
                 return False
             if self._unsaved_mutations < min_mutations:
                 return False
-            self.save()
-            return True
+        # save() re-checks under its own locking; the store lock must NOT
+        # be held here or compression would run inside it.
+        self.save()
+        return True
 
     def close(self) -> None:
         with self._lock:
+            self._closed = True
             if self._payloads is not None:
                 self._payloads.close()
             self._payloads = None

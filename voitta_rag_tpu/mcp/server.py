@@ -250,7 +250,15 @@ async def _dispatch(request: web.Request, msg: dict) -> dict | None:
             kwargs = dict(args)
             if tool.get("pass_server_host"):
                 kwargs["server_host"] = request.headers.get("X-Server-Host")
-            result = tool["fn"](user_name, **kwargs)
+            # Executor: tool bodies are synchronous store/DB/device work; a
+            # slow one (search behind a long store-lock hold, SQLite busy
+            # wait) run inline would stall the whole event loop — every
+            # other request, WS broadcast, and watcher callback with it.
+            import asyncio
+            import functools
+
+            result = await asyncio.get_running_loop().run_in_executor(
+                None, functools.partial(tool["fn"], user_name, **kwargs))
             payload = _serialize(result)
             structured = (payload if isinstance(payload, dict)
                           else {"result": payload})

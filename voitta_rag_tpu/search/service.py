@@ -222,6 +222,18 @@ class SearchService:
         hybrid: bool = True,
         fusion: str = "weighted",
     ) -> list[StoredChunk]:
+        # Store lock: segment mutations are donated scatter programs, so a
+        # lock-free capture of seg buffers racing an upsert/delete would
+        # crash with "Array has been deleted" (see TpuVectorStore.search).
+        with self.store._lock:
+            return self._search_locked(
+                query, limit, include_folders, exclude_folders,
+                exclude_index_folders, sparse_weight, date_start, date_end,
+                date_field, hybrid, fusion)
+
+    def _search_locked(self, query, limit, include_folders, exclude_folders,
+                       exclude_index_folders, sparse_weight, date_start,
+                       date_end, date_field, hybrid, fusion):
         store = self.store
         store._ensure_open()
         if store.count() == 0 or (not store.segments

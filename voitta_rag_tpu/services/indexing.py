@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import threading
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -58,6 +59,22 @@ class IndexingService:
         self.sparse = sparse or get_sparse_embedding_service()
         self.chunker = chunker or get_chunking_service()
         self.fs = fs or get_filesystem_service()
+        # Per-folder serialization: the indexing worker (pending poll) and
+        # a sync's post-sync reconcile can target the SAME folder from two
+        # threads; each file-level op is store-locked, but the
+        # delete-before-reindex SEQUENCE is not, so interleaving stores a
+        # file's chunks twice. RLock per folder: nested same-thread entry
+        # (sync_folder -> index_file) stays reentrant.
+        self._folder_locks: dict[str, threading.RLock] = {}
+        self._folder_locks_guard = threading.Lock()
+
+    def _folder_lock(self, folder_path: str) -> threading.RLock:
+        key = folder_path.strip("/")
+        with self._folder_locks_guard:
+            lock = self._folder_locks.get(key)
+            if lock is None:
+                lock = self._folder_locks[key] = threading.RLock()
+            return lock
 
     # ------------------------------------------------------------------ file
     def index_file(self, file_path: str, index_folder: str,
@@ -199,6 +216,10 @@ class IndexingService:
                      progress_cb=None) -> dict:
         """Recursively index a folder, smallest files first (indexing.py:
         597-694)."""
+        with self._folder_lock(folder_path):
+            return self._index_folder_locked(folder_path, force, progress_cb)
+
+    def _index_folder_locked(self, folder_path, force, progress_cb) -> dict:
         db = get_db()
         db.set_index_status(folder_path, "indexing")
         try:
@@ -235,6 +256,10 @@ class IndexingService:
         """Reconcile an indexed folder with the file tree (indexing.py:
         777-908): drop records for missing files, (re)index new/changed
         files, purge orphan store chunks."""
+        with self._folder_lock(folder_path):
+            return self._sync_folder_locked(folder_path)
+
+    def _sync_folder_locked(self, folder_path: str) -> dict:
         db = get_db()
         on_disk = set(self.fs.walk_files(folder_path))
         recs = db.indexed_files_in("index_folder", folder_path)

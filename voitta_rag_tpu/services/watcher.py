@@ -68,7 +68,15 @@ class FileWatcher:
         # copy) or after a rename-in is a REAL modification.
         self._pending_creates: dict[str, float] = {}
         self._subscribers: list[asyncio.Queue] = []
-        self._suppressed: set[str] = set()
+        # rel path -> suppression refcount: overlapping suppressors (a
+        # watch-root timer + a running sync on the same folder) must not
+        # cancel each other's windows early.
+        self._suppressed: dict[str, int] = {}
+        # Bumped by add/remove_watch_root: a poll scan that started before
+        # a roots change is diffed against the wrong tree and is discarded
+        # (its snapshot would drop the seeded entries and later re-announce
+        # or delete-storm the mapped folder).
+        self._roots_version = 0
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
@@ -114,11 +122,17 @@ class FileWatcher:
     # -- suppression (reference watcher.py:116-129) -------------------------
     def suppress_path(self, rel_path: str) -> None:
         with self._lock:
-            self._suppressed.add(rel_path.strip("/"))
+            key = rel_path.strip("/")
+            self._suppressed[key] = self._suppressed.get(key, 0) + 1
 
     def unsuppress_path(self, rel_path: str) -> None:
         with self._lock:
-            self._suppressed.discard(rel_path.strip("/"))
+            key = rel_path.strip("/")
+            n = self._suppressed.get(key, 0) - 1
+            if n > 0:
+                self._suppressed[key] = n
+            else:
+                self._suppressed.pop(key, None)
 
     def _is_suppressed(self, rel_path: str) -> bool:
         rel = rel_path.strip("/")
@@ -216,10 +230,19 @@ class FileWatcher:
 
     def poll_once(self) -> None:
         """One scan+diff cycle (also used directly by tests)."""
+        with self._lock:
+            version = self._roots_version
         new = self._scan()
-        if self._snapshot is not None:
-            self._diff_and_emit(self._snapshot, new)
-        self._snapshot = new
+        with self._lock:
+            if version != self._roots_version:
+                # A watch root was added/removed mid-scan: this snapshot
+                # reflects the OLD root set (and would drop the seeded
+                # entries) — discard it and rescan next tick.
+                return
+            old = self._snapshot
+            self._snapshot = new
+        if old is not None:
+            self._diff_and_emit(old, new)
 
     # -- inotify backend -----------------------------------------------------
     def _try_init_inotify(self) -> bool:
@@ -277,6 +300,7 @@ class FileWatcher:
         folder = folder.strip("/")
         self.suppress_path(folder)
         with self._lock:
+            self._roots_version += 1
             if self._snapshot is not None:
                 self._scan_tree(Path(target), folder, self._snapshot)
         if self._inotify is not None:
@@ -294,6 +318,7 @@ class FileWatcher:
         prefix = folder + "/"
         self.suppress_path(folder)  # a scan in flight may still include it
         with self._lock:
+            self._roots_version += 1
             if self._snapshot is not None:
                 self._snapshot.dirs = {
                     d for d in self._snapshot.dirs
@@ -309,13 +334,13 @@ class FileWatcher:
         timer.start()
 
     def _inotify_created(self, abs_path: str, rel: str, is_dir: bool) -> None:
-        snap = self._snapshot
         if is_dir:
             # Watch the subtree FIRST, reporting entries that landed between
             # mkdir and watch registration, then announce parent-to-child so
             # settings inheritance sees ancestors before descendants.
             found = self._inotify.add_tree(abs_path)
-            snap.dirs.add(rel)
+            with self._lock:
+                self._snapshot.dirs.add(rel)
             if not self._is_suppressed(rel):
                 self.broadcast(FileEvent("created", rel, is_directory=True))
                 if self.on_dir_created:
@@ -328,7 +353,8 @@ class FileWatcher:
                 if child_rel is None:
                     continue
                 if child_is_dir:
-                    snap.dirs.add(child_rel)
+                    with self._lock:
+                        self._snapshot.dirs.add(child_rel)
                 else:
                     self._note_file(child_abs, child_rel)
                 if not self._is_suppressed(child_rel):
@@ -348,21 +374,24 @@ class FileWatcher:
     def _note_file(self, abs_path: str, rel: str) -> None:
         try:
             st = os.stat(abs_path)
-            self._snapshot.files[rel] = (st.st_mtime, st.st_size)
+            with self._lock:
+                self._snapshot.files[rel] = (st.st_mtime, st.st_size)
         except OSError:
             pass
 
     def _inotify_deleted(self, abs_path: str, rel: str, is_dir: bool) -> None:
-        snap = self._snapshot
         if is_dir:
             self._inotify.remove_tree(abs_path)
-            snap.dirs.discard(rel)
-            prefix = rel + "/"
-            snap.dirs = {d for d in snap.dirs if not d.startswith(prefix)}
-            snap.files = {f: v for f, v in snap.files.items()
-                          if not f.startswith(prefix)}
+            with self._lock:
+                snap = self._snapshot
+                snap.dirs.discard(rel)
+                prefix = rel + "/"
+                snap.dirs = {d for d in snap.dirs if not d.startswith(prefix)}
+                snap.files = {f: v for f, v in snap.files.items()
+                              if not f.startswith(prefix)}
         else:
-            snap.files.pop(rel, None)
+            with self._lock:
+                self._snapshot.files.pop(rel, None)
             self._pending_creates.pop(rel, None)
         if self._is_suppressed(rel):
             return
@@ -430,8 +459,13 @@ class FileWatcher:
     def start(self, loop: asyncio.AbstractEventLoop) -> None:
         self._loop = loop
         self._stop.clear()
-        self._snapshot = self._scan()
+        # Watches register BEFORE the initial scan: a file created in the
+        # scan window then has a queued kernel event (drained once the
+        # thread starts; duplicate 'created' for scanned files is benign —
+        # indexing hash-skips). The reverse order silently lost the file
+        # until its next modification.
         use_inotify = self._try_init_inotify()
+        self._snapshot = self._scan()
         self.backend_active = "inotify" if use_inotify else "poll"
         self._thread = threading.Thread(
             target=self._run_inotify if use_inotify else self._run,
