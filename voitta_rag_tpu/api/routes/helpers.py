@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import functools
+import secrets
+import time
 
 from aiohttp import web
 
@@ -46,7 +48,7 @@ def json_error(status: int, message: str) -> web.Response:
 # ---------------------------------------------------------------------------
 
 STATE_COOKIE = "voitta_oauth_state"
-_MISSING = object()
+STATE_INVALID = object()  # redeem() sentinel: unknown/expired state
 
 
 class OAuthStateStore:
@@ -65,9 +67,6 @@ class OAuthStateStore:
         self._entries: dict[str, tuple[object, float]] = {}
 
     def issue(self, payload: object = None) -> str:
-        import secrets
-        import time
-
         now = time.monotonic()
         for k in [k for k, (_, t) in self._entries.items()
                   if now - t > self.ttl]:
@@ -79,15 +78,10 @@ class OAuthStateStore:
     def redeem(self, state: str) -> object:
         """Pop the state; returns its payload, or ``STATE_INVALID`` if
         unknown/expired (single-use: a second redeem always fails)."""
-        import time
-
         entry = self._entries.pop(state, None)
         if entry is None or time.monotonic() - entry[1] > self.ttl:
             return STATE_INVALID
         return entry[0]
-
-
-STATE_INVALID = _MISSING
 
 
 def bind_state_cookie(resp, request: web.Request, state: str,

@@ -6,6 +6,9 @@ scripts, with identical filter semantics."""
 
 from __future__ import annotations
 
+import asyncio
+import functools
+
 from aiohttp import web
 
 from voitta_rag_tpu.api.routes.helpers import json_error, require_user
@@ -23,9 +26,6 @@ async def search(request: web.Request, user) -> web.Response:
     try:
         limit = int(request.query.get("limit", "10"))
         sparse_weight = request.query.get("sparse_weight")
-        import asyncio
-        import functools
-
         # Executor: the search body is synchronous device + SQLite work;
         # inline it would stall the event loop behind store/payload locks.
         results = await asyncio.get_running_loop().run_in_executor(

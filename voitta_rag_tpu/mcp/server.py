@@ -14,6 +14,8 @@ mcp_server.py:48-72).
 
 from __future__ import annotations
 
+import asyncio
+import functools
 import json
 import logging
 import uuid
@@ -254,9 +256,6 @@ async def _dispatch(request: web.Request, msg: dict) -> dict | None:
             # slow one (search behind a long store-lock hold, SQLite busy
             # wait) run inline would stall the whole event loop — every
             # other request, WS broadcast, and watcher callback with it.
-            import asyncio
-            import functools
-
             result = await asyncio.get_running_loop().run_in_executor(
                 None, functools.partial(tool["fn"], user_name, **kwargs))
             payload = _serialize(result)
