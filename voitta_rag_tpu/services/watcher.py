@@ -241,8 +241,12 @@ class FileWatcher:
                 return
             old = self._snapshot
             self._snapshot = new
+            # Diff over copies captured at swap time: once published,
+            # ``new`` can be seeded by an API thread's add_watch_root while
+            # the (lock-free) diff iterates it.
+            new_copy = _Snapshot(files=dict(new.files), dirs=set(new.dirs))
         if old is not None:
-            self._diff_and_emit(old, new)
+            self._diff_and_emit(old, new_copy)
 
     # -- inotify backend -----------------------------------------------------
     def _try_init_inotify(self) -> bool:
