@@ -71,6 +71,10 @@ def test_search_races_mutations_without_crashing(store):
                 store.store_chunks([f"r{round_} {i}" for i in range(n)],
                                    v, ms)
                 store.delete_by_folder("hot")
+                if round_ % 10 == 9:
+                    # gid renumbering under live searches: the generation
+                    # guard + store lock must keep results correct
+                    store.compact(min_waste_fraction=0.01)
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
 
