@@ -49,25 +49,42 @@ async def delete_folder(request: web.Request, user) -> web.Response:
     if not fs.exists(rel) or not fs.is_dir(rel):
         return json_error(404, "folder not found")
 
-    # Full cascade (reference folders.py:79-157).
-    file_watcher.suppress_path(rel)
-    try:
+    # Full cascade (reference folders.py:79-157). Runs in the executor:
+    # delete_by_folder acquires the store lock, which can be held for a
+    # whole search or compaction — blocking inline would stall the event
+    # loop (and every other request) for that long.
+    def cascade():
+        from voitta_rag_tpu.services.indexing import get_indexing_service
+
+        file_watcher.suppress_path(rel)
+        # folder_lock: an in-flight index_file on this tree finishes its
+        # delete->store sequence first, so the cascade can't be interleaved
+        # into ghost chunks for deleted files.
+        try:
+            with get_indexing_service().folder_lock(rel):
+                _cascade_locked()
+        finally:
+            file_watcher.unsuppress_path(rel)
+
+    def _cascade_locked():
         db.delete_sync_source(rel)
         db.delete_index_status(rel)
         for rec in db.indexed_files_under(rel):
             db.delete_indexed_file(rec.file_path)
-        # LIKE wildcards escaped: '_'/'%' in a folder name must not widen
-        # the delete to sibling folders' settings.
+        # LIKE wildcards escaped: '_'/'%' in a folder name must not
+        # widen the delete to sibling folders' settings.
         from voitta_rag_tpu.db.database import like_prefix
         like = like_prefix(rel)
         db.execute("DELETE FROM user_folder_settings WHERE folder_path=? "
                    "OR folder_path LIKE ? ESCAPE '\\'", (rel, like))
-        db.execute("DELETE FROM project_folder_settings WHERE folder_path=? "
-                   "OR folder_path LIKE ? ESCAPE '\\'", (rel, like))
+        db.execute("DELETE FROM project_folder_settings WHERE "
+                   "folder_path=? OR folder_path LIKE ? ESCAPE '\\'",
+                   (rel, like))
         get_vector_store().delete_by_folder(rel)
         fs.delete(rel)
-    finally:
-        file_watcher.unsuppress_path(rel)
+
+    import asyncio
+    await asyncio.get_running_loop().run_in_executor(None, cascade)
     file_watcher.broadcast({"type": "deleted", "path": rel,
                             "is_directory": True})
     return web.json_response({"deleted": rel})

@@ -98,9 +98,16 @@ async def force_reindex(request: web.Request, user) -> web.Response:
     db = get_db()
     from voitta_rag_tpu.index.store import get_vector_store
 
-    get_vector_store().delete_by_index_folder(rel)
-    for rec in db.indexed_files_in("index_folder", rel):
-        db.delete_indexed_file(rec.file_path)
+    import asyncio
+
+    def purge():
+        # Executor: the store lock can be held for a whole search or
+        # compaction — inline acquisition would stall the event loop.
+        get_vector_store().delete_by_index_folder(rel)
+        for rec in db.indexed_files_in("index_folder", rel):
+            db.delete_indexed_file(rec.file_path)
+
+    await asyncio.get_running_loop().run_in_executor(None, purge)
     db.set_index_status(rel, "pending")
     from voitta_rag_tpu.services.indexing_worker import get_indexing_worker
 

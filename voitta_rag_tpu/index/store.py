@@ -818,16 +818,24 @@ class TpuVectorStore:
                 host_states = [(f"segment_{i:04d}", seg.to_host())
                                for i, seg in enumerate(self._segments)]
                 n_segments = len(self._segments)
+            captured = self._unsaved_mutations
             self._unsaved_mutations = 0
-        for name, state in host_states:
-            final = self.index_dir / f"{name}.npz"
-            # Write-then-rename: a crash (or a concurrent reader) mid-
-            # write must never leave a corrupt spill at the final path.
-            # (savez appends ".npz" to paths without it, so the temp
-            # name must already end in .npz.)
-            tmp = final.with_name(f"{name}.tmp.npz")
-            np.savez_compressed(tmp, **state)
-            os.replace(tmp, final)
+        try:
+            for name, state in host_states:
+                final = self.index_dir / f"{name}.npz"
+                # Write-then-rename: a crash (or a concurrent reader) mid-
+                # write must never leave a corrupt spill at the final path.
+                # (savez appends ".npz" to paths without it, so the temp
+                # name must already end in .npz.)
+                tmp = final.with_name(f"{name}.tmp.npz")
+                np.savez_compressed(tmp, **state)
+                os.replace(tmp, final)
+        except BaseException:
+            # A failed write (ENOSPC, I/O error) must leave the store
+            # dirty so the next autosave retries these mutations.
+            with self._lock:
+                self._unsaved_mutations += captured
+            raise
         if n_segments is not None:
             self._prune_spills(n_segments)
 
@@ -849,8 +857,13 @@ class TpuVectorStore:
         then are temps renamed over the old spills. Recovery on open
         (:meth:`_recover_compaction`) uses the stamp to tell which side of
         the remap a crash landed on and rolls forward or discards temps.
+
+        Lock order: ``_save_lock`` → ``_lock`` (same as save/close) — an
+        autosave's UNLOCKED compression/write phase racing compact() would
+        otherwise os.replace stale pre-compaction spills over the freshly
+        renamed compacted ones (old numbering against remapped payloads).
         """
-        with self._lock:
+        with self._save_lock, self._lock:
             self._ensure_open()
             if self._sharded is not None:
                 raise ValueError(
@@ -1021,7 +1034,10 @@ class TpuVectorStore:
         return True
 
     def close(self) -> None:
-        with self._lock:
+        # _save_lock first: joins an in-flight save's write phase so no
+        # stale spill writes land after close() returns (same lock order
+        # as save/compact).
+        with self._save_lock, self._lock:
             self._closed = True
             if self._payloads is not None:
                 self._payloads.close()
@@ -1031,12 +1047,18 @@ class TpuVectorStore:
 
 
 _vector_store: TpuVectorStore | None = None
+_create_lock = threading.Lock()
 
 
 def get_vector_store() -> TpuVectorStore:
     global _vector_store
+    # Double-checked creation lock: executor threads can race
+    # first-touch; two instances would hold independent locks
+    # (and, for the store, two device copies of the index).
     if _vector_store is None:
-        _vector_store = TpuVectorStore()
+        with _create_lock:
+            if _vector_store is None:
+                _vector_store = TpuVectorStore()
     return _vector_store
 
 

@@ -13,6 +13,7 @@ rides on: no host↔device ping-pong between encode and scan.
 from __future__ import annotations
 
 import functools
+import threading
 
 import numpy as np
 import jax
@@ -222,18 +223,14 @@ class SearchService:
         hybrid: bool = True,
         fusion: str = "weighted",
     ) -> list[StoredChunk]:
-        # Store lock: segment mutations are donated scatter programs, so a
-        # lock-free capture of seg buffers racing an upsert/delete would
-        # crash with "Array has been deleted" (see TpuVectorStore.search).
-        with self.store._lock:
-            return self._search_locked(
-                query, limit, include_folders, exclude_folders,
-                exclude_index_folders, sparse_weight, date_start, date_end,
-                date_field, hybrid, fusion)
+        return self._search_impl(
+            query, limit, include_folders, exclude_folders,
+            exclude_index_folders, sparse_weight, date_start, date_end,
+            date_field, hybrid, fusion)
 
-    def _search_locked(self, query, limit, include_folders, exclude_folders,
-                       exclude_index_folders, sparse_weight, date_start,
-                       date_end, date_field, hybrid, fusion):
+    def _search_impl(self, query, limit, include_folders, exclude_folders,
+                     exclude_index_folders, sparse_weight, date_start,
+                     date_end, date_field, hybrid, fusion):
         store = self.store
         store._ensure_open()
         if store.count() == 0 or (not store.segments
@@ -270,108 +267,119 @@ class SearchService:
             qt = np.full((1, 1), TERM_PAD, np.int32)
             qw = np.zeros((1, 1), np.float32)
 
-        if store.sharded_active:
-            # Multi-chip path: encode, then per-shard scans + ICI merge.
-            with trace("search.encode"):
-                q = np.asarray(encode_tokens(
-                    params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
-            with trace("search.sharded"):
-                return store._search_sharded(
-                    q, spec, qt, qw, limit,
-                    jnp.asarray(sparse_weight, jnp.float32), has_sparse)
+        # Store lock for the device part only: segment mutations are
+        # donated scatter programs, so capturing seg buffers (or snapshot
+        # arrays) must be atomic against them ("Array has been deleted",
+        # see TpuVectorStore.search). Tokenization/sparse prep above runs
+        # lock-free so concurrent searches only serialize on the dispatch.
+        with store._lock:
+            if store.sharded_active:
+                # Multi-chip path: encode, then per-shard scans + ICI merge.
+                with trace("search.encode"):
+                    q = np.asarray(encode_tokens(
+                        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+                with trace("search.sharded"):
+                    return store._search_sharded(
+                        q, spec, qt, qw, limit,
+                        jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-        gen = store.generation  # detect gid reuse racing this search
-        use_ivf = store.ivf_active
-        use_postings = store.postings_active
-        if (use_ivf and not has_sparse) or (has_sparse and use_postings):
-            # Snapshot hot path: encode + probe-limited dense + inverted-
-            # postings sparse + fusion, ONE jitted dispatch.
-            ivf_ops = None
-            if use_ivf:
-                ivf = store._ivf
-                ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
-                           ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
-                           ivf.scales3, ivf.rest_scales)
-            if use_postings:
-                post = store._postings
-                post_arrays = (post.terms, post.gids, post.weights,
-                               store._postings_cols)
-            else:  # dense-only query: tiny placeholders, path unused
-                z = jnp.zeros((1,), jnp.int32)
-                post_arrays = (z, z, jnp.zeros((1,), jnp.float32),
-                               jnp.zeros((8, 1), jnp.int32))
+            gen = store.generation  # detect gid reuse racing this search
+            use_ivf = store.ivf_active
+            use_postings = store.postings_active
+            if (use_ivf and not has_sparse) or (has_sparse and use_postings):
+                # Snapshot hot path: encode + probe-limited dense + inverted-
+                # postings sparse + fusion, ONE jitted dispatch.
+                ivf_ops = None
+                if use_ivf:
+                    ivf = store._ivf
+                    ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
+                               ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
+                               ivf.scales3, ivf.rest_scales)
+                if use_postings:
+                    post = store._postings
+                    post_arrays = (post.terms, post.gids, post.weights,
+                                   store._postings_cols)
+                else:  # dense-only query: tiny placeholders, path unused
+                    z = jnp.zeros((1,), jnp.int32)
+                    post_arrays = (z, z, jnp.zeros((1,), jnp.float32),
+                                   jnp.zeros((8, 1), jnp.int32))
+                segs = store.segments
+                with trace("search.snapshot"):
+                    scores, gids = fused_snapshot_query(
+                        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                        ivf_ops,
+                        tuple(s.vecs for s in segs) if not use_ivf else (),
+                        tuple(s.cols for s in segs) if not use_ivf else (),
+                        tuple(s.scales for s in segs) if not use_ivf else (),
+                        *post_arrays,
+                        spec, jnp.asarray(qt), jnp.asarray(qw),
+                        jnp.asarray(sparse_weight, jnp.float32),
+                        limit=limit,
+                        prefetch_multiplier=self.prefetch_multiplier,
+                        has_sparse=has_sparse, fusion=fusion,
+                        nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
+                                if use_ivf else 0),
+                        assign_k=store._ivf.assign_k if use_ivf else 1,
+                        max_postings=store._sparse_max_postings,
+                        use_ivf=use_ivf)
+                with trace("search.materialize"):
+                    return store._materialize(np.asarray(scores)[0],
+                                              np.asarray(gids)[0],
+                                              expected_generation=gen)
+            if use_ivf or (has_sparse and use_postings):
+                # Mixed snapshot states (e.g. IVF active, postings stale with a
+                # sparse query) fall back to the store's multi-dispatch path.
+                with trace("search.encode"):
+                    q = np.asarray(encode_tokens(
+                        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+                with trace("search.snapshot"):
+                    return store._search_snapshot(
+                        q, spec, qt, qw, limit,
+                        jnp.asarray(sparse_weight, jnp.float32), has_sparse,
+                        fusion)
+
             segs = store.segments
-            with trace("search.snapshot"):
-                scores, gids = fused_snapshot_query(
+            total_rows = sum(s.vecs.shape[0] for s in segs)
+            settings = get_settings()
+            select_group = settings.flat_select_group
+            select_pallas = jax.default_backend() == "tpu"
+            from voitta_rag_tpu.ops.scan_select import group_compatible
+            if total_rows < settings.flat_select_min_rows or not all(
+                    group_compatible(s.vecs.shape[0], select_group, select_pallas)
+                    for s in segs):
+                select_group = 0
+            with trace("search.device"):
+                scores, gids = fused_query(
                     params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                    ivf_ops,
-                    tuple(s.vecs for s in segs) if not use_ivf else (),
-                    tuple(s.cols for s in segs) if not use_ivf else (),
-                    tuple(s.scales for s in segs) if not use_ivf else (),
-                    *post_arrays,
+                    tuple(s.vecs for s in segs),
+                    tuple(s.cols for s in segs),
+                    tuple(s.scales for s in segs),
+                    tuple(s.terms for s in segs),
+                    tuple(s.weights for s in segs),
                     spec, jnp.asarray(qt), jnp.asarray(qw),
                     jnp.asarray(sparse_weight, jnp.float32),
-                    limit=limit,
-                    prefetch_multiplier=self.prefetch_multiplier,
+                    limit=limit, prefetch_multiplier=self.prefetch_multiplier,
                     has_sparse=has_sparse, fusion=fusion,
-                    nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
-                            if use_ivf else 0),
-                    assign_k=store._ivf.assign_k if use_ivf else 1,
-                    max_postings=store._sparse_max_postings,
-                    use_ivf=use_ivf)
+                    select_group=select_group,
+                    select_pallas=select_pallas)
             with trace("search.materialize"):
                 return store._materialize(np.asarray(scores)[0],
                                           np.asarray(gids)[0],
                                           expected_generation=gen)
-        if use_ivf or (has_sparse and use_postings):
-            # Mixed snapshot states (e.g. IVF active, postings stale with a
-            # sparse query) fall back to the store's multi-dispatch path.
-            with trace("search.encode"):
-                q = np.asarray(encode_tokens(
-                    params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
-            with trace("search.snapshot"):
-                return store._search_snapshot(
-                    q, spec, qt, qw, limit,
-                    jnp.asarray(sparse_weight, jnp.float32), has_sparse,
-                    fusion)
-
-        segs = store.segments
-        total_rows = sum(s.vecs.shape[0] for s in segs)
-        settings = get_settings()
-        select_group = settings.flat_select_group
-        select_pallas = jax.default_backend() == "tpu"
-        from voitta_rag_tpu.ops.scan_select import group_compatible
-        if total_rows < settings.flat_select_min_rows or not all(
-                group_compatible(s.vecs.shape[0], select_group, select_pallas)
-                for s in segs):
-            select_group = 0
-        with trace("search.device"):
-            scores, gids = fused_query(
-                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                tuple(s.vecs for s in segs),
-                tuple(s.cols for s in segs),
-                tuple(s.scales for s in segs),
-                tuple(s.terms for s in segs),
-                tuple(s.weights for s in segs),
-                spec, jnp.asarray(qt), jnp.asarray(qw),
-                jnp.asarray(sparse_weight, jnp.float32),
-                limit=limit, prefetch_multiplier=self.prefetch_multiplier,
-                has_sparse=has_sparse, fusion=fusion,
-                select_group=select_group,
-                select_pallas=select_pallas)
-        with trace("search.materialize"):
-            return store._materialize(np.asarray(scores)[0],
-                                      np.asarray(gids)[0],
-                                      expected_generation=gen)
-
 
 _search_service: SearchService | None = None
+_create_lock = threading.Lock()
 
 
 def get_search_service() -> SearchService:
     global _search_service
+    # Double-checked creation lock: executor threads can race
+    # first-touch; two instances would hold independent locks
+    # (and, for the store, two device copies of the index).
     if _search_service is None:
-        _search_service = SearchService()
+        with _create_lock:
+            if _search_service is None:
+                _search_service = SearchService()
     return _search_service
 
 

@@ -22,6 +22,7 @@ via ctypes); this module is the reference implementation and fallback.
 from __future__ import annotations
 
 import re
+import threading
 
 from voitta_rag_tpu.core_types import SparseVector
 
@@ -294,14 +295,17 @@ def idf(df: int, n_docs: int) -> float:
 
 
 _sparse_service: SparseEmbeddingService | None = None
+_create_lock = threading.Lock()
 
 
 def get_sparse_embedding_service() -> SparseEmbeddingService:
     global _sparse_service
     if _sparse_service is None:
-        from voitta_rag_tpu.config import get_settings
+        with _create_lock:
+            if _sparse_service is None:
+                from voitta_rag_tpu.config import get_settings
 
-        s = get_settings()
-        _sparse_service = SparseEmbeddingService(
-            k=s.bm25_k, b=s.bm25_b, avg_len=s.bm25_avg_len)
+                s = get_settings()
+                _sparse_service = SparseEmbeddingService(
+                    k=s.bm25_k, b=s.bm25_b, avg_len=s.bm25_avg_len)
     return _sparse_service

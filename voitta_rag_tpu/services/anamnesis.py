@@ -7,6 +7,7 @@ frontmatter ``memory_id / created_at / modified_at / likes / dislikes``.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from datetime import datetime, timezone
 from pathlib import Path
@@ -14,6 +15,13 @@ from pathlib import Path
 from voitta_rag_tpu.config import get_settings
 
 ANAMNESIS_DIR = "Anamnesis"
+
+# Read-modify-write serialization: memory tool bodies used to run inline on
+# the single event-loop thread (implicitly atomic); with MCP tools offloaded
+# to executor threads, concurrent like/dislike/update of the same memory
+# would lose updates without this lock. Writes are write-then-rename so a
+# concurrent reader/indexer never sees a torn file.
+_mem_lock = threading.Lock()
 
 
 def _safe_component(value: str, what: str) -> str:
@@ -100,6 +108,11 @@ def parse_memory(file_content: str) -> dict:
 def write_memory(user_name: str, content: str,
                  memory_id: str | None = None) -> dict:
     """Create (or overwrite) a memory; returns the parsed dict."""
+    with _mem_lock:
+        return _write_memory_locked(user_name, content, memory_id)
+
+
+def _write_memory_locked(user_name, content, memory_id) -> dict:
     now = datetime.now(timezone.utc)
     if memory_id is None:
         memory_id = str(uuid.uuid4())
@@ -116,9 +129,15 @@ def write_memory(user_name: str, content: str,
             likes, dislikes = existing["likes"], existing["dislikes"]
     path = memory_path(user_name, memory_id)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(serialize_memory(memory_id, content, created, now,
-                                     likes, dislikes), encoding="utf-8")
+    _atomic_write(path, serialize_memory(memory_id, content, created, now,
+                                         likes, dislikes))
     return parse_memory(path.read_text(encoding="utf-8"))
+
+
+def _atomic_write(path, text: str) -> None:
+    tmp = path.with_suffix(".md.tmp")
+    tmp.write_text(text, encoding="utf-8")
+    tmp.replace(path)
 
 
 def read_memory(user_name: str, memory_id: str) -> dict | None:
@@ -152,15 +171,16 @@ def list_memories(user_name: str) -> list[dict]:
 def adjust_feedback(user_name: str, memory_id: str, likes_delta: int = 0,
                     dislikes_delta: int = 0) -> dict | None:
     """like/dislike counters (reference like_memory/dislike_memory tools)."""
-    data = read_memory(user_name, memory_id)
-    if data is None:
-        return None
-    now = datetime.now(timezone.utc)
-    created = (datetime.fromisoformat(data["created_at"])
-               if data["created_at"] else now)
-    path = memory_path(user_name, memory_id)
-    path.write_text(serialize_memory(
-        memory_id, data["content"], created, now,
-        max(data["likes"] + likes_delta, 0),
-        max(data["dislikes"] + dislikes_delta, 0)), encoding="utf-8")
-    return read_memory(user_name, memory_id)
+    with _mem_lock:
+        data = read_memory(user_name, memory_id)
+        if data is None:
+            return None
+        now = datetime.now(timezone.utc)
+        created = (datetime.fromisoformat(data["created_at"])
+                   if data["created_at"] else now)
+        path = memory_path(user_name, memory_id)
+        _atomic_write(path, serialize_memory(
+            memory_id, data["content"], created, now,
+            max(data["likes"] + likes_delta, 0),
+            max(data["dislikes"] + dislikes_delta, 0)))
+        return read_memory(user_name, memory_id)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -56,11 +57,17 @@ class EmbeddingService:
         self._cfg: EncoderConfig | None = None
         self._params = None
         self._tokenizer = None
+        self._init_lock = threading.Lock()
 
     # -- lazy load (reference embedding.py:23-42) --
     def _ensure_model(self) -> None:
         if self._params is not None:
             return
+        with self._init_lock:
+            if self._params is None:
+                self._load_model()
+
+    def _load_model(self) -> None:
         cfg = config_for(self.model_name)
         params = None
         if self.model_path and Path(self.model_path).exists():
@@ -115,14 +122,17 @@ class EmbeddingService:
 
             mesh = train_mesh(dp=dp, tp=1)
             self._batch_sharding = NamedSharding(mesh, P(DP_AXIS))
-            self._params = jax.device_put(params, NamedSharding(mesh, P()))
+            device_params = jax.device_put(params, NamedSharding(mesh, P()))
             self._encode_dp = dp
             logger.info("encoder batch encode sharded over %d devices", dp)
         else:
             self._batch_sharding = None
             self._encode_dp = 1
-            self._params = jax.device_put(params)
-        self._tokenizer = load_tokenizer(self.model_path or None, cfg.vocab_size)
+            device_params = jax.device_put(params)
+        self._tokenizer = load_tokenizer(self.model_path or None,
+                                         cfg.vocab_size)
+        # set LAST: the lock-free fast path in _ensure_model keys on it
+        self._params = device_params
 
     @staticmethod
     def _resolve_dp() -> int:
@@ -221,12 +231,18 @@ class EmbeddingService:
 
 
 _embedding_service: EmbeddingService | None = None
+_create_lock = threading.Lock()
 
 
 def get_embedding_service() -> EmbeddingService:
     global _embedding_service
+    # Double-checked creation lock: executor threads can race
+    # first-touch; two instances would hold independent locks
+    # (and, for the store, two device copies of the index).
     if _embedding_service is None:
-        _embedding_service = EmbeddingService()
+        with _create_lock:
+            if _embedding_service is None:
+                _embedding_service = EmbeddingService()
     return _embedding_service
 
 

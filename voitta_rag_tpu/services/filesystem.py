@@ -10,6 +10,7 @@ upload/create (199-256).
 from __future__ import annotations
 
 import logging
+import threading
 import os
 import re
 import shutil
@@ -201,12 +202,15 @@ class FilesystemService:
 
 
 _fs: FilesystemService | None = None
+_create_lock = threading.Lock()
 
 
 def get_filesystem_service() -> FilesystemService:
     global _fs
     if _fs is None:
-        _fs = FilesystemService()
+        with _create_lock:
+            if _fs is None:
+                _fs = FilesystemService()
     return _fs
 
 

@@ -59,17 +59,23 @@ class IndexingService:
         self.sparse = sparse or get_sparse_embedding_service()
         self.chunker = chunker or get_chunking_service()
         self.fs = fs or get_filesystem_service()
-        # Per-folder serialization: the indexing worker (pending poll) and
-        # a sync's post-sync reconcile can target the SAME folder from two
-        # threads; each file-level op is store-locked, but the
-        # delete-before-reindex SEQUENCE is not, so interleaving stores a
-        # file's chunks twice. RLock per folder: nested same-thread entry
-        # (sync_folder -> index_file) stays reentrant.
+        # Per-tree mutation serialization, keyed on the TOP-LEVEL path
+        # segment (so nested index folders "a" and "a/b" share a lock —
+        # both can touch a/b/f.txt). Scope is PER OPERATION (one
+        # index_file / one record removal), not per folder pass: the
+        # worker and a sync reconciling the same tree interleave file-by-
+        # file (each file's delete-before-reindex sequence atomic, so no
+        # duplicate chunks), and the watcher's synchronous on_delete waits
+        # at most one file op, not a whole folder index. RLock: nested
+        # same-thread entry stays reentrant.
         self._folder_locks: dict[str, threading.RLock] = {}
         self._folder_locks_guard = threading.Lock()
 
-    def _folder_lock(self, folder_path: str) -> threading.RLock:
-        key = folder_path.strip("/")
+    def folder_lock(self, path: str) -> threading.RLock:
+        """Lock guarding index mutations under ``path``'s top-level tree
+        (shared with the watcher delete path and the folder-delete
+        cascade)."""
+        key = path.strip("/").split("/", 1)[0]
         with self._folder_locks_guard:
             lock = self._folder_locks.get(key)
             if lock is None:
@@ -80,6 +86,11 @@ class IndexingService:
     def index_file(self, file_path: str, index_folder: str,
                    force: bool = False) -> dict:
         """Index one file (path relative to root). Returns a stats dict."""
+        with self.folder_lock(file_path):
+            return self._index_file_locked(file_path, index_folder, force)
+
+    def _index_file_locked(self, file_path: str, index_folder: str,
+                           force: bool) -> dict:
         db = get_db()
         abs_path = self.fs.resolve(file_path)
         if not abs_path.exists() or not abs_path.is_file():
@@ -215,11 +226,8 @@ class IndexingService:
     def index_folder(self, folder_path: str, force: bool = False,
                      progress_cb=None) -> dict:
         """Recursively index a folder, smallest files first (indexing.py:
-        597-694)."""
-        with self._folder_lock(folder_path):
-            return self._index_folder_locked(folder_path, force, progress_cb)
-
-    def _index_folder_locked(self, folder_path, force, progress_cb) -> dict:
+        597-694). Locking is per file op (see folder_lock), so a whole
+        folder pass never starves the watcher's synchronous deletes."""
         db = get_db()
         db.set_index_status(folder_path, "indexing")
         try:
@@ -255,11 +263,8 @@ class IndexingService:
     def sync_folder(self, folder_path: str) -> dict:
         """Reconcile an indexed folder with the file tree (indexing.py:
         777-908): drop records for missing files, (re)index new/changed
-        files, purge orphan store chunks."""
-        with self._folder_lock(folder_path):
-            return self._sync_folder_locked(folder_path)
-
-    def _sync_folder_locked(self, folder_path: str) -> dict:
+        files, purge orphan store chunks. Locking is per record op (see
+        folder_lock)."""
         db = get_db()
         on_disk = set(self.fs.walk_files(folder_path))
         recs = db.indexed_files_in("index_folder", folder_path)
@@ -267,8 +272,9 @@ class IndexingService:
 
         for rec in recs:
             if rec.file_path not in on_disk:
-                self.store.delete_by_file(rec.file_path)
-                db.delete_indexed_file(rec.file_path)
+                with self.folder_lock(rec.file_path):
+                    self.store.delete_by_file(rec.file_path)
+                    db.delete_indexed_file(rec.file_path)
                 stats["removed"] += 1
 
         for f in sorted(on_disk):
@@ -290,31 +296,43 @@ class IndexingService:
         # Purge store chunks whose file vanished (renames leave orphans).
         for fp in self.store.get_file_paths_for_index_folder(folder_path):
             if fp not in on_disk:
-                self.store.delete_by_file(fp)
+                with self.folder_lock(fp):
+                    self.store.delete_by_file(fp)
                 stats["purged"] += 1
         logger.info("[SYNC] reconciled %s: %s", folder_path, stats)
         return stats
 
     # ---------------------------------------------------------------- delete
     def remove_file_index(self, file_path: str) -> None:
-        self.store.delete_by_file(file_path)
-        get_db().delete_indexed_file(file_path)
+        # folder_lock: a worker mid-index_file on this file must finish its
+        # delete->store sequence before the removal, or the removal lands
+        # first and the worker resurrects ghost chunks for a deleted file.
+        with self.folder_lock(file_path):
+            self.store.delete_by_file(file_path)
+            get_db().delete_indexed_file(file_path)
 
     def remove_folder_index(self, folder_path: str) -> None:
-        self.store.delete_by_folder(folder_path)
-        db = get_db()
-        for rec in db.indexed_files_under(folder_path):
-            db.delete_indexed_file(rec.file_path)
-        db.delete_index_status(folder_path)
+        with self.folder_lock(folder_path):
+            self.store.delete_by_folder(folder_path)
+            db = get_db()
+            for rec in db.indexed_files_under(folder_path):
+                db.delete_indexed_file(rec.file_path)
+            db.delete_index_status(folder_path)
 
 
 _indexing_service: IndexingService | None = None
+_create_lock = threading.Lock()
 
 
 def get_indexing_service() -> IndexingService:
     global _indexing_service
+    # Double-checked creation lock: executor threads can race
+    # first-touch; two instances would hold independent locks
+    # (and, for the store, two device copies of the index).
     if _indexing_service is None:
-        _indexing_service = IndexingService()
+        with _create_lock:
+            if _indexing_service is None:
+                _indexing_service = IndexingService()
     return _indexing_service
 
 

@@ -121,12 +121,15 @@ class IndexingWorker:
 
 
 _worker: IndexingWorker | None = None
+_create_lock = threading.Lock()
 
 
 def get_indexing_worker() -> IndexingWorker:
     global _worker
     if _worker is None:
-        _worker = IndexingWorker()
+        with _create_lock:
+            if _worker is None:
+                _worker = IndexingWorker()
     return _worker
 
 

@@ -228,8 +228,11 @@ class FileWatcher:
                 except Exception:
                     logger.exception("on_delete failed for %s", rel)
 
-    def poll_once(self) -> None:
-        """One scan+diff cycle (also used directly by tests)."""
+    def poll_once(self) -> bool:
+        """One scan+diff cycle (also used directly by tests). Returns False
+        when the scan was discarded because a watch root changed mid-scan
+        (callers that MUST rescan — the inotify overflow recovery — retry
+        on False; the poll loop just waits for its next tick)."""
         with self._lock:
             version = self._roots_version
         new = self._scan()
@@ -237,8 +240,8 @@ class FileWatcher:
             if version != self._roots_version:
                 # A watch root was added/removed mid-scan: this snapshot
                 # reflects the OLD root set (and would drop the seeded
-                # entries) — discard it and rescan next tick.
-                return
+                # entries) — discard it.
+                return False
             old = self._snapshot
             self._snapshot = new
             # Diff over copies captured at swap time: once published,
@@ -247,6 +250,7 @@ class FileWatcher:
             new_copy = _Snapshot(files=dict(new.files), dirs=set(new.dirs))
         if old is not None:
             self._diff_and_emit(old, new_copy)
+        return True
 
     # -- inotify backend -----------------------------------------------------
     def _try_init_inotify(self) -> bool:
@@ -446,7 +450,12 @@ class FileWatcher:
                 # incrementally maintained snapshot recovers lost events.
                 logger.warning("inotify queue overflow; rescanning")
                 try:
-                    self.poll_once()
+                    # Retry: a watch-root change mid-rescan discards the
+                    # scan, but overflow recovery MUST complete or events
+                    # lost in the overflow stay lost.
+                    for _attempt in range(5):
+                        if self.poll_once():
+                            break
                     for _prefix, base in self._watch_roots():
                         self._inotify.add_tree(str(base))
                 except Exception:
