@@ -220,3 +220,46 @@ def test_suppression_refcount():
     assert not w._is_suppressed("docs/x.md")
     w.unsuppress_path("docs")    # over-release is harmless
     assert not w._is_suppressed("docs")
+
+
+def test_failed_save_restores_dirty_counter(store, monkeypatch):
+    """A failed spill write (ENOSPC etc.) must leave the store dirty so the
+    next autosave retries — zeroing at capture time lost those mutations."""
+    vecs = rand_vecs(4)
+    store.store_chunks(["a", "b", "c", "d"], vecs,
+                       [meta(file_path=f"d/{i}.md") for i in range(4)])
+    assert store._unsaved_mutations > 0
+
+    import voitta_rag_tpu.index.store as storemod
+
+    def boom(*a, **kw):
+        raise OSError("no space left on device")
+
+    monkeypatch.setattr(storemod.np, "savez_compressed", boom)
+    with pytest.raises(OSError):
+        store.save()
+    assert store._unsaved_mutations > 0  # still dirty -> autosave retries
+    monkeypatch.undo()
+    assert store.save_if_dirty() is True
+    assert store._unsaved_mutations == 0
+
+
+def test_concurrent_likes_none_lost(temp_root, monkeypatch):
+    """adjust_feedback is read-modify-write; with MCP tools in executor
+    threads, concurrent likes must all land (the lock serializes them)."""
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.services import anamnesis
+
+    mem = anamnesis.write_memory("alice", "remember this")
+    mid = mem["memory_id"]
+
+    n = 16
+    threads = [threading.Thread(
+        target=anamnesis.adjust_feedback, args=("alice", mid),
+        kwargs={"likes_delta": 1}) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert anamnesis.read_memory("alice", mid)["likes"] == n
