@@ -263,3 +263,27 @@ def test_concurrent_likes_none_lost(temp_root, monkeypatch):
     for t in threads:
         t.join(timeout=60)
     assert anamnesis.read_memory("alice", mid)["likes"] == n
+
+
+def test_singleton_first_touch_race_returns_one_instance(temp_root):
+    """N threads racing get_vector_store() first-touch must converge on ONE
+    instance — two stores hold independent locks (donation crash) and two
+    device copies of the index."""
+    import voitta_rag_tpu.index.store as storemod
+
+    storemod.reset_vector_store()
+    seen = []
+    barrier = threading.Barrier(8)
+
+    def grab():
+        barrier.wait()
+        seen.append(storemod.get_vector_store())
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(seen) == 8
+    assert len({id(s) for s in seen}) == 1
+    storemod.reset_vector_store()
