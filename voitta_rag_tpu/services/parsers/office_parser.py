@@ -142,8 +142,15 @@ class XlsxParser(BaseParser):
                         if len(rows_out) >= MAX_ROWS_PER_SHEET:
                             break
                         cells: dict[int, str] = {}
+                        # The r= cell reference is OPTIONAL (ECMA-376):
+                        # producers may omit it, in which case cells are
+                        # positional — mapping them all to column 0 would
+                        # keep only the last cell of each row.
+                        pos = -1
                         for c in row.iter(f"{S}c"):
-                            col = _col_index(c.get("r", ""))
+                            ref = c.get("r", "")
+                            pos = _col_index(ref) if ref else pos + 1
+                            col = pos
                             v = c.find(f"{S}v")
                             if v is None or v.text is None:
                                 txt = "".join(t.text or ""
