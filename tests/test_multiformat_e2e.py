@@ -3,6 +3,8 @@ parser family exercised end-to-end (parse → chunk → embed → store →
 hybrid search), not just in isolation (reference behavior: one indexing
 path serves all registry formats, services/indexing.py)."""
 
+import json
+import struct
 import zipfile
 
 import numpy as np
@@ -10,8 +12,9 @@ import pytest
 
 from tests.test_indexing import env  # noqa: F401
 from tests.test_parsers import (  # noqa: F401
-    DOCX_DOC, EPUB_CONTAINER, EPUB_OPF, make_pdf,
+    DOCX_DOC, EPUB_CONTAINER, EPUB_OPF, ODT_CONTENT, PPTX_SLIDE, make_pdf,
 )
+from tests.test_xls_biff import build_ole, build_workbook_stream, rec
 
 
 def build_corpus(root):
@@ -57,6 +60,22 @@ def build_corpus(root):
                     '<row r="1"><c t="inlineStr"><is><t>ostrich</t></is></c>'
                     '<c t="inlineStr"><is><t>42</t></is></c></row>'
                     '</sheetData></worksheet>')
+    # PPTX (slides walked in numeric order)
+    with zipfile.ZipFile(d / "deck.pptx", "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml",
+                    PPTX_SLIDE.replace("Slide text {i}", "Kudu roadmap"))
+    # ODT (OpenDocument text)
+    with zipfile.ZipFile(d / "memo.odt", "w") as zf:
+        zf.writestr("content.xml",
+                    ODT_CONTENT.replace("Hello ODT world.",
+                                        "Ibex invoices reconciled."))
+    # legacy BIFF .xls inside an OLE compound file
+    sheet = [rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)),
+             rec(0x0203, struct.pack("<HHHd", 0, 1, 0, 7.25))]
+    (d / "ledger.xls").write_bytes(
+        build_ole(build_workbook_stream(["tapir expenses"], {"S1": sheet})))
+    # GDOC pointer file (content is the doc name; links out via source_url)
+    (d / "Pelican Plan.gdoc").write_text(json.dumps({"doc_id": "pl4n"}))
     return d
 
 
@@ -69,6 +88,10 @@ EXPECTED = [
     ("corpus/paper.pdf", "Quokka velocity"),
     ("corpus/meeting.vtt", "Wombats approved"),
     ("corpus/table.xlsx", "ostrich"),
+    ("corpus/deck.pptx", "Kudu roadmap"),
+    ("corpus/memo.odt", "Ibex invoices"),
+    ("corpus/ledger.xls", "tapir expenses"),
+    ("corpus/Pelican Plan.gdoc", "Pelican Plan"),
 ]
 
 
