@@ -537,3 +537,52 @@ def test_sharded_mode_end_to_end_via_api(app_env, monkeypatch):
             await client.close()
     run(body())
     storemod.reset_vector_store()
+
+
+def test_reference_shaped_path_aliases(app_env):
+    """Reference-style URL shapes resolve: /browse/{path},
+    /api/browse-list/{path}, /api/folders/{path} listing,
+    /api/files/{path} info, /api/sync/{path}/status (reference
+    pages.py/folders.py:160/files.py:68/sync.py:665)."""
+    async def body():
+        client = await make_client()
+        try:
+            await login(client)
+            d = app_env / "proj" / "sub"
+            d.mkdir(parents=True)
+            (d / "a.md").write_text("hello alias")
+
+            resp = await client.get("/browse/proj/sub")
+            assert resp.status == 200
+            assert "a.md" in await resp.text()
+
+            resp = await client.get("/api/browse-list/proj/sub")
+            assert resp.status == 200
+            assert "a.md" in await resp.text()
+
+            resp = await client.get("/api/folders/proj")
+            assert resp.status == 200
+            items = (await resp.json())["items"]
+            assert [i["path"] for i in items] == ["proj/sub"]
+            assert items[0]["is_dir"] is True
+
+            resp = await client.get("/api/folders/nope")
+            assert resp.status == 404
+
+            resp = await client.get("/api/files/proj/sub/a.md")
+            assert resp.status == 200
+            info = await resp.json()
+            assert info["name"] == "a.md" and info["size"] > 0
+
+            resp = await client.get("/api/sync/proj/status")
+            assert resp.status == 404  # no source configured
+            resp = await client.put("/api/sync/proj", json={
+                "source_type": "filesystem", "fs_path": str(d)})
+            assert resp.status == 200
+            resp = await client.get("/api/sync/proj/status")
+            assert resp.status == 200
+            st = await resp.json()
+            assert st["folder"] == "proj" and "sync_status" in st
+        finally:
+            await client.close()
+    run(body())

@@ -76,4 +76,7 @@ async def delete_file(request: web.Request, user) -> web.Response:
 def setup(app: web.Application) -> None:
     app.router.add_post("/api/files/upload", upload)
     app.router.add_get("/api/files/info/{path:.*}", file_info)
+    # Reference-shaped alias (reference files.py:68-85 get_file_info);
+    # /api/files/info/... is registered first and wins for that prefix.
+    app.router.add_get("/api/files/{path:.*}", file_info)
     app.router.add_delete("/api/files/{path:.*}", delete_file)

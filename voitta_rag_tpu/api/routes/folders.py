@@ -100,7 +100,23 @@ async def list_folders(request: web.Request, user) -> web.Response:
     return web.json_response({"folders": folders})
 
 
+@require_user
+async def list_folder_contents(request: web.Request, user) -> web.Response:
+    """Folder item listing (reference folders.py:160-209 list_folder)."""
+    from voitta_rag_tpu.services.filesystem import get_filesystem_service
+
+    rel = tail_path(request)
+    fs = get_filesystem_service()
+    if not fs.exists(rel) or not fs.is_dir(rel):
+        return json_error(404, "folder not found")
+    return web.json_response({"items": [
+        {"name": e.name, "path": e.path, "is_dir": e.is_dir,
+         "size": e.size, "modified_at": e.modified_at}
+        for e in fs.list_dir(rel)]})
+
+
 def setup(app: web.Application) -> None:
     app.router.add_post("/api/folders", create_folder)
     app.router.add_delete("/api/folders/{path:.*}", delete_folder)
     app.router.add_get("/api/folders", list_folders)
+    app.router.add_get("/api/folders/{path:.*}", list_folder_contents)

@@ -147,7 +147,7 @@ async def browse(request: web.Request) -> web.Response:
     user = current_user(request)
     if user is None:
         raise web.HTTPFound("/")
-    rel = request.query.get("path", "")
+    rel = request.match_info.get("path") or request.query.get("path", "")
     data = gather_file_list_data(rel, user)
     db = get_db()
     tpl = request.app["jinja"].get_template("browser.html")
@@ -162,7 +162,7 @@ async def browse_list(request: web.Request) -> web.Response:
     returns the _file_list_items.html fragment); ``?format=json`` returns the
     raw aggregation instead."""
     user = current_user(request)
-    rel = request.query.get("path", "")
+    rel = request.match_info.get("path") or request.query.get("path", "")
     try:
         data = gather_file_list_data(rel, user)
     except (FileNotFoundError, NotADirectoryError, PermissionError):
@@ -178,4 +178,8 @@ def setup(app: web.Application) -> None:
     app.router.add_post("/select-user", select_user)
     app.router.add_get("/logout", logout)
     app.router.add_get("/browse", browse)
+    # Path-suffixed aliases for reference-style deep links
+    # (reference pages.py: /browse/{path}, /api/browse-list/{path}).
+    app.router.add_get("/browse/{path:.*}", browse)
     app.router.add_get("/api/browse-list", browse_list)
+    app.router.add_get("/api/browse-list/{path:.*}", browse_list)

@@ -170,6 +170,19 @@ async def delete_source(request: web.Request, user) -> web.Response:
 
 
 @require_user
+async def sync_status(request: web.Request, user) -> web.Response:
+    """Poll endpoint for sync progress (reference sync.py:665-690
+    get_sync_status) — the status subset of the source record."""
+    rel = tail_path(request)
+    src = get_db().get_sync_source(rel)
+    if src is None:
+        return json_error(404, "no sync source configured")
+    return web.json_response({
+        "folder": rel, "sync_status": src.sync_status,
+        "sync_error": src.sync_error, "last_synced_at": src.last_synced_at})
+
+
+@require_user
 async def trigger_sync(request: web.Request, user) -> web.Response:
     rel = tail_path(request)
     db = get_db()
@@ -550,6 +563,7 @@ def setup(app: web.Application) -> None:
     app.router.add_get("/api/sync/{path:.*}/jira-projects", jira_projects)
     app.router.add_get("/api/sync/{path:.*}/confluence-spaces",
                        confluence_spaces)
+    app.router.add_get("/api/sync/{path:.*}/status", sync_status)
     app.router.add_post("/api/sync/{path:.*}/trigger", trigger_sync)
     app.router.add_get("/api/sync/{path:.*}", get_source)
     app.router.add_put("/api/sync/{path:.*}", upsert_source)
