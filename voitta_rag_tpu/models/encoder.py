@@ -80,6 +80,17 @@ PRESETS: dict[str, EncoderConfig] = {
         layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="mpnet",
         rel_pos_buckets=32,
     ),
+    # XLM-R family (SentencePiece-Unigram tokenizer, RoBERTa weight
+    # naming/geometry with a 250k multilingual vocab).
+    "intfloat/multilingual-e5-base": EncoderConfig(
+        vocab_size=250002, max_position=514, type_vocab_size=1,
+        layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="roberta",
+    ),
+    "intfloat/multilingual-e5-large": EncoderConfig(
+        vocab_size=250002, hidden_size=1024, num_layers=24, num_heads=16,
+        intermediate_size=4096, max_position=514, type_vocab_size=1,
+        layer_norm_eps=1e-5, pad_token_id=1, pos_offset=2, arch="roberta",
+    ),
     # DistilBERT family (WordPiece like BERT, no token-type embedding).
     "sentence-transformers/multi-qa-distilbert-cos-v1": EncoderConfig(
         num_layers=6, type_vocab_size=0, arch="distilbert",

@@ -316,12 +316,134 @@ class ByteLevelBpeTokenizer:
                             self.pad_id, texts, max_len)
 
 
+class UnigramTokenizer:
+    """SentencePiece-Unigram decoding from the HF fast-tokenizer JSON (the
+    XLM-R / multilingual-e5 family). ``tokenizer.json`` carries the trained
+    piece → log-probability table; segmentation is the published Viterbi
+    max-likelihood decode (Kudo 2018) over Metaspace-pretokenized text.
+    Replaces the sentencepiece C++ runtime (not installed in this image);
+    reference parity target: any sentence-transformers multilingual model
+    the reference loads via EMBEDDING_MODEL (reference config.py:33-36).
+
+    Divergence: XLM-R's precompiled normalization charsmap is approximated
+    by NFKC + whitespace collapse (the charsmap is NMT-normalize + NFKC;
+    differences only on exotic codepoints).
+    """
+
+    def __init__(self, pieces: list[tuple[str, float]], unk_id: int,
+                 specials: dict[str, int] | None = None):
+        self.ids: dict[str, int] = {}
+        self.logp: dict[str, float] = {}
+        for i, (piece, lp) in enumerate(pieces):
+            self.ids[piece] = i
+            self.logp[piece] = float(lp)
+        self.max_piece_len = max((len(p) for p, _ in pieces), default=1)
+        self.unk_id = unk_id
+        sp = specials or {}
+        self.cls_id = sp.get("<s>", 0)          # BOS plays the CLS role
+        self.pad_id = sp.get("<pad>", 1)
+        self.sep_id = sp.get("</s>", 2)
+        # Chars not covered by any piece cost just below the worst piece so
+        # known pieces always win (sentencepiece's unk_penalty convention).
+        self.unk_score = min(self.logp.values(), default=0.0) - 10.0
+        self._specials = {p for p in ("<s>", "<pad>", "</s>", "<unk>",
+                                      "<mask>") if p in self.ids}
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str | Path) -> "UnigramTokenizer":
+        import json
+
+        data = json.loads(Path(path).read_text(encoding="utf-8"))
+        model = data.get("model") or {}
+        if model.get("type") != "Unigram":
+            raise ValueError(f"not a Unigram tokenizer.json: {path}")
+        specials = {t["content"]: t["id"]
+                    for t in data.get("added_tokens", [])}
+        return cls([(p, lp) for p, lp in model["vocab"]],
+                   unk_id=int(model.get("unk_id", 0)), specials=specials)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.ids)
+
+    def _viterbi(self, s: str) -> list[int]:
+        """Max-total-log-prob segmentation of one pretoken."""
+        n = len(s)
+        # best[i]: (score up to i, start of the piece ending at i, id)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, int] | None] = [None] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            hi = min(n, i + self.max_piece_len)
+            for j in range(i + 1, hi + 1):
+                piece = s[i:j]
+                lp = self.logp.get(piece)
+                if lp is None or piece in self._specials:
+                    continue
+                sc = best[i] + lp
+                if sc > best[j]:
+                    best[j] = sc
+                    back[j] = (i, self.ids[piece])
+            # single-char unk fallback keeps the lattice connected
+            sc = best[i] + self.unk_score
+            if sc > best[i + 1]:
+                best[i + 1] = sc
+                back[i + 1] = (i, self.unk_id)
+        ids: list[int] = []
+        j = n
+        while j > 0:
+            i, tid = back[j]  # type: ignore[misc]
+            ids.append(tid)
+            j = i
+        ids.reverse()
+        # sentencepiece fuses runs of unknown chars into ONE unk token
+        out: list[int] = []
+        for tid in ids:
+            if tid == self.unk_id and out and out[-1] == self.unk_id:
+                continue
+            out.append(tid)
+        return out
+
+    def tokenize_ids(self, text: str) -> list[int]:
+        import unicodedata
+
+        text = unicodedata.normalize("NFKC", text)
+        # charsmap approximation: control whitespace → space, then exact
+        # Metaspace: prepend ▁, map each space to ▁, split before each ▁
+        # (a double space yields a standalone ▁ piece, as in HF).
+        for ws in "\t\n\r\f\v":
+            text = text.replace(ws, " ")
+        s = "▁" + text.replace(" ", "▁")
+        ids: list[int] = []
+        for seg in s.split("▁")[1:]:
+            ids.extend(self._viterbi("▁" + seg))
+        return ids
+
+    def encode_batch(
+        self, texts: list[str], max_len: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _frame_batch(self.tokenize_ids, self.cls_id, self.sep_id,
+                            self.pad_id, texts, max_len)
+
+
 def load_tokenizer(model_dir: str | Path | None, vocab_size: int = 30522):
-    """Pick the tokenizer family from the checkpoint directory: byte-level
-    BPE (``vocab.json`` + ``merges.txt``, RoBERTa family), WordPiece
-    (``vocab.txt``, BERT family), else the hashed-id fallback."""
+    """Pick the tokenizer family from the checkpoint directory:
+    SentencePiece-Unigram (``tokenizer.json`` with a Unigram model, XLM-R
+    family), byte-level BPE (``vocab.json`` + ``merges.txt``, RoBERTa
+    family), WordPiece (``vocab.txt``, BERT family), else the hashed-id
+    fallback."""
     if model_dir:
         p = Path(model_dir)
+        for base in (p, p / "0_Transformer"):
+            tj = base / "tokenizer.json"
+            if tj.exists():
+                try:
+                    return UnigramTokenizer.from_tokenizer_json(tj)
+                except (ValueError, KeyError):
+                    pass  # WordPiece/BPE tokenizer.json → file-based paths
         for base in (p, p / "0_Transformer"):
             vj, mt = base / "vocab.json", base / "merges.txt"
             if vj.exists() and mt.exists():
