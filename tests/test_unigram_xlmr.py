@@ -146,3 +146,52 @@ def test_parity_with_torch_xlmroberta():
     ))
     m = mask.astype(bool)
     np.testing.assert_allclose(ours[m], ref[m], atol=2e-4)
+
+
+@pytest.mark.slow
+def test_embedding_service_loads_xlmr_checkpoint_dir(tmp_path, monkeypatch):
+    """Full load path: HF-style dir (config.json model_type=xlm-roberta +
+    pytorch_model.bin + Unigram tokenizer.json) → EmbeddingService encode,
+    matching sentence-transformers output end-to-end."""
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=len(PIECES), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=34, type_vocab_size=1, pad_token_id=1,
+        hidden_act="gelu", attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0, layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(1)
+    model = XLMRobertaModel(hf_cfg).eval()
+    torch.save(model.state_dict(), tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "xlm-roberta", "num_attention_heads": 4,
+        "layer_norm_eps": 1e-5, "pad_token_id": 1}))
+    tokenizer_json(tmp_path)
+
+    monkeypatch.setenv("VOITTA_ENCODER_DTYPE", "float32")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.services.embedding import EmbeddingService
+
+    svc = EmbeddingService(model_name="xlmr-test",
+                           model_path=str(tmp_path), max_seq_len=16)
+    vecs = svc.embed_texts_array(["hello world", "world"])
+    assert vecs.shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(vecs, axis=1), 1.0, atol=1e-3)
+
+    # Oracle: HF tokenization + torch forward + mean-pool + L2 norm.
+    import tokenizers as hf_tok
+    hf = hf_tok.Tokenizer.from_file(str(tmp_path / "tokenizer.json"))
+    ids = [0] + hf.encode("hello world").ids + [2]
+    with torch.no_grad():
+        hid = model(input_ids=torch.tensor([ids]),
+                    attention_mask=torch.ones(1, len(ids), dtype=torch.long)
+                    ).last_hidden_state.numpy()[0]
+    ref = hid.mean(axis=0)
+    ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(vecs[0], ref, atol=2e-4)
+    get_settings.cache_clear()
