@@ -311,3 +311,63 @@ def test_pdf_worker_handles_unparseable(tmp_path, monkeypatch):
         assert (buckets[0][1], buckets[0][2]) == (1, 2)
     finally:
         get_settings.cache_clear()
+
+
+DOCX_TABLE_DOC = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+   <w:r><w:t>Budget</w:t></w:r></w:p>
+  <w:tbl>
+   <w:tr><w:tc><w:p><w:r><w:t>Item</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>Cost</w:t></w:r></w:p></w:tc></w:tr>
+   <w:tr><w:tc><w:p><w:r><w:t>Rocket</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>42</w:t></w:r></w:p>
+             <w:p><w:r><w:t>(USD)</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+  <w:p><w:r><w:t>After the table.</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+
+
+def test_docx_tables_render_markdown_in_body_order(tmp_path, registry):
+    p = tmp_path / "t.docx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("word/document.xml", DOCX_TABLE_DOC)
+    r = registry.parse_file(p)
+    assert r.success
+    # table between the heading and the trailing paragraph, cells joined
+    assert r.content.index("# Budget") < r.content.index("| Item | Cost |")
+    assert "| Rocket | 42 (USD) |" in r.content
+    assert r.content.index("| Rocket") < r.content.index("After the table.")
+    # table cell text does NOT leak as duplicate plain paragraphs
+    assert r.content.count("Rocket") == 1
+
+
+PPTX_TABLE_SLIDE = """<?xml version="1.0"?>
+<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+       xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+ <p:cSld><p:spTree>
+  <p:sp><p:txBody><a:p><a:r><a:t>Quarterly recap</a:t></a:r></a:p></p:txBody></p:sp>
+  <p:graphicFrame><a:graphic><a:graphicData>
+   <a:tbl>
+    <a:tr><a:tc><a:txBody><a:p><a:r><a:t>Region</a:t></a:r></a:p></a:txBody></a:tc>
+         <a:tc><a:txBody><a:p><a:r><a:t>Sales</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+    <a:tr><a:tc><a:txBody><a:p><a:r><a:t>North</a:t></a:r></a:p></a:txBody></a:tc>
+         <a:tc><a:txBody><a:p><a:r><a:t>99</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+   </a:tbl>
+  </a:graphicData></a:graphic></p:graphicFrame>
+ </p:spTree></p:cSld>
+</p:sld>"""
+
+
+def test_pptx_tables_render_markdown(tmp_path, registry):
+    p = tmp_path / "t.pptx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml", PPTX_TABLE_SLIDE)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "Quarterly recap" in r.content
+    assert "| Region | Sales |" in r.content
+    assert "| North | 99 |" in r.content
+    assert r.content.count("North") == 1  # no duplicate plain-text leak

@@ -5,9 +5,11 @@ The reference uses python-docx / python-pptx / openpyxl
 archives of XML, so this framework parses them standalone with the stdlib —
 no external document libraries:
 
-- DOCX: ``word/document.xml`` paragraphs; Heading styles → ``#`` markdown
-  (reference docx_parser.py behavior), core.xml properties as metadata.
-- PPTX: per-slide ``a:t`` text runs → ``## Slide N`` sections.
+- DOCX: ``word/document.xml`` paragraphs in body order; Heading styles →
+  ``#`` markdown, ``w:tbl`` → markdown tables (reference
+  docx_parser.py:76-96), core.xml properties as metadata.
+- PPTX: per-slide ``a:t`` text runs → ``## Slide N`` sections; ``a:tbl``
+  → markdown tables (reference pptx_parser.py:77-104).
 - XLSX: sheet XML + sharedStrings → markdown tables, max 100 rows per sheet
   (reference xlsx_parser.py:8).
 """
@@ -42,8 +44,46 @@ def _core_properties(zf: zipfile.ZipFile) -> dict:
     return meta
 
 
+def _rows_to_markdown(rows: list[list[str]]) -> str:
+    """Row lists → a markdown table (first row is the header)."""
+    rows = [r for r in rows if any(r)]
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    md = ["| " + " | ".join(rows[0]) + " |", "|" + "---|" * width]
+    md += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+    return "\n".join(md)
+
+
 class DocxParser(BaseParser):
     extensions = [".docx"]
+
+    @staticmethod
+    def _para_line(para) -> str:
+        text = "".join(t.text or "" for t in para.iter(f"{W}t")).strip()
+        if not text:
+            return ""
+        style_el = para.find(f"{W}pPr/{W}pStyle")
+        style = style_el.get(f"{W}val", "") if style_el is not None else ""
+        mheading = re.match(r"[Hh]eading(\d)", style)
+        if mheading:
+            return "#" * min(int(mheading.group(1)), 6) + " " + text
+        if style == "Title":
+            return "# " + text
+        return text
+
+    @staticmethod
+    def _table_md(tbl) -> str:
+        """w:tbl → markdown (reference docx_parser.py:86-105)."""
+        rows = []
+        for tr in tbl.findall(f"{W}tr"):
+            rows.append([
+                " ".join(filter(None, (
+                    "".join(t.text or "" for t in p.iter(f"{W}t")).strip()
+                    for p in tc.iter(f"{W}p"))))
+                for tc in tr.findall(f"{W}tc")])
+        return _rows_to_markdown(rows)
 
     def parse(self, file_path: Path) -> ParserResult:
         try:
@@ -51,20 +91,18 @@ class DocxParser(BaseParser):
                 root = ET.fromstring(zf.read("word/document.xml"))
                 meta = _core_properties(zf)
             lines = []
-            for para in root.iter(f"{W}p"):
-                texts = [t.text or "" for t in para.iter(f"{W}t")]
-                text = "".join(texts).strip()
-                if not text:
+            body = root.find(f"{W}body")
+            for el in (list(body) if body is not None else [root]):
+                if el.tag == f"{W}tbl":
+                    md = self._table_md(el)
+                    if md:
+                        lines.append(md)
                     continue
-                style_el = para.find(f"{W}pPr/{W}pStyle")
-                style = style_el.get(f"{W}val", "") if style_el is not None else ""
-                mheading = re.match(r"[Hh]eading(\d)", style)
-                if mheading:
-                    lines.append("#" * min(int(mheading.group(1)), 6) + " " + text)
-                elif style == "Title":
-                    lines.append("# " + text)
-                else:
-                    lines.append(text)
+                # w:p directly, or paragraphs nested in sdt/textboxes etc.
+                for para in ([el] if el.tag == f"{W}p" else el.iter(f"{W}p")):
+                    line = self._para_line(para)
+                    if line:
+                        lines.append(line)
             return ParserResult(content="\n\n".join(lines), metadata=meta)
         except Exception as e:
             return ParserResult.failure(f"Failed to parse DOCX: {e}")
@@ -84,11 +122,32 @@ class PptxParser(BaseParser):
                 sections = []
                 for i, name in enumerate(slide_names, 1):
                     root = ET.fromstring(zf.read(name))
+                    # a:tbl → markdown (reference pptx_parser.py:104-125);
+                    # their paragraphs are excluded from the plain-text walk.
+                    tables, in_table = [], set()
+                    for tbl in root.iter(f"{A}tbl"):
+                        rows = []
+                        for tr in tbl.findall(f"{A}tr"):
+                            row = []
+                            for tc in tr.findall(f"{A}tc"):
+                                cell_paras = list(tc.iter(f"{A}p"))
+                                in_table.update(id(p) for p in cell_paras)
+                                row.append(" ".join(filter(None, (
+                                    "".join(t.text or ""
+                                            for t in p.iter(f"{A}t")).strip()
+                                    for p in cell_paras))))
+                            rows.append(row)
+                        md = _rows_to_markdown(rows)
+                        if md:
+                            tables.append(md)
                     paras = []
                     for p in root.iter(f"{A}p"):
+                        if id(p) in in_table:
+                            continue
                         run = "".join(t.text or "" for t in p.iter(f"{A}t")).strip()
                         if run:
                             paras.append(run)
+                    paras += tables
                     if paras:
                         sections.append(f"## Slide {i}\n\n" + "\n\n".join(paras))
             return ParserResult(content="\n\n".join(sections), metadata=meta)
