@@ -371,3 +371,29 @@ def test_pptx_tables_render_markdown(tmp_path, registry):
     assert "| Region | Sales |" in r.content
     assert "| North | 99 |" in r.content
     assert r.content.count("North") == 1  # no duplicate plain-text leak
+
+
+def test_docx_lists_and_title_metadata(tmp_path, registry):
+    doc = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="ListParagraph"/></w:pPr>
+   <w:r><w:t>first point</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="ListBullet"/></w:pPr>
+   <w:r><w:t>second point</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    core = """<?xml version="1.0"?>
+<cp:coreProperties
+  xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+  xmlns:dc="http://purl.org/dc/elements/1.1/">
+ <dc:title>Agenda</dc:title>
+</cp:coreProperties>"""
+    p = tmp_path / "l.docx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr("docProps/core.xml", core)
+    r = registry.parse_file(p)
+    assert r.success
+    assert r.content.startswith("# Agenda")
+    assert "- first point" in r.content and "- second point" in r.content

@@ -71,6 +71,8 @@ class DocxParser(BaseParser):
             return "#" * min(int(mheading.group(1)), 6) + " " + text
         if style == "Title":
             return "# " + text
+        if "list" in style.lower() or "bullet" in style.lower():
+            return "- " + text  # reference docx_parser.py:69-70
         return text
 
     @staticmethod
@@ -91,6 +93,8 @@ class DocxParser(BaseParser):
                 root = ET.fromstring(zf.read("word/document.xml"))
                 meta = _core_properties(zf)
             lines = []
+            if meta.get("title"):
+                lines.append(f"# {meta['title']}")  # reference :43-45
             body = root.find(f"{W}body")
             for el in (list(body) if body is not None else [root]):
                 if el.tag == f"{W}tbl":
