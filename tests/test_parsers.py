@@ -397,3 +397,83 @@ def test_docx_lists_and_title_metadata(tmp_path, registry):
     assert r.success
     assert r.content.startswith("# Agenda")
     assert "- first point" in r.content and "- second point" in r.content
+
+
+def test_pptx_slide_title_placeholder(tmp_path, registry):
+    slide = """<?xml version="1.0"?>
+<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+       xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+ <p:cSld><p:spTree>
+  <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+   <p:txBody><a:p><a:r><a:t>Roadmap 2026</a:t></a:r></a:p></p:txBody></p:sp>
+  <p:sp><p:txBody><a:p><a:r><a:t>ship the thing</a:t></a:r></a:p></p:txBody></p:sp>
+ </p:spTree></p:cSld>
+</p:sld>"""
+    p = tmp_path / "titled.pptx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml", slide)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "## Slide 1: Roadmap 2026" in r.content
+    assert "ship the thing" in r.content
+    assert r.content.count("Roadmap 2026") == 1  # not duplicated as body
+
+
+ODF_META = """<?xml version="1.0"?>
+<office:document-meta
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:dc="http://purl.org/dc/elements/1.1/">
+ <office:meta><dc:title>Field Report</dc:title></office:meta>
+</office:document-meta>"""
+
+ODT_TABLE_CONTENT = """<?xml version="1.0"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+ <office:body><office:text>
+  <text:p>Before.</text:p>
+  <table:table>
+   <table:table-row><table:table-cell><text:p>Animal</text:p></table:table-cell>
+    <table:table-cell><text:p>Count</text:p></table:table-cell></table:table-row>
+   <table:table-row><table:table-cell><text:p>Lynx</text:p></table:table-cell>
+    <table:table-cell><text:p>7</text:p></table:table-cell></table:table-row>
+  </table:table>
+  <text:p>After.</text:p>
+ </office:text></office:body>
+</office:document-content>"""
+
+
+def test_odt_tables_title_and_order(tmp_path, registry):
+    p = tmp_path / "rep.odt"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("content.xml", ODT_TABLE_CONTENT)
+        zf.writestr("meta.xml", ODF_META)
+    r = registry.parse_file(p)
+    assert r.success
+    assert r.content.startswith("# Field Report")
+    assert "| Animal | Count |" in r.content and "| Lynx | 7 |" in r.content
+    assert r.content.index("Before.") < r.content.index("| Animal")
+    assert r.content.index("| Lynx") < r.content.index("After.")
+    assert r.content.count("Lynx") == 1  # cell text not duplicated
+    assert r.metadata.get("title") == "Field Report"
+
+
+def test_odp_page_names(tmp_path, registry):
+    content = """<?xml version="1.0"?>
+<office:document-content
+  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+  xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">
+ <office:body><office:presentation>
+  <draw:page draw:name="Kickoff"><draw:frame><draw:text-box>
+   <text:p>welcome everyone</text:p>
+  </draw:text-box></draw:frame></draw:page>
+ </office:presentation></office:body>
+</office:document-content>"""
+    p = tmp_path / "deck.odp"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("content.xml", content)
+    r = registry.parse_file(p)
+    assert r.success
+    assert "## Kickoff" in r.content and "welcome everyone" in r.content

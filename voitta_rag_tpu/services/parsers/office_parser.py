@@ -25,6 +25,7 @@ from voitta_rag_tpu.services.parsers.base import BaseParser, ParserResult
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 CP = "{http://schemas.openxmlformats.org/package/2006/metadata/core-properties}"
 DC = "{http://purl.org/dc/elements/1.1/}"
@@ -124,11 +125,28 @@ class PptxParser(BaseParser):
                      if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
                     key=lambda n: int(re.search(r"(\d+)", n).group(1)))
                 sections = []
+                if meta.get("title"):
+                    sections.append(f"# {meta['title']}")  # reference :41-43
                 for i, name in enumerate(slide_names, 1):
                     root = ET.fromstring(zf.read(name))
+                    # Title-placeholder shape → slide heading (reference
+                    # pptx_parser.py:56-86 "## Slide N: {title}").
+                    slide_title, in_title = None, set()
+                    for sp in root.iter(f"{P}sp"):
+                        ph = sp.find(f"{P}nvSpPr/{P}nvPr/{P}ph")
+                        if ph is None or ph.get("type") not in (
+                                "title", "ctrTitle"):
+                            continue
+                        title_paras = list(sp.iter(f"{A}p"))
+                        slide_title = " ".join(filter(None, (
+                            "".join(t.text or "" for t in p.iter(f"{A}t"))
+                            .strip() for p in title_paras))) or None
+                        if slide_title:
+                            in_title.update(id(p) for p in title_paras)
+                        break
                     # a:tbl → markdown (reference pptx_parser.py:104-125);
                     # their paragraphs are excluded from the plain-text walk.
-                    tables, in_table = [], set()
+                    tables, in_table = [], set(in_title)
                     for tbl in root.iter(f"{A}tbl"):
                         rows = []
                         for tr in tbl.findall(f"{A}tr"):
@@ -152,8 +170,12 @@ class PptxParser(BaseParser):
                         if run:
                             paras.append(run)
                     paras += tables
-                    if paras:
-                        sections.append(f"## Slide {i}\n\n" + "\n\n".join(paras))
+                    if paras or slide_title:
+                        head = (f"## Slide {i}: {slide_title}"
+                                if slide_title else f"## Slide {i}")
+                        sections.append(
+                            head + ("\n\n" + "\n\n".join(paras)
+                                    if paras else ""))
             return ParserResult(content="\n\n".join(sections), metadata=meta)
         except Exception as e:
             return ParserResult.failure(f"Failed to parse PPTX: {e}")
@@ -198,6 +220,8 @@ class XlsxParser(BaseParser):
                      if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
                     key=lambda n: int(re.search(r"(\d+)", n).group(1)))
                 sections = []
+                if meta.get("title"):
+                    sections.append(f"# {meta['title']}")  # reference :55-57
                 for i, fname in enumerate(sheet_files):
                     root = ET.fromstring(zf.read(fname))
                     rows_out = []
