@@ -87,7 +87,7 @@ def test_initialize_and_tools_list(mcp_env):
                 "set_folder_active", "get_folder_active_states",
                 "create_memory", "get_memory", "update_memory",
                 "delete_memory", "like_memory", "dislike_memory",
-                "list_memory"}
+                "list_memories"}
         finally:
             await client.close()
     run(body())
@@ -119,7 +119,7 @@ def test_memory_lifecycle(mcp_env):
             assert res["structuredContent"]["content"] == "updated"
             assert res["structuredContent"]["likes"] == 1  # preserved
 
-            res = await call_tool(client, "list_memory", {}, user="alice")
+            res = await call_tool(client, "list_memories", {}, user="alice")
             assert len(res["structuredContent"]["memories"]) == 1
 
             # Anamnesis reindex queued (reference mcp_server.py:1187-1202).
@@ -131,7 +131,7 @@ def test_memory_lifecycle(mcp_env):
             res = await call_tool(client, "delete_memory",
                                   {"memory_id": mid}, user="alice")
             assert res["structuredContent"]["success"]
-            res = await call_tool(client, "list_memory", {}, user="alice")
+            res = await call_tool(client, "list_memories", {}, user="alice")
             assert res["structuredContent"]["memories"] == []
 
             # No user header → error result.

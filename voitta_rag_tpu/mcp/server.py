@@ -125,9 +125,9 @@ TOOLS: list[dict] = [
          description="Record negative feedback on a memory.",
          inputSchema=_schema({"memory_id": S}, ["memory_id"]),
          fn=T.dislike_memory),
-    dict(name="list_memory",
+    dict(name="list_memories",
          description="List all memories of the current user.",
-         inputSchema=_schema({}, []), fn=T.list_memory),
+         inputSchema=_schema({}, []), fn=T.list_memories),
 ]
 
 TOOL_MAP: dict[str, dict] = {t["name"]: t for t in TOOLS}

@@ -538,7 +538,7 @@ def dislike_memory(user_name: str | None, memory_id: str) -> MemoryResult:
         f"Memory not found: {memory_id}")
 
 
-def list_memory(user_name: str | None) -> MemoryListResult:
+def list_memories(user_name: str | None) -> MemoryListResult:
     if not user_name:
         return MemoryListResult(success=False,
                                 error="X-User-Name header required")
