@@ -91,6 +91,23 @@ def test_wordpiece_greedy_longest_match():
     assert ids == [vocab["hello"], vocab["world"]]
 
 
+def test_bert_vocab_with_stray_angle_tokens_keeps_bracket_specials():
+    # A custom BERT vocab that happens to contain '<s>'/'<pad>' as ordinary
+    # tokens must NOT have its framing ids hijacked by the MPNet angle
+    # preference — only a true MPNet layout (<s>=0, <pad>=1) switches.
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "<s>", "<pad>",
+         "</s>"])}
+    tok = WordPieceTokenizer(vocab)
+    assert (tok.pad_id, tok.cls_id, tok.sep_id) == (0, 2, 3)
+    mpnet_vocab = {t: i for i, t in enumerate(
+        ["<s>", "<pad>", "</s>", "<unk>", "[UNK]", "[PAD]", "[CLS]",
+         "[SEP]", "hello"])}
+    mtok = WordPieceTokenizer(mpnet_vocab)
+    assert (mtok.pad_id, mtok.cls_id, mtok.sep_id) == (1, 0, 2)
+    assert mtok.unk_id == mpnet_vocab["[UNK]"]
+
+
 def test_encode_batch_framing():
     tok = HashTokenizer(vocab_size=1000)
     ids, mask = tok.encode_batch(["short text", "a much longer text " * 20], 16)

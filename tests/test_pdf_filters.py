@@ -261,3 +261,34 @@ def test_forged_predictor_columns_rejected(tmp_path):
     p.write_bytes(one_page_pdf(obj))
     r = PdfParser().parse(p)
     assert not r.success
+
+
+def test_decompression_bomb_caps(monkeypatch):
+    """Each decode stage is bounded by _MAX_STREAM_BYTES: a small crafted
+    stream with an extreme expansion ratio must raise, not exhaust memory
+    (advisor finding r2: stacked /Filter chains multiply expansion)."""
+    from voitta_rag_tpu.services.parsers import pdf_parser
+
+    monkeypatch.setattr(pdf_parser, "_MAX_STREAM_BYTES", 1 << 12)
+    with pytest.raises(ValueError):
+        pdf_parser._flate_decode(zlib.compress(b"\0" * (1 << 16)))
+    with pytest.raises(ValueError):
+        pdf_parser._lzw_decode(lzw_encode(b"\0" * (1 << 16)))
+    # RLE: each (n>=129, byte) pair expands to 257-n copies.
+    with pytest.raises(ValueError):
+        pdf_parser._rl_decode(b"\x81A" * 600)
+
+
+def test_stacked_flate_bomb_is_failure_not_oom(tmp_path, monkeypatch):
+    """A double-FlateDecode chain whose inner stage exceeds the cap parses
+    to a failure, not an OOM."""
+    from voitta_rag_tpu.services.parsers import pdf_parser
+
+    monkeypatch.setattr(pdf_parser, "_MAX_STREAM_BYTES", 1 << 14)
+    bomb = zlib.compress(zlib.compress(b"\0" * (1 << 20)))
+    obj = (b"5 0 obj << /Length %d /Filter [/FlateDecode /FlateDecode] >> "
+           b"stream\n" % len(bomb) + bomb + b"\nendstream endobj")
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(one_page_pdf(obj))
+    r = PdfParser().parse(p)
+    assert not r.success

@@ -49,8 +49,11 @@ async def ms_login(request: web.Request) -> web.Response:
 async def ms_callback(request: web.Request) -> web.Response:
     s = get_settings()
     state = request.query.get("state", "")
-    if (_store.redeem(state) is STATE_INVALID
-            or not cookie_has_state(request, state)):
+    # Cookie check first: redeeming is destructive (single use), so an
+    # unauthenticated probe with a leaked state value must not be able to
+    # invalidate the legitimate in-flight login.
+    if (not cookie_has_state(request, state)
+            or _store.redeem(state) is STATE_INVALID):
         return json_error(400, "invalid state")
     code = request.query.get("code")
     if not code:
@@ -101,8 +104,11 @@ async def google_login(request: web.Request) -> web.Response:
 async def google_callback(request: web.Request) -> web.Response:
     s = get_settings()
     state = request.query.get("state", "")
-    if (_store.redeem(state) is STATE_INVALID
-            or not cookie_has_state(request, state)):
+    # Cookie check first: redeeming is destructive (single use), so an
+    # unauthenticated probe with a leaked state value must not be able to
+    # invalidate the legitimate in-flight login.
+    if (not cookie_has_state(request, state)
+            or _store.redeem(state) is STATE_INVALID):
         return json_error(400, "invalid state")
     code = request.query.get("code")
     if not code:

@@ -386,8 +386,12 @@ async def oauth_callback(request: web.Request) -> web.Response:
     state = request.query.get("state", "")
     if not code:
         return json_error(400, "Missing code")
+    # Cookie check first: redeem() is destructive (single use), so a probe
+    # with a leaked state value cannot cancel the in-flight authorization.
+    if not cookie_has_state(request, state):
+        return json_error(400, "Invalid state parameter")
     folder_path = _oauth_store.redeem(state)
-    if folder_path is STATE_INVALID or not cookie_has_state(request, state):
+    if folder_path is STATE_INVALID:
         return json_error(400, "Invalid state parameter")
     db = get_db()
     src = db.get_sync_source(folder_path)

@@ -103,12 +103,21 @@ class WordPieceTokenizer:
         # MPNet vocabs contain BOTH the angle specials (<s>/<pad>/</s> at
         # ids 0-2, the ones HF MPNetTokenizer frames with) AND BERT's
         # bracket names at shifted ids — so angle names take priority for
-        # framing tokens. UNK is the exception: HF MPNet keeps
+        # framing tokens, but ONLY when the vocab actually has the MPNet
+        # layout (<s>=0, <pad>=1).  A custom BERT vocab that merely happens
+        # to contain '<s>' or '<pad>' as ordinary tokens keeps the bracket
+        # specials.  UNK is the exception either way: HF MPNet keeps
         # unk_token="[UNK]", so brackets win there.
-        self.pad_id = special("<pad>", PAD, default=0)
+        mpnet_layout = vocab.get("<s>") == 0 and vocab.get("<pad>") == 1
+        if mpnet_layout:
+            self.pad_id = special("<pad>", PAD, default=0)
+            self.cls_id = special("<s>", CLS, default=2)
+            self.sep_id = special("</s>", SEP, default=3)
+        else:
+            self.pad_id = special(PAD, "<pad>", default=0)
+            self.cls_id = special(CLS, "<s>", default=2)
+            self.sep_id = special(SEP, "</s>", default=3)
         self.unk_id = special(UNK, "<unk>", default=1)
-        self.cls_id = special("<s>", CLS, default=2)
-        self.sep_id = special("</s>", SEP, default=3)
         self._native_state: bool | None = None
 
     @classmethod

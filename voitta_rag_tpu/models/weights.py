@@ -9,12 +9,15 @@ pytree. No network access is assumed.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp
 
 from voitta_rag_tpu.models.encoder import EncoderConfig, Params, stack_layers
+
+logger = logging.getLogger(__name__)
 
 
 def _strip_prefix(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -166,12 +169,20 @@ def config_from_state_dict(
     arch = _detect_arch(state)
     state = _strip_prefix(state)
     hints = hints or {}
-    if hints.get("model_type") in ("roberta", "xlm-roberta"):
+    # config.json is authoritative when present: the geometry fallback in
+    # _detect_arch (514-row positions + single token type → roberta) would
+    # otherwise misclassify an unconventional BERT checkpoint and silently
+    # shift pos_offset/pad_token_id.
+    model_type = hints.get("model_type")
+    if model_type in ("roberta", "xlm-roberta", "camembert"):
         arch = "roberta"
-    elif hints.get("model_type") == "mpnet":
+    elif model_type == "mpnet":
         arch = "mpnet"
-    elif hints.get("model_type") == "distilbert":
+    elif model_type == "distilbert":
         arch = "distilbert"
+    elif model_type == "bert":
+        arch = "bert"
+    logger.info("encoder arch: %s (model_type hint: %s)", arch, model_type)
     vocab, hidden = state["embeddings.word_embeddings.weight"].shape
     max_pos = state["embeddings.position_embeddings.weight"].shape[0]
     tt = state.get("embeddings.token_type_embeddings.weight")

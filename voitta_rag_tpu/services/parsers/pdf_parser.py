@@ -88,6 +88,14 @@ def _refs(d: bytes, key: bytes) -> list[int]:
     return [int(m.group(1))] if m else []
 
 
+#: Cap on the decoded size of any single stream stage.  /Filter chains are
+#: attacker controlled and decompression ratios are unbounded (a stacked
+#: FlateDecode chain multiplies expansion per stage), so without this a
+#: small crafted PDF could exhaust host memory.  Streams a text extractor
+#: cares about (content streams, ObjStm, CMaps) are far below this bound.
+_MAX_STREAM_BYTES = 1 << 27  # 128 MiB
+
+
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     """PDF LZWDecode: 9→12-bit codes, Clear=256, EOD=257, EarlyChange."""
     out = bytearray()
@@ -120,6 +128,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             else:
                 raise ValueError(f"bad LZW code {code}")
             out += entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError("LZW stream exceeds decode size cap")
             prev = entry
             # xpdf/poppler convention: the decoder adds entries one code
             # later than the encoder did, so it widens when the *next* add
@@ -153,16 +163,19 @@ def _rl_decode(data: bytes) -> bytes:
         else:
             out += data[i + 1:i + 2] * (257 - n)
             i += 2
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("RLE stream exceeds decode size cap")
     return bytes(out)
 
 
 def _flate_decode(raw: bytes) -> bytes:
-    try:
-        return zlib.decompress(raw)
-    except zlib.error:
-        # Some writers pad/truncate the stream; salvage what inflates.
-        d = zlib.decompressobj()
-        return d.decompress(raw)
+    # decompressobj (unlike zlib.decompress) salvages what inflates from
+    # streams some writers pad or truncate, and lets us cap the output.
+    d = zlib.decompressobj()
+    out = d.decompress(raw, _MAX_STREAM_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError("Flate stream exceeds decode size cap")
+    return out
 
 
 #: Sanity bound on predictor row width: declared /Columns is attacker
@@ -319,6 +332,8 @@ def _decode_stream(body: bytes) -> bytes | None:
             data = fn(data, parm)
         except (ValueError, zlib.error, KeyError, IndexError,
                 MemoryError, OverflowError):
+            return None
+        if len(data) > _MAX_STREAM_BYTES:
             return None
     return data
 
