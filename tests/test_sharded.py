@@ -183,3 +183,97 @@ def test_pod_mesh_validation():
         index_mesh(8, n_slices=3)
     mesh = index_mesh(8, n_slices=2)
     assert dict(mesh.shape) == {"slice": 2, "shard": 4}
+
+
+# ---------------------------------------------------------------------------
+# replica-parallel serving (index data parallelism)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rmesh():
+    m = index_mesh(4, n_replicas=2)
+    assert dict(m.shape) == {"replica": 2, "shard": 4}
+    return m
+
+
+def test_replica_search_exact_and_batch_sharded(rmesh):
+    """4 shards x 2 replicas: every query's results match the brute-force
+    oracle, AND the result batch is physically sharded across replica
+    groups — each group scored only B/R queries, which is what makes
+    aggregate QPS scale with replica count instead of shrinking."""
+    idx, dense, cols, terms, weights, gids = build(rmesh, seed=7)
+    assert idx.n_shards == 4  # replica axis is not a shard axis
+    spec = make_filter_spec()
+    B = 8
+    scores, out_gids = idx.search(jnp.asarray(dense[:B]), spec, limit=10)
+    sims = dense @ dense[:B].T
+    for b in range(B):
+        order = np.argsort(-sims[:, b])[:10]
+        assert np.asarray(out_gids)[b].tolist() == \
+            [int(gids[i]) for i in order], f"query {b}"
+    # Work accounting: each device holds (and its replica group computed)
+    # only B/2 result rows.
+    assert scores.sharding.shard_shape(scores.shape) == (B // 2, 10)
+
+
+def test_replica_search_pads_odd_batches(rmesh):
+    idx, dense, cols, terms, weights, gids = build(rmesh, seed=8)
+    spec = make_filter_spec()
+    B = 5  # not divisible by 2 replicas
+    scores, out_gids = idx.search(jnp.asarray(dense[:B]), spec, limit=10)
+    assert scores.shape == (B, 10)
+    sims = dense @ dense[:B].T
+    for b in range(B):
+        order = np.argsort(-sims[:, b])[:10]
+        assert np.asarray(out_gids)[b].tolist() == \
+            [int(gids[i]) for i in order]
+
+
+def test_replica_hybrid_matches_single_replica(rmesh, mesh):
+    """Hybrid fusion on the replica mesh returns exactly the single-group
+    (8-shard, no-replica) results for the same corpus and queries."""
+    idx_r, dense, cols, terms, weights, gids_r = build(rmesh, seed=9)
+    idx_1, _, _, _, _, gids_1 = build(mesh, seed=9)
+    rng = np.random.default_rng(10)
+    qt = np.full((1, 4), TERM_PAD, np.int32)
+    qt[0, :3] = rng.choice(300, 3, replace=False)
+    qw = np.zeros((1, 4), np.float32)
+    qw[0, :3] = rng.random(3) + 0.5
+    spec = make_filter_spec()
+    q = jnp.asarray(dense[:4])
+    s_r, g_r = idx_r.search(q, spec, qt=qt, qw=qw, sparse_weight=0.4,
+                            limit=10)
+    s_1, g_1 = idx_1.search(q, spec, qt=qt, qw=qw, sparse_weight=0.4,
+                            limit=10)
+    # gid layouts differ (4x1024 vs 8x512 is not the case here: both CAP=512
+    # — but allocation order differs), so compare through row identity.
+    row_of_r = {int(g): i for i, g in enumerate(gids_r)}
+    row_of_1 = {int(g): i for i, g in enumerate(gids_1)}
+    for b in range(4):
+        rows_r = [row_of_r[g] for g in np.asarray(g_r)[b].tolist() if g >= 0]
+        rows_1 = [row_of_1[g] for g in np.asarray(g_1)[b].tolist() if g >= 0]
+        assert rows_r == rows_1
+        np.testing.assert_allclose(np.asarray(s_r)[b], np.asarray(s_1)[b],
+                                   atol=1e-5)
+
+
+def test_replica_ivf_search(rmesh):
+    """Per-chip IVF on the replica mesh: probe-limited search still merges
+    exactly within each replica group and batch-shards across groups."""
+    idx, dense, cols, terms, weights, gids = build(rmesh, seed=11,
+                                                   n_rows=1200)
+    idx.build_ivf(8, kmeans_iters=5)
+    spec = make_filter_spec()
+    B = 4
+    scores, out_gids = idx.search(jnp.asarray(dense[:B]), spec, limit=10,
+                                  nprobe=8)  # all cells -> exact
+    sims = dense @ dense[:B].T
+    for b in range(B):
+        order = np.argsort(-sims[:, b])[:10]
+        assert np.asarray(out_gids)[b].tolist() == \
+            [int(gids[i]) for i in order]
+
+
+def test_replica_pod_mesh_axes():
+    m = index_mesh(4, n_slices=2, n_replicas=2)
+    assert dict(m.shape) == {"replica": 2, "slice": 2, "shard": 2}

@@ -132,6 +132,10 @@ class Settings:
         # the candidate merge gathers over ICI within a slice, re-cuts, and
         # crosses DCN once (1 = single-slice, pure-ICI merge).
         self.index_slices: int = int(os.getenv("VOITTA_INDEX_SLICES", "1"))
+        # Replica groups: the index is fully replicated across groups and
+        # the query batch is sharded over them, so serving QPS scales with
+        # chips (total devices = replicas * shards; 1 = no replication).
+        self.index_replicas: int = int(os.getenv("VOITTA_INDEX_REPLICAS", "1"))
         # BM25 parameters (fastembed/Qdrant defaults).
         self.bm25_k: float = float(os.getenv("VOITTA_BM25_K", "1.2"))
         self.bm25_b: float = float(os.getenv("VOITTA_BM25_B", "0.75"))

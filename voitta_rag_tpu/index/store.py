@@ -71,7 +71,12 @@ class TpuVectorStore:
         # devices) stores rows in a mesh-sharded index instead of flat
         # segments; searches run per-chip scans + all-gather top-k merge.
         self._sharded = None
+        self._n_replicas = max(1, settings.index_replicas)
         self._n_shards = self._resolve_shards(settings.index_shards)
+        if self._n_replicas > 1:
+            # Auto shard counts cover ALL devices; replica groups divide
+            # them: replicas * shards = devices.
+            self._n_shards = max(1, self._n_shards // self._n_replicas)
         # IVF snapshot (read-optimized; invalidated by any mutation).
         self._ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
@@ -127,12 +132,13 @@ class TpuVectorStore:
                 self._payloads.get_meta("gid_generation", "0") or 0)
             self._recover_compaction()
             self._segments = []
-            if self._n_shards > 1:
+            if self._n_shards > 1 or self._n_replicas > 1:
                 from voitta_rag_tpu.parallel.mesh import index_mesh
                 from voitta_rag_tpu.parallel.sharded import ShardedIndex
 
                 mesh = index_mesh(self._n_shards,
-                                  n_slices=get_settings().index_slices)
+                                  n_slices=get_settings().index_slices,
+                                  n_replicas=self._n_replicas)
                 spill = self.index_dir / "sharded.npz"
                 if spill.exists():
                     try:

@@ -29,17 +29,31 @@ from voitta_rag_tpu.ops.filters import COL_DOC, COL_VALID, NUM_COLS, FilterSpec
 from voitta_rag_tpu.ops.fusion import hybrid_fuse_candidates, _candidates_from_lists
 from voitta_rag_tpu.ops.pallas_utils import NEG_INF, round_up
 from voitta_rag_tpu.ops.topk import VALID_THRESHOLD, dedup_candidates, masked_topk
-from voitta_rag_tpu.parallel.mesh import SHARD_AXIS, SLICE_AXIS
+from voitta_rag_tpu.parallel.mesh import REPLICA_AXIS, SHARD_AXIS, SLICE_AXIS
 
 
 def _has_slice(mesh: Mesh) -> bool:
     return SLICE_AXIS in mesh.axis_names
 
 
+def _n_replicas(mesh: Mesh) -> int:
+    return mesh.shape.get(REPLICA_AXIS, 1)
+
+
 def _index_spec(mesh: Mesh) -> P:
-    """PartitionSpec of the index arrays' leading (shard) axis."""
+    """PartitionSpec of the index arrays' leading (shard) axis. The replica
+    axis is never mentioned: index arrays are replicated across replica
+    groups (each group holds a full copy)."""
     return (P((SLICE_AXIS, SHARD_AXIS)) if _has_slice(mesh)
             else P(SHARD_AXIS))
+
+
+def _query_spec(mesh: Mesh) -> P:
+    """PartitionSpec of the query batch (and result) leading axis: sharded
+    over replica groups when the mesh has them — each group serves B/R
+    queries against its own full index copy, so batch throughput scales
+    with replicas (index data parallelism)."""
+    return P(REPLICA_AXIS) if _n_replicas(mesh) > 1 else P()
 
 
 def _global_shard(mesh: Mesh) -> jax.Array:
@@ -137,11 +151,13 @@ def sharded_search(
     use_postings: bool = False,
     max_postings: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
-    """Search the sharded index; returns replicated (scores, gids) [B, limit]."""
+    """Search the sharded index; returns (scores, gids) [B, limit] —
+    replicated within a replica group, batch-sharded across groups."""
     cap = vecs.shape[1]
     p = min(limit * prefetch_multiplier, cap)
     shard_spec = _index_spec(mesh)
     rep = P()
+    qspec = _query_spec(mesh)
 
     def body(q, params, inc, exc, excif, vecs, cols, scales, terms, weights,
              post_terms, post_gids, post_weights, qt, qw, w):
@@ -173,7 +189,7 @@ def sharded_search(
         return jax.vmap(row)(d_vals, d_gids)
 
     args_specs = (
-        rep,                     # q
+        qspec,                   # q (batch-sharded over replica groups)
         rep, rep, rep, rep,      # FilterSpec fields
         shard_spec, shard_spec,  # vecs, cols
         shard_spec,              # scales
@@ -184,7 +200,7 @@ def sharded_search(
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=args_specs,
-        out_specs=(rep, rep),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )
     return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
@@ -297,10 +313,11 @@ def sharded_ivf_search(
 
     shard_spec = _index_spec(mesh)
     rep = P()
+    qspec = _query_spec(mesh)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(
-            rep,                     # q
+            qspec,                   # q (batch-sharded over replica groups)
             rep, rep, rep, rep,      # FilterSpec fields
             rep,                     # centroids (replicated: tiny, read-only)
             shard_spec, shard_spec, shard_spec, shard_spec,  # cell blocks
@@ -309,7 +326,7 @@ def sharded_ivf_search(
             shard_spec, shard_spec, shard_spec,  # postings
             rep, rep, rep,           # qt, qw, sparse_weight
         ),
-        out_specs=(rep, rep),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )
     return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
@@ -769,6 +786,21 @@ class ShardedIndex:
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
                limit=10, prefetch_multiplier=3, fusion=True, nprobe=None,
                use_postings=False, max_postings=4096):
+        # Replica-parallel serving: the query batch is sharded across
+        # replica groups, so it must divide evenly — pad with the first
+        # query (cheap; identical work profile) and trim the rows after.
+        n_rep = _n_replicas(self.mesh)
+        b = q.shape[0]
+        if n_rep > 1 and b % n_rep:
+            pad = n_rep - b % n_rep
+            q = jnp.concatenate(
+                [q, jnp.broadcast_to(q[:1], (pad,) + q.shape[1:])])
+            scores, gids = self.search(
+                q, spec, qt, qw, sparse_weight, limit=limit,
+                prefetch_multiplier=prefetch_multiplier, fusion=fusion,
+                nprobe=nprobe, use_postings=use_postings,
+                max_postings=max_postings)
+            return scores[:b], gids[:b]
         has_sparse = qt is not None
         if qt is None:
             qt = jnp.full((1, 1), TERM_PAD, jnp.int32)
