@@ -439,3 +439,137 @@ def test_protocol_error_contract(mcp_env):
         finally:
             await client.close()
     run(body())
+
+
+# ---------------------------------------------------------------------------
+# SSE transports (reference MCP_SSE_TESTING.md:48-159)
+# ---------------------------------------------------------------------------
+
+async def _read_sse_event(resp):
+    """Read one SSE event (skipping keepalive comments) from a stream."""
+    event = {}
+    while True:
+        line = (await resp.content.readline()).decode().rstrip("\n").rstrip("\r")
+        if line.startswith(":"):
+            continue
+        if not line:
+            if event:
+                return event
+            continue
+        key, _, value = line.partition(":")
+        event[key] = value.lstrip()
+
+
+def test_sse_session_flow(mcp_env):
+    """GET /sse yields an endpoint event; POSTed JSON-RPC answers arrive as
+    message events on the still-open stream (MCP_SSE_TESTING.md:95-135)."""
+    async def body():
+        client = await make_client()
+        try:
+            sse = await client.get("/sse", headers={
+                "Accept": "text/event-stream"})
+            assert sse.status == 200
+            assert sse.headers["Content-Type"].startswith("text/event-stream")
+            first = await _read_sse_event(sse)
+            assert first["event"] == "endpoint"
+            endpoint = first["data"]
+            assert "/messages/?session_id=" in endpoint
+
+            post = await client.post(endpoint, json={
+                "jsonrpc": "2.0", "id": 7, "method": "tools/list"})
+            assert post.status == 202
+
+            msg = await _read_sse_event(sse)
+            assert msg["event"] == "message"
+            import json as _json
+            data = _json.loads(msg["data"])
+            assert data["id"] == 7
+            names = {t["name"] for t in data["result"]["tools"]}
+            assert "search" in names and "list_memories" in names
+            sse.close()
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_sse_resume_with_last_event_id(mcp_env):
+    """A dropped SSE client reconnects with Last-Event-ID and replays only
+    the missed events."""
+    async def body():
+        client = await make_client()
+        try:
+            sse = await client.get("/sse")
+            first = await _read_sse_event(sse)
+            endpoint = first["data"]
+            sid = endpoint.split("session_id=")[1]
+
+            await client.post(endpoint, json={
+                "jsonrpc": "2.0", "id": 1, "method": "ping"})
+            ev1 = await _read_sse_event(sse)
+            assert ev1["id"] == "1"
+            sse.close()  # simulate a dropped stream
+
+            # Two more answers queue while the client is away.
+            for mid in (2, 3):
+                post = await client.post(endpoint, json={
+                    "jsonrpc": "2.0", "id": mid, "method": "ping"})
+                assert post.status == 202
+
+            sse2 = await client.get(
+                f"/sse?session_id={sid}", headers={"Last-Event-ID": "1"})
+            again = await _read_sse_event(sse2)
+            assert again["event"] == "endpoint"
+            assert sid in again["data"]
+            import json as _json
+            ev2 = await _read_sse_event(sse2)
+            ev3 = await _read_sse_event(sse2)
+            assert [_json.loads(ev2["data"])["id"],
+                    _json.loads(ev3["data"])["id"]] == [2, 3]
+            sse2.close()
+        finally:
+            await client.close()
+    run(body())
+
+
+def test_streamable_http_get_stream(mcp_env):
+    """GET /mcp with Accept: text/event-stream opens a resumable stream for
+    the session instead of a 405 (streamable-HTTP spec)."""
+    async def body():
+        client = await make_client()
+        try:
+            # Establish a session via a normal streamable-HTTP POST.
+            resp = await client.post("/mcp", json={
+                "jsonrpc": "2.0", "id": 1, "method": "initialize",
+                "params": {"protocolVersion": "2025-03-26",
+                           "capabilities": {},
+                           "clientInfo": {"name": "t", "version": "0"}}})
+            sid = resp.headers["Mcp-Session-Id"]
+
+            bad = await client.get("/mcp", headers={"Accept": "text/html"})
+            assert bad.status == 406
+
+            sse = await client.get("/mcp", headers={
+                "Accept": "text/event-stream", "Mcp-Session-Id": sid})
+            assert sse.status == 200
+            assert sse.headers["Mcp-Session-Id"] == sid
+
+            # An SSE-session POST targeting the same session id shows up on
+            # the streamable GET channel too (shared event history).
+            post = await client.post(
+                f"/messages/?session_id={sid}",
+                json={"jsonrpc": "2.0", "id": 5, "method": "ping"})
+            assert post.status == 202
+            ev = await _read_sse_event(sse)
+            import json as _json
+            assert _json.loads(ev["data"])["id"] == 5
+            sse.close()
+
+            # DELETE tears the session down; its messages endpoint 404s.
+            await client.delete("/mcp", headers={"Mcp-Session-Id": sid})
+            gone = await client.post(
+                f"/messages/?session_id={sid}",
+                json={"jsonrpc": "2.0", "id": 6, "method": "ping"})
+            assert gone.status == 404
+        finally:
+            await client.close()
+    run(body())

@@ -147,6 +147,13 @@ def create_app(start_services: bool = True) -> web.Application:
     if static_dir.exists():
         app.router.add_static("/static", static_dir)
     app.add_subapp("/mcp", create_mcp_app())
+    # Root-level SSE aliases: the reference's MCP process serves GET /sse and
+    # POST /messages/ at its root (MCP_SSE_TESTING.md:9, 110-123).
+    from voitta_rag_tpu.mcp.server import handle_sse_get, handle_sse_messages
+
+    app.router.add_get("/sse", handle_sse_get)
+    app.router.add_post("/messages/", handle_sse_messages)
+    app.router.add_post("/messages", handle_sse_messages)
 
     if start_services:
         app.on_startup.append(_on_startup)

@@ -15,9 +15,11 @@ mcp_server.py:48-72).
 from __future__ import annotations
 
 import asyncio
+import collections
 import functools
 import json
 import logging
+import time
 import uuid
 from typing import Any
 
@@ -315,13 +317,171 @@ async def handle_mcp_post(request: web.Request) -> web.Response:
     return web.json_response(payload, headers=headers)
 
 
-async def handle_mcp_get(request: web.Request) -> web.Response:
-    # Stateless server: no server-initiated stream.
-    return web.Response(status=405, text="SSE stream not supported "
-                                         "(stateless streamable-http)")
+# ---------------------------------------------------------------------------
+# SSE sessions (reference MCP_SSE_TESTING.md:48-159: GET /sse yields an
+# ``endpoint`` event naming /messages/?session_id=...; JSON-RPC requests are
+# POSTed there and responses arrive as ``message`` events on the open stream)
+# ---------------------------------------------------------------------------
+
+_SSE_KEEPALIVE_S = 15.0
+_SSE_HISTORY = 256          # events retained per session for resume
+_SSE_MAX_SESSIONS = 256
+_SSE_IDLE_EVICT_S = 300.0   # disconnected sessions older than this are dropped
+
+
+class _SseSession:
+    """One SSE client session: an event queue plus a replay ring.
+
+    Events get monotonically increasing ids so a client that lost the
+    stream can reconnect with ``Last-Event-ID`` and replay what it missed
+    (both on GET /sse?session_id=... and on the streamable-HTTP GET).
+    """
+
+    def __init__(self, sid: str):
+        self.sid = sid
+        self.queue: asyncio.Queue[tuple[int, str]] = asyncio.Queue()
+        self.next_id = 1
+        self.history: collections.deque[tuple[int, str]] = collections.deque(
+            maxlen=_SSE_HISTORY)
+        self.connected = False
+        self.last_seen = time.monotonic()
+
+    def push(self, data: str) -> int:
+        eid = self.next_id
+        self.next_id += 1
+        self.history.append((eid, data))
+        self.queue.put_nowait((eid, data))
+        self.last_seen = time.monotonic()
+        return eid
+
+
+_SSE_SESSIONS: dict[str, _SseSession] = {}
+
+
+def _sse_evict() -> None:
+    now = time.monotonic()
+    stale = [sid for sid, s in _SSE_SESSIONS.items()
+             if not s.connected and now - s.last_seen > _SSE_IDLE_EVICT_S]
+    for sid in stale:
+        del _SSE_SESSIONS[sid]
+    while len(_SSE_SESSIONS) >= _SSE_MAX_SESSIONS:
+        # drop the oldest disconnected session, else the oldest outright
+        victims = sorted(_SSE_SESSIONS.values(),
+                         key=lambda s: (s.connected, s.last_seen))
+        del _SSE_SESSIONS[victims[0].sid]
+
+
+def _sse_get_or_create(sid: str | None) -> _SseSession:
+    if sid and sid in _SSE_SESSIONS:
+        sess = _SSE_SESSIONS[sid]
+    else:
+        _sse_evict()
+        sess = _SseSession(sid or uuid.uuid4().hex)
+        _SSE_SESSIONS[sess.sid] = sess
+    sess.last_seen = time.monotonic()
+    return sess
+
+
+async def _sse_stream(request: web.Request, sess: _SseSession,
+                      first_event: tuple[str, str] | None = None
+                      ) -> web.StreamResponse:
+    """Serve a session's events as a live SSE stream until disconnect.
+
+    Replays history after the client's ``Last-Event-ID``, then follows the
+    queue, emitting ``: ping`` comments while idle so intermediaries keep
+    the connection open (reference troubleshooting note, lines 304-306).
+    """
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "Connection": "keep-alive",
+        "Mcp-Session-Id": sess.sid,
+    })
+    await resp.prepare(request)
+    sess.connected = True
+    try:
+        if first_event is not None:
+            name, data = first_event
+            await resp.write(f"event: {name}\ndata: {data}\n\n".encode())
+        last = request.headers.get("Last-Event-ID")
+        seen = 0
+        if last is not None:
+            try:
+                seen = int(last)
+            except ValueError:
+                seen = 0
+            for eid, data in list(sess.history):
+                if eid > seen:
+                    await resp.write(
+                        f"id: {eid}\nevent: message\ndata: {data}\n\n"
+                        .encode())
+                    seen = eid
+        while True:
+            try:
+                eid, data = await asyncio.wait_for(sess.queue.get(),
+                                                   _SSE_KEEPALIVE_S)
+            except asyncio.TimeoutError:
+                await resp.write(b": ping\n\n")
+                continue
+            if eid <= seen:     # already replayed from history
+                continue
+            await resp.write(f"id: {eid}\nevent: message\ndata: {data}\n\n"
+                             .encode())
+    except (ConnectionResetError, asyncio.CancelledError):
+        pass
+    finally:
+        sess.connected = False
+        sess.last_seen = time.monotonic()
+    return resp
+
+
+async def handle_sse_get(request: web.Request) -> web.StreamResponse:
+    """Legacy HTTP+SSE transport entry point (GET /sse).
+
+    First event is ``endpoint`` with the session's message-POST URL,
+    relative to this server's mount (the reference's FastMCP emits
+    ``/messages/?session_id=...``, MCP_SSE_TESTING.md:110-118).
+    """
+    sess = _sse_get_or_create(request.query.get("session_id"))
+    base = request.path
+    base = base[:-len("sse")] if base.endswith("sse") else "/"
+    endpoint = f"{base}messages/?session_id={sess.sid}"
+    return await _sse_stream(request, sess, first_event=("endpoint", endpoint))
+
+
+async def handle_sse_messages(request: web.Request) -> web.Response:
+    """POST target for SSE sessions: dispatch, reply 202, emit on stream."""
+    sid = request.query.get("session_id", "")
+    sess = _SSE_SESSIONS.get(sid)
+    if sess is None:
+        return web.Response(status=404, text="Unknown session")
+    try:
+        body = await request.json()
+    except json.JSONDecodeError:
+        return web.json_response(_rpc_error(None, -32700, "Parse error"),
+                                 status=400)
+    for msg in body if isinstance(body, list) else [body]:
+        out = await _dispatch(request, msg)
+        if out is not None:
+            sess.push(json.dumps(out, ensure_ascii=False))
+    return web.Response(status=202, text="Accepted")
+
+
+async def handle_mcp_get(request: web.Request) -> web.StreamResponse:
+    """Streamable-HTTP GET stream: resumable server→client event channel."""
+    accept = request.headers.get("Accept", "")
+    if "text/event-stream" not in accept:
+        return web.Response(status=406, text="Accept: text/event-stream "
+                                             "required")
+    sid = request.headers.get("Mcp-Session-Id")
+    sess = _sse_get_or_create(sid)
+    return await _sse_stream(request, sess)
 
 
 async def handle_mcp_delete(request: web.Request) -> web.Response:
+    sid = request.headers.get("Mcp-Session-Id")
+    if sid:
+        _SSE_SESSIONS.pop(sid, None)
     return web.Response(status=200)
 
 
@@ -334,4 +494,8 @@ def create_mcp_app() -> web.Application:
     app.router.add_post("/mcp", handle_mcp_post)
     app.router.add_get("/mcp", handle_mcp_get)
     app.router.add_delete("/mcp", handle_mcp_delete)
+    # Legacy SSE transport (reference default for Claude Code remote MCP).
+    app.router.add_get("/sse", handle_sse_get)
+    app.router.add_post("/messages/", handle_sse_messages)
+    app.router.add_post("/messages", handle_sse_messages)
     return app
