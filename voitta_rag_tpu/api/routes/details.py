@@ -93,6 +93,7 @@ async def details(request: web.Request) -> web.Response:
         out["indexed"] = rec is not None and rec.chunk_count > 0
         out["chunk_count"] = rec.chunk_count if rec else 0
         out["content_hash"] = rec.content_hash if rec else None
+        out["parse_error"] = rec.parse_error if rec else None
     return web.json_response(out)
 
 

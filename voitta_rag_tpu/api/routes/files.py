@@ -51,6 +51,7 @@ async def file_info(request: web.Request) -> web.Response:
         "modified_at": st.st_mtime,
         "indexed": rec is not None and rec.chunk_count > 0,
         "chunk_count": rec.chunk_count if rec else 0,
+        "parse_error": rec.parse_error if rec else None,
     })
 
 

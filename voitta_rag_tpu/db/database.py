@@ -271,18 +271,20 @@ class Database:
     def upsert_indexed_file(self, rec: m.IndexedFile) -> None:
         self.execute(
             "INSERT INTO indexed_files (file_path, folder_path, index_folder, "
-            "content_hash, file_size, chunk_count, source_created_at, "
+            "content_hash, file_size, chunk_count, parse_error, "
+            "source_created_at, "
             "source_modified_at, indexed_at, updated_at) "
-            "VALUES (?,?,?,?,?,?,?,?,?,?) ON CONFLICT(file_path) DO UPDATE SET "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?) ON CONFLICT(file_path) DO UPDATE SET "
             "folder_path=excluded.folder_path, index_folder=excluded.index_folder, "
             "content_hash=excluded.content_hash, file_size=excluded.file_size, "
             "chunk_count=excluded.chunk_count, "
+            "parse_error=excluded.parse_error, "
             "source_created_at=excluded.source_created_at, "
             "source_modified_at=excluded.source_modified_at, "
             "updated_at=excluded.updated_at",
             (rec.file_path, rec.folder_path, rec.index_folder,
              rec.content_hash, rec.file_size, rec.chunk_count,
-             rec.source_created_at, rec.source_modified_at,
+             rec.parse_error, rec.source_created_at, rec.source_modified_at,
              rec.indexed_at, m.utc_now_iso()))
 
     def set_chunk_count(self, file_path: str, count: int) -> None:

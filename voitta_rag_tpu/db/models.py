@@ -164,6 +164,7 @@ class IndexedFile:
     content_hash: str = ""
     file_size: int = 0
     chunk_count: int = 0  # negative = indexing in progress (resume marker)
+    parse_error: str | None = None  # last parse failure (e.g. OCR needed)
     source_created_at: int | None = None
     source_modified_at: int | None = None
     indexed_at: str = field(default_factory=utc_now_iso)

@@ -107,6 +107,12 @@ class IndexingService:
 
         # Skip/repair decision (reference indexing.py:231-277).
         if rec and not force:
+            if (rec.content_hash == content_hash and rec.chunk_count == 0
+                    and rec.parse_error):
+                # Same bytes already failed to parse (e.g. scanned PDF
+                # awaiting an OCR worker) — don't re-parse every pass.
+                return {"status": "error", "error": rec.parse_error,
+                        "reason": "parse_error", "file": file_path}
             if rec.content_hash == content_hash and rec.chunk_count > 0:
                 store_count = self.store.count_chunks_for_file(file_path)
                 if store_count == rec.chunk_count:
@@ -155,6 +161,15 @@ class IndexingService:
             source_modified_at=rec.source_modified_at,
             allowed_users=acl, source_url=source_url)
 
+    def _record_parse_error(self, rec: IndexedFile, error: str | None) -> None:
+        """Persist a parse failure on the file record so the UI/details can
+        show an actionable status (e.g. "OCR required") instead of a file
+        that silently indexed to zero chunks. chunk_count=0 + parse_error
+        also short-circuits re-parsing the same content every folder pass."""
+        rec.chunk_count = 0
+        rec.parse_error = (error or "parse failed")[:500]
+        get_db().upsert_indexed_file(rec)
+
     def _embed_and_store(self, texts, metas):
         dense = self.embedder.embed_texts_array(texts)
         sparse = self.sparse.embed(texts)
@@ -167,6 +182,7 @@ class IndexingService:
         if not result.success:
             logger.warning("[INDEX] parse failed %s: %s", rec.file_path,
                            result.error)
+            self._record_parse_error(rec, result.error)
             return {"status": "error", "error": result.error,
                     "file": rec.file_path}
         if not source_url:
@@ -195,10 +211,17 @@ class IndexingService:
         db.upsert_indexed_file(rec)  # chunk_count = -1
         total = 0
         chunk_offset = 0
+        image_only_pages = 0
+        page_total = 0
         try:
             for result, start_page, end_page in parser.parse_in_buckets(
                     abs_path, get_settings().pdf_pages_per_bucket):
+                page_total = max(page_total,
+                                 int(result.metadata.get("page_count")
+                                     or end_page))
                 if not result.success or not result.content.strip():
+                    image_only_pages += int(
+                        result.metadata.get("image_only_pages") or 0)
                     continue
                 page_count = result.metadata.get("page_count")
                 chunks = self.chunker.chunk_text(result.content)
@@ -218,6 +241,17 @@ class IndexingService:
             logger.exception("[INDEX] PDF bucketing failed for %s",
                              rec.file_path)
             return {"status": "error", "error": str(e), "file": rec.file_path}
+        if total == 0 and image_only_pages:
+            # Zero text anywhere but raster images present: a scanned PDF.
+            # Surface "OCR needed" instead of an indexed-empty file
+            # (reference quality bar: MinerU OCR path, pdf_parser.py:110-164).
+            from voitta_rag_tpu.services.parsers.pdf_parser import \
+                image_only_error
+
+            err = image_only_error(image_only_pages, page_total)
+            logger.warning("[INDEX] %s: %s", rec.file_path, err)
+            self._record_parse_error(rec, err)
+            return {"status": "error", "error": err, "file": rec.file_path}
         db.set_chunk_count(rec.file_path, total)
         logger.info("[INDEX] indexed PDF %s (%d chunks)", rec.file_path, total)
         return {"status": "indexed", "chunks": total, "file": rec.file_path}

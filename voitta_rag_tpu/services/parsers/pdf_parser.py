@@ -710,6 +710,38 @@ class PdfDocument:
                 parts.append(_extract_page_text(stream, fonts))
         return "\n".join(p for p in parts if p)
 
+    def page_has_images(self, index: int) -> bool:
+        """True if the page draws raster images (XObject or inline).
+
+        Used to distinguish a scanned/image-only page (OCR-able by an
+        external worker, reference pdf_parser.py:110-164) from a genuinely
+        empty one when text extraction yields nothing.
+        """
+        page_num = self.pages[index]
+        d = _dict_of(self.objects.get(page_num, b""))
+        res = self._sub_dict(d, b"/Resources")
+        xobj = self._sub_dict(res, b"/XObject")
+        for m in re.finditer(rb"(\d+)\s+\d+\s+R", xobj):
+            body = self.objects.get(int(m.group(1)))
+            if body is not None and re.search(rb"/Subtype\s*/Image\b",
+                                              _dict_of(body)):
+                return True
+        for ref in _refs(d, b"/Contents"):
+            obj = self.objects.get(ref)
+            stream = _decode_stream(obj) if obj is not None else None
+            if stream and re.search(rb"\bBI\b.{0,4096}?\bID\b.*?\bEI\b",
+                                    stream, re.S):
+                return True
+        return False
+
+
+def image_only_error(img_pages: int, total_pages: int) -> str:
+    """Actionable parse-error text for scanned/image-only PDFs."""
+    return (f"Scanned/image-only PDF: {img_pages} of {total_pages} pages "
+            "contain raster images but no extractable text. OCR is required "
+            "— set VOITTA_PDF_WORKER_CMD to an OCR-capable worker (see "
+            "scripts/pdf_worker_example.py).")
+
 
 def _run_pdf_worker(cmd: str, file_path: Path, start: int,
                     end: int) -> ParserResult | None:
@@ -768,9 +800,12 @@ class PdfParser(BaseParser):
             pages = [doc.page_text(i) for i in range(n)]
             content = "\n\n".join(p for p in pages if p)
             if not content.strip():
+                img_pages = sum(1 for i in range(n)
+                                if doc.page_has_images(i))
+                if img_pages:
+                    return ParserResult.failure(image_only_error(img_pages, n))
                 return ParserResult.failure(
-                    "No extractable text (scanned/image PDF or unsupported "
-                    "encoding)")
+                    "No extractable text (empty or unsupported encoding)")
             return ParserResult(content=content,
                                 metadata={"page_count": n})
         except Exception as e:
@@ -816,6 +851,11 @@ class PdfParser(BaseParser):
                     continue
             texts = [doc.page_text(i) for i in range(start, end)]
             content = "\n\n".join(t for t in texts if t)
-            yield (ParserResult(content=content,
-                                metadata={"page_count": n}),
+            meta: dict = {"page_count": n}
+            if not content.strip():
+                # Flag image-bearing textless buckets so the indexer can
+                # report "OCR needed" instead of silently storing 0 chunks.
+                meta["image_only_pages"] = sum(
+                    1 for i in range(start, end) if doc.page_has_images(i))
+            yield (ParserResult(content=content, metadata=meta),
                    start + 1, end)

@@ -646,6 +646,10 @@
         `<dt>Chunks</dt><dd>${d.chunk_count}</dd>` +
         (d.content_hash ? `<dt>Hash</dt><dd class="mono">${esc(d.content_hash.slice(0, 16))}…</dd>` : "") +
         `</dl>`;
+      if (d.parse_error) {
+        html += `<p class="parse-error" title="${esc(d.parse_error)}">` +
+          `⚠ ${esc(d.parse_error)}</p>`;
+      }
     }
     html += `<h4>Notes</h4>` +
       `<textarea id="meta-text" rows="4">${esc((d.metadata && d.metadata.metadata) || "")}</textarea>` +
