@@ -57,49 +57,13 @@ uint32_t murmur3_32(const uint8_t* data, int len, uint32_t seed) {
 }
 
 // ---------------------------------------------------------------------------
-// Porter stemmer (Porter 1980), matching sparse_text.porter_stem exactly.
+// Snowball "english" stemmer (Porter2), matching
+// sparse_text.snowball_stem exactly — the algorithm fastembed's Bm25 runs.
+// Consonant-y is marked 'Y' (word-initial or after a vowel); R1/R2 are
+// fixed integer positions computed once (official Snowball semantics).
 // ---------------------------------------------------------------------------
-bool is_vowel_char(char c) {
-  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
-}
-
-bool is_cons(const std::string& w, int i) {
-  char c = w[i];
-  if (is_vowel_char(c)) return false;
-  if (c == 'y') return i == 0 || !is_cons(w, i - 1);
-  return true;
-}
-
-int measure(const std::string& s) {
-  int m = 0, i = 0, n = (int)s.size();
-  while (i < n && is_cons(s, i)) i++;
-  while (i < n) {
-    while (i < n && !is_cons(s, i)) i++;
-    if (i >= n) break;
-    m++;
-    while (i < n && is_cons(s, i)) i++;
-  }
-  return m;
-}
-
-bool has_vowel(const std::string& s) {
-  for (int i = 0; i < (int)s.size(); i++)
-    if (!is_cons(s, i)) return true;
-  return false;
-}
-
-bool ends_double_cons(const std::string& w) {
-  int n = (int)w.size();
-  return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
-}
-
-bool cvc(const std::string& w) {
-  int n = (int)w.size();
-  if (n < 3) return false;
-  if (!(is_cons(w, n - 3) && !is_cons(w, n - 2) && is_cons(w, n - 1)))
-    return false;
-  char c = w[n - 1];
-  return c != 'w' && c != 'x' && c != 'y';
+bool sb_vowel(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y';
 }
 
 bool ends_with(const std::string& w, const char* suf) {
@@ -107,141 +71,244 @@ bool ends_with(const std::string& w, const char* suf) {
   return w.size() >= sl && w.compare(w.size() - sl, sl, suf) == 0;
 }
 
-std::string porter_stem(std::string w) {
+int sb_r1(const std::string& w) {
+  static const char* pres[] = {"gener", "commun", "arsen"};
+  for (auto* pre : pres) {
+    size_t pl = std::strlen(pre);
+    if (w.size() >= pl && w.compare(0, pl, pre) == 0) return (int)pl;
+  }
+  for (int i = 1; i < (int)w.size(); i++)
+    if (!sb_vowel(w[i]) && sb_vowel(w[i - 1])) return i + 1;
+  return (int)w.size();
+}
+
+int sb_region(const std::string& w, int start) {
+  for (int i = start + 1; i < (int)w.size(); i++)
+    if (!sb_vowel(w[i]) && sb_vowel(w[i - 1])) return i + 1;
+  return (int)w.size();
+}
+
+bool sb_ends_short_syllable(const std::string& w) {
+  int n = (int)w.size();
+  if (n == 2) return sb_vowel(w[0]) && !sb_vowel(w[1]);
+  if (n >= 3)
+    return !sb_vowel(w[n - 3]) && sb_vowel(w[n - 2]) && !sb_vowel(w[n - 1]) &&
+           w[n - 1] != 'w' && w[n - 1] != 'x' && w[n - 1] != 'Y';
+  return false;
+}
+
+bool sb_has_vowel(const std::string& w, int upto) {
+  for (int i = 0; i < upto && i < (int)w.size(); i++)
+    if (sb_vowel(w[i])) return true;
+  return false;
+}
+
+std::string snowball_stem(std::string w) {
   if (w.size() <= 2) return w;
+  static const std::unordered_map<std::string, std::string> exceptions = {
+      {"skis", "ski"},     {"skies", "sky"},   {"dying", "die"},
+      {"lying", "lie"},    {"tying", "tie"},   {"idly", "idl"},
+      {"gently", "gentl"}, {"ugly", "ugli"},   {"early", "earli"},
+      {"only", "onli"},    {"singly", "singl"}, {"sky", "sky"},
+      {"news", "news"},    {"howe", "howe"},   {"atlas", "atlas"},
+      {"cosmos", "cosmos"}, {"bias", "bias"},  {"andes", "andes"}};
+  auto ex = exceptions.find(w);
+  if (ex != exceptions.end()) return ex->second;
+  if (w[0] == '\'') w.erase(0, 1);
+  // mark consonant-y
+  if (w[0] == 'y') w[0] = 'Y';
+  for (int i = 1; i < (int)w.size(); i++)
+    if (w[i] == 'y' && sb_vowel(w[i - 1])) w[i] = 'Y';
+  const int r1 = sb_r1(w);
+  const int r2 = sb_region(w, r1);
 
-  // Step 1a
-  if (ends_with(w, "sses")) w.resize(w.size() - 2);
-  else if (ends_with(w, "ies")) w.resize(w.size() - 2);
-  else if (ends_with(w, "ss")) {}
-  else if (ends_with(w, "s")) w.resize(w.size() - 1);
-
-  // Step 1b
-  bool flag = false;
-  if (ends_with(w, "eed")) {
-    if (measure(w.substr(0, w.size() - 3)) > 0) w.resize(w.size() - 1);
-  } else if (ends_with(w, "ed")) {
-    if (has_vowel(w.substr(0, w.size() - 2))) {
-      w.resize(w.size() - 2);
-      flag = true;
-    }
-  } else if (ends_with(w, "ing")) {
-    if (has_vowel(w.substr(0, w.size() - 3))) {
-      w.resize(w.size() - 3);
-      flag = true;
+  // Step 0
+  for (auto* suf : {"'s'", "'s", "'"}) {
+    if (ends_with(w, suf)) {
+      w.resize(w.size() - std::strlen(suf));
+      break;
     }
   }
-  if (flag) {
-    if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) {
-      w += 'e';
-    } else if (ends_double_cons(w) && w.back() != 'l' && w.back() != 's' &&
-               w.back() != 'z') {
-      w.resize(w.size() - 1);
-    } else if (measure(w) == 1 && cvc(w)) {
-      w += 'e';
+
+  // Step 1a
+  if (ends_with(w, "sses")) {
+    w.resize(w.size() - 2);
+  } else if (ends_with(w, "ied") || ends_with(w, "ies")) {
+    w.resize(w.size() - (w.size() > 4 ? 2 : 1));
+  } else if (ends_with(w, "us") || ends_with(w, "ss")) {
+  } else if (ends_with(w, "s")) {
+    if (sb_has_vowel(w, (int)w.size() - 2)) w.resize(w.size() - 1);
+  }
+
+  static const std::unordered_set<std::string> stop1a = {
+      "inning", "outing", "canning", "herring", "earring",
+      "proceed", "exceed", "succeed"};
+  if (stop1a.count(w)) {
+    std::replace(w.begin(), w.end(), 'Y', 'y');
+    return w;
+  }
+
+  // Step 1b
+  if (ends_with(w, "eedly") || ends_with(w, "eed")) {
+    int sl = ends_with(w, "eedly") ? 5 : 3;
+    if ((int)w.size() - sl >= r1) {
+      w.resize(w.size() - sl);
+      w += "ee";
+    }
+  } else {
+    for (auto* suf : {"ingly", "edly", "ing", "ed"}) {
+      if (ends_with(w, suf)) {
+        int sl = (int)std::strlen(suf);
+        if (sb_has_vowel(w, (int)w.size() - sl)) {
+          w.resize(w.size() - sl);
+          if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) {
+            w += 'e';
+          } else if (ends_with(w, "bb") || ends_with(w, "dd") ||
+                     ends_with(w, "ff") || ends_with(w, "gg") ||
+                     ends_with(w, "mm") || ends_with(w, "nn") ||
+                     ends_with(w, "pp") || ends_with(w, "rr") ||
+                     ends_with(w, "tt")) {
+            w.resize(w.size() - 1);
+          } else if (r1 >= (int)w.size() && sb_ends_short_syllable(w)) {
+            w += 'e';
+          }
+        }
+        break;
+      }
     }
   }
 
   // Step 1c
-  if (ends_with(w, "y") && has_vowel(w.substr(0, w.size() - 1))) {
+  if (w.size() > 2 && (w.back() == 'y' || w.back() == 'Y') &&
+      !sb_vowel(w[w.size() - 2]))
     w.back() = 'i';
-  }
 
-  // Step 2
+  // Step 2 (longest match, then R1)
   {
     static const char* sufs[][2] = {
-        {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"},
-        {"anci", "ance"},   {"izer", "ize"},    {"abli", "able"},
-        {"alli", "al"},     {"entli", "ent"},   {"eli", "e"},
-        {"ousli", "ous"},   {"ization", "ize"}, {"ation", "ate"},
-        {"ator", "ate"},    {"alism", "al"},    {"iveness", "ive"},
-        {"fulness", "ful"}, {"ousness", "ous"}, {"aliti", "al"},
-        {"iviti", "ive"},   {"biliti", "ble"}};
+        {"ization", "ize"}, {"ational", "ate"}, {"fulness", "ful"},
+        {"ousness", "ous"}, {"iveness", "ive"}, {"tional", "tion"},
+        {"biliti", "ble"},  {"lessli", "less"}, {"entli", "ent"},
+        {"ation", "ate"},   {"alism", "al"},    {"aliti", "al"},
+        {"ousli", "ous"},   {"iviti", "ive"},   {"fulli", "ful"},
+        {"enci", "ence"},   {"anci", "ance"},   {"abli", "able"},
+        {"izer", "ize"},    {"ator", "ate"},    {"alli", "al"},
+        {"bli", "ble"},     {"ogi", "og"},      {"li", ""}};
     for (auto& sr : sufs) {
       if (ends_with(w, sr[0])) {
-        std::string stem = w.substr(0, w.size() - std::strlen(sr[0]));
-        if (measure(stem) > 0) w = stem + sr[1];
+        int sl = (int)std::strlen(sr[0]);
+        if ((int)w.size() - sl >= r1) {
+          if (std::strcmp(sr[0], "ogi") == 0) {
+            if (w.size() > 3 && w[w.size() - 4] == 'l') {
+              w.resize(w.size() - 3);
+              w += "og";
+            }
+          } else if (std::strcmp(sr[0], "li") == 0) {
+            if (w.size() > 2) {
+              char c = w[w.size() - 3];
+              if (std::strchr("cdeghkmnrt", c)) w.resize(w.size() - 2);
+            }
+          } else {
+            w.resize(w.size() - sl);
+            w += sr[1];
+          }
+        }
         break;
       }
     }
   }
 
-  // Step 3
+  // Step 3 (longest match, then R1; ative needs R2)
   {
-    static const char* sufs[][2] = {{"icate", "ic"}, {"ative", ""},
-                                    {"alize", "al"}, {"iciti", "ic"},
-                                    {"ical", "ic"},  {"ful", ""},
-                                    {"ness", ""}};
+    static const char* sufs[][2] = {
+        {"ational", "ate"}, {"tional", "tion"}, {"alize", "al"},
+        {"icate", "ic"},    {"iciti", "ic"},    {"ative", ""},
+        {"ical", "ic"},     {"ness", ""},       {"ful", ""}};
     for (auto& sr : sufs) {
       if (ends_with(w, sr[0])) {
-        std::string stem = w.substr(0, w.size() - std::strlen(sr[0]));
-        if (measure(stem) > 0) w = stem + sr[1];
+        int sl = (int)std::strlen(sr[0]);
+        if ((int)w.size() - sl >= r1) {
+          if (std::strcmp(sr[0], "ative") == 0) {
+            if ((int)w.size() - sl >= r2) w.resize(w.size() - sl);
+          } else {
+            w.resize(w.size() - sl);
+            w += sr[1];
+          }
+        }
         break;
       }
     }
   }
 
-  // Step 4
+  // Step 4 (longest match, then R2; ion needs s/t before it)
   {
-    static const char* sufs[] = {"al",  "ance", "ence", "er",  "ic",  "able",
-                                 "ible", "ant",  "ement", "ment", "ent", "ou",
-                                 "ism",  "ate",  "iti",   "ous",  "ive", "ize"};
-    bool matched = false;
+    static const char* sufs[] = {"ement", "ance", "ence", "able", "ible",
+                                 "ment",  "ant",  "ent",  "ism",  "ate",
+                                 "iti",   "ous",  "ive",  "ize",  "ion",
+                                 "al",    "er",   "ic"};
     for (auto* suf : sufs) {
       if (ends_with(w, suf)) {
-        std::string stem = w.substr(0, w.size() - std::strlen(suf));
-        if (measure(stem) > 1) w = stem;
-        matched = true;
+        int sl = (int)std::strlen(suf);
+        if ((int)w.size() - sl >= r2) {
+          if (std::strcmp(suf, "ion") == 0) {
+            if (w.size() > 3 &&
+                (w[w.size() - 4] == 's' || w[w.size() - 4] == 't'))
+              w.resize(w.size() - 3);
+          } else {
+            w.resize(w.size() - sl);
+          }
+        }
         break;
       }
     }
-    if (!matched && ends_with(w, "ion") && w.size() >= 4) {
-      std::string stem = w.substr(0, w.size() - 3);
-      char c = w[w.size() - 4];
-      if (measure(stem) > 1 && (c == 's' || c == 't')) w = stem;
-    }
   }
 
-  // Step 5a
-  if (ends_with(w, "e")) {
+  // Step 5
+  if (!w.empty() && w.back() == 'e') {
     std::string stem = w.substr(0, w.size() - 1);
-    int m = measure(stem);
-    if (m > 1 || (m == 1 && !cvc(stem))) w = stem;
-  }
-  // Step 5b
-  if (measure(w) > 1 && ends_double_cons(w) && w.back() == 'l')
+    if ((int)stem.size() >= r2 ||
+        ((int)stem.size() >= r1 && !sb_ends_short_syllable(stem)))
+      w = stem;
+  } else if (w.size() >= 2 && w.back() == 'l' && (int)w.size() - 1 >= r2 &&
+             w[w.size() - 2] == 'l') {
     w.resize(w.size() - 1);
+  }
+
+  std::replace(w.begin(), w.end(), 'Y', 'y');
   return w;
 }
 
 // ---------------------------------------------------------------------------
-// Stopwords (NLTK English list; apostrophe forms can't appear in [a-z0-9]+
-// tokens but are kept for parity with the Python set)
+// Stopwords: NLTK English list, modern 179-entry revision (what the
+// Qdrant/bm25 model ships as stopwords.txt). Must equal
+// sparse_text.STOPWORDS. Apostrophe forms can't appear in \w+ tokens but
+// are kept for list fidelity; the bare stems (don, t, s, ll, ve, …) do
+// the real contraction filtering.
 // ---------------------------------------------------------------------------
 const std::unordered_set<std::string>& stopwords() {
   static const std::unordered_set<std::string> s = {
-      "a", "about", "above", "after", "again", "against", "all", "am", "an",
-      "and", "any", "are", "aren't", "as", "at", "be", "because", "been",
-      "before", "being", "below", "between", "both", "but", "by", "can't",
-      "cannot", "could", "couldn't", "did", "didn't", "do", "does", "doesn't",
-      "doing", "don't", "down", "during", "each", "few", "for", "from",
-      "further", "had", "hadn't", "has", "hasn't", "have", "haven't",
-      "having", "he", "he'd", "he'll", "he's", "her", "here", "here's",
-      "hers", "herself", "him", "himself", "his", "how", "how's", "i", "i'd",
-      "i'll", "i'm", "i've", "if", "in", "into", "is", "isn't", "it", "it's",
-      "its", "itself", "let's", "me", "more", "most", "mustn't", "my",
-      "myself", "no", "nor", "not", "of", "off", "on", "once", "only", "or",
-      "other", "ought", "our", "ours", "ourselves", "out", "over", "own",
-      "same", "shan't", "she", "she'd", "she'll", "she's", "should",
-      "shouldn't", "so", "some", "such", "than", "that", "that's", "the",
-      "their", "theirs", "them", "themselves", "then", "there", "there's",
-      "these", "they", "they'd", "they'll", "they're", "they've", "this",
-      "those", "through", "to", "too", "under", "until", "up", "very", "was",
-      "wasn't", "we", "we'd", "we'll", "we're", "we've", "were", "weren't",
-      "what", "what's", "when", "when's", "where", "where's", "which",
-      "while", "who", "who's", "whom", "why", "why's", "with", "won't",
-      "would", "wouldn't", "you", "you'd", "you'll", "you're", "you've",
-      "your", "yours", "yourself", "yourselves"};
+      "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+      "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+      "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+      "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+      "their", "theirs", "themselves", "what", "which", "who", "whom",
+      "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+      "were", "be", "been", "being", "have", "has", "had", "having", "do",
+      "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+      "because", "as", "until", "while", "of", "at", "by", "for", "with",
+      "about", "against", "between", "into", "through", "during", "before",
+      "after", "above", "below", "to", "from", "up", "down", "in", "out",
+      "on", "off", "over", "under", "again", "further", "then", "once",
+      "here", "there", "when", "where", "why", "how", "all", "any", "both",
+      "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+      "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+      "can", "will", "just", "don", "don't", "should", "should've", "now",
+      "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+      "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+      "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+      "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+      "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren",
+      "weren't", "won", "won't", "wouldn", "wouldn't"};
   return s;
 }
 
@@ -253,25 +320,34 @@ uint32_t voitta_murmur3_32(const char* data, int len, uint32_t seed) {
   return murmur3_32(reinterpret_cast<const uint8_t*>(data), len, seed);
 }
 
-// Tokenize [a-z0-9]+ runs of lowercase(text), drop stopwords, Porter-stem,
-// murmur3 & 0x7fffffff. Returns number of ids written (up to cap).
+// fastembed-compatible term ids for ASCII text (the Python wrapper routes
+// any text with non-ASCII bytes to the reference implementation, since
+// Python's \w is Unicode-aware). Tokens are [a-z0-9_]+ runs of
+// lowercase(text); filters: single punctuation char ("_"), stopword,
+// length > 40; then Snowball-stem and abs(signed mmh3).
+// Returns number of ids written (up to cap).
 int voitta_term_ids(const char* text, int len, uint32_t* out, int cap) {
   int n_out = 0;
   std::string tok;
   for (int i = 0; i <= len; i++) {
     char c = (i < len) ? text[i] : ' ';
     if (c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
-    if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+    if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
       tok += c;
       continue;
     }
     if (!tok.empty()) {
-      if (!stopwords().count(tok)) {
-        std::string stem = porter_stem(tok);
+      if (tok != "_" && tok.size() <= 40 && !stopwords().count(tok)) {
+        std::string stem = snowball_stem(tok);
         if (n_out < cap) {
-          out[n_out++] = murmur3_32(
+          uint32_t h = murmur3_32(
               reinterpret_cast<const uint8_t*>(stem.data()),
-              (int)stem.size(), 0) & 0x7fffffff;
+              (int)stem.size(), 0);
+          // abs() of the signed reading; -2^31 clamps to 2^31-1
+          uint32_t id = h == 0x80000000u ? 0x7fffffffu
+                        : (h & 0x80000000u) ? (uint32_t)(-(int64_t)(int32_t)h)
+                                            : h;
+          out[n_out++] = id;
         }
       }
       tok.clear();

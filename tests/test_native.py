@@ -20,26 +20,32 @@ CASES = [
 ]
 
 
-def test_porter_stem_known_values():
-    # Canonical Porter examples.
-    assert st.porter_stem("caresses") == "caress"
-    assert st.porter_stem("ponies") == "poni"
-    assert st.porter_stem("ties") == "ti"
-    assert st.porter_stem("caress") == "caress"
-    assert st.porter_stem("cats") == "cat"
-    assert st.porter_stem("feed") == "feed"
-    assert st.porter_stem("agreed") == "agre"
-    assert st.porter_stem("plastered") == "plaster"
-    assert st.porter_stem("motoring") == "motor"
-    assert st.porter_stem("conflated") == "conflat"
-    assert st.porter_stem("troubling") == "troubl"
-    assert st.porter_stem("sized") == "size"
-    assert st.porter_stem("hopping") == "hop"
-    assert st.porter_stem("happy") == "happi"
-    assert st.porter_stem("relational") == "relat"
-    assert st.porter_stem("conditional") == "condit"
-    assert st.porter_stem("probate") == "probat"
-    assert st.porter_stem("controll") == "control"
+def test_snowball_stem_known_values():
+    # Snowball "english" (Porter2) sample behaviors, including the
+    # exceptional forms and region rules (fastembed's stemmer).
+    assert st.snowball_stem("caresses") == "caress"
+    assert st.snowball_stem("ponies") == "poni"
+    assert st.snowball_stem("ties") == "tie"          # Porter2: ie, not i
+    assert st.snowball_stem("cries") == "cri"
+    assert st.snowball_stem("cats") == "cat"
+    assert st.snowball_stem("feed") == "feed"
+    assert st.snowball_stem("agreed") == "agre"
+    assert st.snowball_stem("plastered") == "plaster"
+    assert st.snowball_stem("motoring") == "motor"
+    assert st.snowball_stem("conflated") == "conflat"
+    assert st.snowball_stem("troubling") == "troubl"
+    assert st.snowball_stem("sized") == "size"
+    assert st.snowball_stem("hopping") == "hop"
+    assert st.snowball_stem("happy") == "happi"
+    assert st.snowball_stem("relational") == "relat"
+    assert st.snowball_stem("conditional") == "condit"
+    assert st.snowball_stem("fluently") == "fluentli"
+    assert st.snowball_stem("dying") == "die"         # exceptional form
+    assert st.snowball_stem("skies") == "sky"
+    assert st.snowball_stem("inning") == "inning"     # post-1a invariant
+    assert st.snowball_stem("generously") == "generous"  # gener- R1 prefix
+    assert st.snowball_stem("communication") == "communic"
+    assert st.snowball_stem("quantization") == "quantiz"  # fixed-R2 semantics
 
 
 def test_murmur3_known_vectors():

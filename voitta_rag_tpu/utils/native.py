@@ -74,6 +74,13 @@ def available() -> bool:
 
 
 def term_ids(text: str) -> list[int]:
+    if not text.isascii():
+        # Python's \w tokenization is Unicode-aware; the C++ fast path only
+        # replicates it for ASCII. Non-ASCII texts (uncommon in the hot
+        # code/doc-indexing loop) take the reference implementation.
+        from voitta_rag_tpu.search import sparse_text
+
+        return sparse_text._py_term_ids(text)
     lib = _load()
     data = text.encode("utf-8", errors="ignore")
     cap = max(len(data), 16)
