@@ -94,6 +94,14 @@ class Settings:
         # Capacity of one device segment (rows are padded to this; must be a
         # multiple of the scan tile).
         self.segment_capacity: int = int(os.getenv("VOITTA_SEGMENT_CAPACITY", "131072"))
+        # Beyond-HBM cold tier: max device-resident rows (0 = unlimited).
+        # Full segments past the budget offload to host RAM and are served
+        # by streaming scans (index/stream_scan.py).
+        self.device_rows_budget: int = int(
+            os.getenv("VOITTA_DEVICE_ROWS_BUDGET", "0"))
+        # Staging-block rows for cold-tier streaming scans (lane-aligned).
+        self.stream_block_rows: int = int(
+            os.getenv("VOITTA_STREAM_BLOCK_ROWS", "262144"))
         # Dense storage dtype on device: "bfloat16" | "float32" | "int8"
         self.segment_dtype: str = os.getenv("VOITTA_SEGMENT_DTYPE", "bfloat16")
         # Sparse BM25 slots kept per chunk (top-|S| weighted terms).

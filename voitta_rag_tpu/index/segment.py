@@ -95,6 +95,44 @@ class Segment:
         self.terms_np = np.full((capacity, sparse_slots), -1, np.int32)
         self._next = 0
         self._free: list[int] = []
+        # Cold tier: an offloaded segment keeps the same arrays as numpy in
+        # host RAM (beyond-HBM serving; the Qdrant-mmap analogue). Searches
+        # stream it through device staging blocks (index/stream_scan.py);
+        # it takes no new writes until compaction.
+        self._resident = True
+
+    # -- cold tier ----------------------------------------------------------
+    @property
+    def resident(self) -> bool:
+        return self._resident
+
+    def offload(self) -> None:
+        """Move this segment's arrays to host RAM, freeing their HBM.
+
+        Pending donated scatters are drained first so the host copy is the
+        settled state. bf16 vectors stay bf16 (ml_dtypes numpy)."""
+        if not self._resident:
+            return
+        jax.block_until_ready(self.cols)
+        self.vecs = np.array(self.vecs)
+        if self.scales is not None:
+            self.scales = np.array(self.scales)
+        self.terms = np.array(self.terms)
+        self.weights = np.array(self.weights)
+        self.cols = np.array(self.cols)
+        self._resident = False
+
+    def ensure_resident(self) -> None:
+        """Bring an offloaded segment back into HBM (compaction/rebuild)."""
+        if self._resident:
+            return
+        self.vecs = jnp.asarray(self.vecs)
+        if self.scales is not None:
+            self.scales = jnp.asarray(self.scales)
+        self.terms = jnp.asarray(self.terms)
+        self.weights = jnp.asarray(self.weights)
+        self.cols = jnp.asarray(self.cols)
+        self._resident = True
 
     # -- allocation ---------------------------------------------------------
     @property
@@ -102,6 +140,8 @@ class Segment:
         return int(self.valid_np.sum())
 
     def rows_available(self) -> int:
+        if not self._resident:
+            return 0  # cold segments take no new writes
         return (self.capacity - self._next) + len(self._free)
 
     def allocate(self, n: int) -> np.ndarray:
@@ -131,6 +171,7 @@ class Segment:
         Batches larger than the biggest scatter bucket are split here so
         every caller (bulk upsert, compaction) can pass arbitrary sizes.
         """
+        assert self._resident, "write_rows on an offloaded (cold) segment"
         n = len(rows)
         max_b = UPDATE_BUCKETS[-1]
         if n > max_b:
@@ -180,6 +221,11 @@ class Segment:
     def tombstone_rows(self, rows: np.ndarray) -> None:
         if len(rows) == 0:
             return
+        if not self._resident:
+            self.cols[COL_VALID, rows] = 0
+            self.valid_np[rows] = False
+            # No free-list reuse while cold: the segment takes no writes.
+            return
         max_b = UPDATE_BUCKETS[-1]
         for s in range(0, len(rows), max_b):  # split over scatter buckets
             chunk = rows[s:s + max_b]
@@ -198,6 +244,10 @@ class Segment:
             col_host = np.asarray(self.cols[col_idx])
             rows = np.nonzero(self.valid_np & (col_host == match_id))[0]
         if len(rows) == 0:
+            return rows.astype(np.int32)
+        if not self._resident:
+            self.cols[COL_VALID, rows] = 0
+            self.valid_np[rows] = False
             return rows.astype(np.int32)
         self.cols = _tombstone_matching(self.cols, col_idx, match_id)
         self.valid_np[rows] = False

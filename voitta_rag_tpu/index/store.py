@@ -60,6 +60,8 @@ class TpuVectorStore:
         self.sparse_slots = settings.sparse_slots
         self.sparse_query_terms = settings.sparse_query_terms
         self.prefetch_multiplier = settings.prefetch_multiplier
+        self._device_rows_budget = settings.device_rows_budget
+        self._stream_block_rows = settings.stream_block_rows
         self._lock = threading.RLock()
         # Serializes whole save() calls (capture + compress) without
         # holding the store lock during compression.
@@ -199,6 +201,7 @@ class TpuVectorStore:
             if self._segments:
                 logger.info("Loaded %d segments (%d live chunks) for '%s'",
                             len(self._segments), self.count(), self.collection_name)
+            self._enforce_device_budget()
 
     @staticmethod
     def _spill_index(path) -> int | None:
@@ -242,7 +245,34 @@ class TpuVectorStore:
         self._segments.append(seg)
         logger.info("Allocated segment %d (capacity %d, dtype %s)",
                     len(self._segments) - 1, seg.capacity, seg.dtype)
+        self._enforce_device_budget()
         return seg
+
+    def _enforce_device_budget(self) -> None:
+        """Offload filled segments past VOITTA_DEVICE_ROWS_BUDGET to host
+        RAM (the beyond-HBM cold tier; Qdrant-mmap analogue, reference
+        layer 0). The newest segment always stays resident for writes;
+        searches stream cold segments (index/stream_scan.py)."""
+        budget = self._device_rows_budget
+        if not budget or not self._segments:
+            return
+        resident = [s for s in self._segments if s.resident]
+        while sum(s.capacity for s in resident) > budget and len(resident) > 1:
+            cand = next((s for s in resident[:-1]
+                         if s._next >= s.capacity), resident[0])
+            if cand is resident[-1]:
+                break
+            cand.offload()
+            resident.remove(cand)
+            logger.info(
+                "Offloaded segment %d to host (cold tier): %d resident "
+                "rows > budget %d", self._segments.index(cand),
+                sum(s.capacity for s in resident) + cand.capacity, budget)
+
+    @property
+    def cold_tier_active(self) -> bool:
+        return (self._segments is not None
+                and any(not s.resident for s in self._segments))
 
     def _gid(self, seg: Segment, row: int) -> int:
         return self._segments.index(seg) * self.segment_capacity + int(row)
@@ -468,6 +498,11 @@ class TpuVectorStore:
                     self._ivf_nprobe = nprobe
                 self._ivf_dirty = False
                 return info
+            if self.cold_tier_active:
+                raise ValueError(
+                    "IVF snapshot requires a fully device-resident store; "
+                    "this store serves beyond-HBM segments via streaming "
+                    "scans (VOITTA_DEVICE_ROWS_BUDGET)")
             # Gather live rows ON DEVICE (only the row-index vectors cross
             # the host boundary — segments can be GBs, indices are MBs).
             import jax.numpy as jnp
@@ -532,6 +567,11 @@ class TpuVectorStore:
                 return info
             if not self._segments:
                 raise ValueError("no live rows to build postings from")
+            if self.cold_tier_active:
+                raise ValueError(
+                    "postings snapshot requires a fully device-resident "
+                    "store; this store serves beyond-HBM segments via "
+                    "streaming scans (VOITTA_DEVICE_ROWS_BUDGET)")
             terms = jnp.concatenate([s.terms for s in self._segments], axis=1)
             weights = jnp.concatenate(
                 [s.weights for s in self._segments], axis=1)
@@ -558,12 +598,27 @@ class TpuVectorStore:
         Returns (dense_scores [B, total], sparse_scores [B, total] | None).
         """
         d_parts, s_parts = [], []
+        qt_j = jnp.asarray(qt) if qt is not None else None
+        qw_j = jnp.asarray(qw) if qw is not None else None
         for seg in self._segments:
+            if not seg.resident:
+                # Cold tier: stream through device staging blocks; same
+                # kernels, same [B, cap] score layout.
+                from voitta_rag_tpu.index.stream_scan import \
+                    stream_segment_scores
+
+                d, s = stream_segment_scores(
+                    q_dense, seg, spec, qt_j, qw_j,
+                    block_rows=self._stream_block_rows)
+                d_parts.append(d)
+                if s is not None:
+                    s_parts.append(s)
+                continue
             d_parts.append(dense_scan_scores(
                 q_dense, seg.vecs, seg.cols, spec, seg.scales))
             if qt is not None:
                 s_parts.append(sparse_scan_scores(
-                    jnp.asarray(qt), jnp.asarray(qw), seg.terms, seg.weights,
+                    qt_j, qw_j, seg.terms, seg.weights,
                     seg.cols, spec))
         dense_scores = jnp.concatenate(d_parts, axis=1)
         sparse_scores = jnp.concatenate(s_parts, axis=1) if s_parts else None
@@ -792,6 +847,9 @@ class TpuVectorStore:
             else self._sharded.n_shards,
             "sharded": self._sharded is not None,
             "segment_capacity": self.segment_capacity,
+            "cold_segments": (0 if self._sharded is not None else
+                              sum(1 for s in self._segments
+                                  if not s.resident)),
             "dimension": self.dimension,
             "dtype": self.segment_dtype,
             "status": "green",
@@ -927,6 +985,12 @@ class TpuVectorStore:
                         mapping[int(old[pos + j])] = si * cap + int(r)
                     pos += n
                 new_segments.append(seg)
+                # Beyond-HBM stores: never hold more than the device budget
+                # resident while rebuilding — filled segments offload as
+                # they complete (the last stays resident for writes).
+                if (self._device_rows_budget and si < n_needed - 1
+                        and (si + 1) * cap > self._device_rows_budget):
+                    seg.offload()
 
             # ---- journaled commit ----
             # 1. New spills under temp names (old finals stay valid).
@@ -967,6 +1031,7 @@ class TpuVectorStore:
             # 4. Swap in memory + on disk, then clear the journal.
             dropped = len(self._segments) - n_needed
             self._segments = new_segments
+            self._enforce_device_budget()
             self._ivf_dirty = True
             self._postings_dirty = True
             for i, tmp in enumerate(tmp_paths):
