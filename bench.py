@@ -213,6 +213,36 @@ def recall_at10(got_ids: np.ndarray, oracle_ids: np.ndarray) -> float:
         for b in range(len(got_ids))]))
 
 
+def recall_at10_scoreaware(got_vals: np.ndarray, oracle_vals: np.ndarray,
+                           eps: float = 1e-3) -> float:
+    """ANN-benchmarks-style recall: a returned row counts iff its score is
+    within ``eps`` of the true 10th-best score. Id-set intersection
+    undercounts whenever scores tie or near-tie — measured on this
+    clustered corpus the id metric loses ~0.5-1% to tie-flips that are not
+    ranking errors (two rows with equal scores are interchangeable
+    results). Both sides must be scored by the same storage dtype/kernel
+    family; eps covers f32 accumulation-order differences between the flat
+    and probe kernels."""
+    thr = oracle_vals[:, LIMIT - 1] - eps
+    return float(np.mean([
+        float((got_vals[b] >= thr[b]).mean()) for b in range(len(got_vals))]))
+
+
+HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
+
+
+def roofline(extra: dict, key: str, ms_per_batch: float,
+             corpus_bytes: int) -> None:
+    """Record compulsory-traffic roofline numbers for one scan config:
+    ``corpus_bytes`` is the resident data a dispatch MUST read (vectors +
+    scales + filter columns + sparse slots), i.e. the bandwidth lower
+    bound; achieved = that / time vs the 819 GB/s v5e peak."""
+    gbps = corpus_bytes / (ms_per_batch / 1000.0) / 1e9
+    extra[f"scan_bytes_{key}"] = int(corpus_bytes)
+    extra[f"achieved_gbps_{key}"] = round(gbps, 1)
+    extra[f"roofline_frac_{key}"] = round(gbps / HBM_PEAK_GBPS, 3)
+
+
 def chained_device_ms(fn_one, xs, n_chain: int, *arrays) -> float:
     """Device-side per-call time: run n_chain sequential calls inside ONE
     dispatch (lax.scan is a sequential while loop), so per-dispatch tunnel /
@@ -287,6 +317,12 @@ def main():
     extra["tunnel_rtt_ms"] = round(rtt_ms, 2)
     log(f"headline: {tpu_qps:.0f} qps ({dt / N_ITERS * 1000:.2f} ms per "
         f"{B}-query batch; tunnel rtt {rtt_ms:.1f} ms)")
+    # Compulsory reads: bf16 vectors + filter cols (dense + sparse kernels
+    # each read them) + slot-major sparse terms (i32) and weights (f32).
+    bytes_flat_bf16 = (N * D * 2 + 2 * N * NUM_COLS * 4
+                       + N * S * 4 + N * S * 4)
+    roofline(extra, "hybrid_1M_384_bf16", dt / N_ITERS * 1000,
+             bytes_flat_bf16)
 
     # NOTE: a lax.scan-chained "device-side" variant of this measurement was
     # tried and reads WORSE (7.9 ms vs 5.9 ms per batch): the scan carry
@@ -365,9 +401,13 @@ def main():
     scales = scale[None, :].astype(jnp.float32)
     w16 = weights.astype(jnp.bfloat16)
     try:
-        qps8, _ = queued_qps(device_hybrid, qstack, qt_j, qw_j, v8, cols,
-                             terms, w16, spec, scales)
+        qps8, dt8 = queued_qps(device_hybrid, qstack, qt_j, qw_j, v8, cols,
+                               terms, w16, spec, scales)
         extra["int8_hybrid_qps"] = round(qps8, 1)
+        bytes_flat_int8 = (N * D * 1 + N * 4 + 2 * N * NUM_COLS * 4
+                           + N * S * 4 + N * S * 2)
+        roofline(extra, "hybrid_1M_384_int8", dt8 / N_ITERS * 1000,
+                 bytes_flat_int8)
 
         @jax.jit
         def int8_top(q, v8, cols, scales):
@@ -380,8 +420,20 @@ def main():
         extra["int8_recall10"] = round(recall_at10(np.asarray(ids8),
                                                    oracle_ids), 3)
         log(f"int8: {qps8:.0f} qps, recall {extra['int8_recall10']}")
+
+        # Exact top-k over the int8 scores: the storage-dtype ground truth
+        # the IVF probe is measured against (same kernel family → the
+        # score-aware recall below compares like with like).
+        @jax.jit
+        def int8_oracle(q, v8, cols, scales):
+            sc = dense_scan_scores(q, v8, cols, pass_all, scales)
+            return masked_topk(sc, LIMIT)
+
+        ovals8, oids8 = int8_oracle(q_oracle, v8, cols, scales)
+        ovals8, oids8 = np.asarray(ovals8), np.asarray(oids8)
     except Exception as e:
         extra["int8_error"] = str(e)[:200]
+        ovals8 = oids8 = None
 
     # ---- IVF (C=4096 int8 cells) ----
     log("building IVF (C=4096, int8 cells)")
@@ -398,12 +450,23 @@ def main():
                 return ivf.search_candidates(q, pass_all, nprobe=nprobe,
                                              limit=LIMIT)
 
-            _, giv = ivf_top(q_oracle)
+            vivf, giv = ivf_top(q_oracle)
             rec = recall_at10(np.asarray(giv), oracle_ids)
-            qps_ivf, _ = queued_qps(ivf_top, qstack)
+            qps_ivf, dt_ivf = queued_qps(ivf_top, qstack)
             extra[f"ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
             extra[f"ivf_recall10_np{nprobe}"] = round(rec, 3)
-            log(f"IVF np={nprobe}: recall {rec:.3f}, {qps_ivf:.0f} qps")
+            if oids8 is not None:
+                rec_t = recall_at10_scoreaware(np.asarray(vivf), ovals8)
+                extra[f"ivf_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
+            n_rest = ivf.rest_vecs.shape[0]
+            u_cells = min(B * nprobe, IVF_CELLS)
+            probe_rows = u_cells * ivf.cell_cap + n_rest
+            roofline(extra, f"ivf_np{nprobe}", dt_ivf / N_ITERS * 1000,
+                     probe_rows * (D + 4 + NUM_COLS * 4))
+            log(f"IVF np={nprobe}: recall {rec:.3f}"
+                + (f" (score-aware {extra.get(f'ivf_recall10_scoreaware_np{nprobe}')})"
+                   if oids8 is not None else "")
+                + f", {qps_ivf:.0f} qps")
     except Exception as e:
         extra["ivf_error"] = str(e)[:250]
         ivf = None
@@ -602,6 +665,26 @@ def main():
     except Exception as e:
         extra["hnsw_error"] = str(e)[:250]
 
+    # ---- real-text corpus (round-3: recall numbers on REAL data) ----
+    if on_tpu and time_left() < 900:
+        extra["real_corpus_skipped"] = (
+            f"deadline: {time_left():.0f}s left, section needs ~900s")
+        log(extra["real_corpus_skipped"])
+    elif on_tpu:
+        try:
+            # Free the 1M synthetic device arrays first (the real section
+            # needs ~4 GB for corpus + encoder + IVF copy).
+            import gc
+
+            vecs_dev = vecs = v8 = scales = scale = w16 = None
+            qt_j = qw_j = q_oracle = oracle_scores = ivf = post = None
+            big = ids_stack = None
+            gc.collect()
+            extra.update(bench_real_corpus(rng, time_left))
+        except Exception as e:
+            extra["real_corpus_error"] = str(e)[:300]
+            log(f"real corpus failed: {e}")
+
     # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
     if on_tpu and time_left() < 1200:
         extra["scale10M_skipped"] = (
@@ -666,6 +749,211 @@ def main():
         "extra": extra,
     }
     print(json.dumps(result))
+
+
+def bench_real_corpus(rng, time_left):
+    """Real-text corpus section (round-3 credibility gap closure): every
+    other recall number in this file is a property of the synthetic
+    Gaussian-mixture generator. Here the corpus is REAL text — installed
+    package sources and docs on this host — run through the production
+    chunker and the production BM25 pipeline, encoded on-chip with the
+    e5-base architecture, and the same IVF/hybrid recall+QPS table is
+    reproduced on the resulting (anisotropic, Zipfian, unevenly clustered)
+    embedding distribution.
+
+    No pretrained weights exist in this offline image, so the encoder is
+    the real e5-base NETWORK (12L/768d, bf16, mean-pool) at random init
+    with a CRC-hashed word→id vocab: embeddings are then deterministic
+    functions of token statistics — lexically similar chunks embed close —
+    which produces the realistic geometry this section exists to test
+    (cluster-size skew, anisotropy), unlike pretrained-quality semantics.
+    Queries are held-out chunks from the same corpus; the oracle is the
+    exact int8 flat scan.
+    """
+    import gc
+    import pathlib
+    import re as _re
+    import site
+    import zlib
+
+    from voitta_rag_tpu.models.encoder import (PRESETS, encode_tokens,
+                                               init_params)
+    from voitta_rag_tpu.search.sparse_text import SparseEmbeddingService
+    from voitta_rag_tpu.services.chunking import ChunkingService
+
+    out = {}
+    NR, DR = 1_048_576, 768
+    LTOK, BE = 96, 256
+    CR = 8192  # IVF cells
+    log("real-corpus section: harvesting text")
+
+    # --- harvest + chunk (production chunker) ---
+    chunker = ChunkingService(chunk_size=800, chunk_overlap=200)
+    roots = [pathlib.Path(p) for p in site.getsitepackages()]
+    roots.append(pathlib.Path("/usr/share/doc"))
+    exts = {".py", ".md", ".rst", ".txt", ".cfg", ".toml", ".json"}
+    texts: list[str] = []
+    files = 0
+    total_bytes = 0
+    t0 = time.time()
+    for root in roots:
+        if len(texts) >= NR + 64:
+            break
+        if not root.exists():
+            continue
+        for p in sorted(root.rglob("*")):
+            if len(texts) >= NR + 64:
+                break
+            if not (p.is_file() and (p.suffix in exts
+                                     or p.name in ("LICENSE", "copyright"))):
+                continue
+            try:
+                txt = p.read_text(errors="ignore")
+            except OSError:
+                continue
+            if len(txt) < 200:
+                continue
+            files += 1
+            total_bytes += len(txt)
+            texts.extend(c.text for c in chunker.chunk_text(txt))
+    n_q = 64
+    q_texts = texts[NR:NR + n_q]
+    texts = texts[:NR]
+    out["real_chunks"] = len(texts)
+    out["real_files"] = files
+    out["real_text_mb"] = round(total_bytes / 1e6, 1)
+    log(f"real corpus: {len(texts)} chunks from {files} files "
+        f"({out['real_text_mb']} MB) in {time.time() - t0:.0f}s")
+    if len(texts) < NR // 2 or len(q_texts) < n_q:
+        out["real_corpus_error"] = f"only {len(texts)} chunks harvested"
+        return out
+
+    # --- tokenize (CRC-hashed vocab; deterministic across runs) ---
+    ecfg = PRESETS["intfloat/e5-base-v2"]
+    vocab = ecfg.vocab_size
+    word_re = _re.compile(r"\w+|[^\w\s]")
+
+    def tok_ids(text: str) -> np.ndarray:
+        ids = np.zeros(LTOK, np.int32)
+        ids[0] = 1
+        for j, w in enumerate(word_re.findall(text.lower())[:LTOK - 1]):
+            ids[j + 1] = 2 + (zlib.crc32(w.encode()) % (vocab - 2))
+        return ids
+
+    t0 = time.time()
+    all_ids = np.stack([tok_ids(t) for t in texts])
+    q_ids = np.stack([tok_ids(t) for t in q_texts])
+    log(f"tokenized in {time.time() - t0:.0f}s")
+
+    # --- encode on-chip (bf16), quantize to int8 on device ---
+    eparams = init_params(jax.random.PRNGKey(7), ecfg)
+    eparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), eparams)
+
+    @jax.jit
+    def enc_block(eparams, ids):
+        mask = (ids != 0).astype(jnp.int32)
+        v = encode_tokens(eparams, ecfg, ids, mask).astype(jnp.float32)
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+        sc = jnp.clip(jnp.max(jnp.abs(v), axis=1), 1e-9) / 127.0
+        v8 = jnp.clip(jnp.round(v / sc[:, None]), -127, 127).astype(jnp.int8)
+        return v8, sc
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def put_block(vecsR, scR, v8, sc, lo):
+        return (jax.lax.dynamic_update_slice(vecsR, v8, (lo, 0)),
+                jax.lax.dynamic_update_slice(scR, sc, (lo,)))
+
+    t0 = time.time()
+    vecsR = jnp.zeros((NR, DR), jnp.int8)
+    scR = jnp.zeros((NR,), jnp.float32)
+    for lo in range(0, NR, BE):
+        v8, sc = enc_block(eparams, jnp.asarray(all_ids[lo:lo + BE]))
+        vecsR, scR = put_block(vecsR, scR, v8, sc, jnp.int32(lo))
+    jax.block_until_ready(vecsR)
+    enc_s = time.time() - t0
+    out["real_encode_s"] = round(enc_s, 1)
+    out["real_encode_chunks_per_s"] = round(NR / enc_s, 1)
+    log(f"encoded {NR} chunks in {enc_s:.0f}s "
+        f"({NR / enc_s:.0f} chunks/s, e5-base bf16 L={LTOK})")
+    qv8, qsc = enc_block(eparams, jnp.asarray(q_ids))
+    qR = qv8.astype(jnp.float32) * qsc[:, None]
+    qR = qR / jnp.clip(jnp.linalg.norm(qR, axis=1, keepdims=True), 1e-9)
+    all_ids = q_ids = eparams = None
+    gc.collect()
+
+    # --- real BM25 sparse (production pipeline, slot-major top-S) ---
+    t0 = time.time()
+    svc = SparseEmbeddingService()
+    termsR_np = np.full((S, NR), TERM_PAD, np.int32)
+    weightsR_np = np.zeros((S, NR), np.float32)
+    for i, sv in enumerate(svc.embed(texts)):
+        if not sv.indices:
+            continue
+        o = np.argsort(-np.asarray(sv.values))[:S]
+        termsR_np[: len(o), i] = np.asarray(sv.indices, np.int64)[o]
+        weightsR_np[: len(o), i] = np.asarray(sv.values, np.float32)[o]
+    log(f"real BM25 vectors in {time.time() - t0:.0f}s")
+    q_sv = svc.embed_query(" ".join(q_texts[0].split()[:24]))
+    qtR = np.full((1, QT), TERM_PAD, np.int32)
+    qwR = np.zeros((1, QT), np.float32)
+    qtR[0, : min(QT, len(q_sv.indices))] = q_sv.indices[:QT]
+    qwR[0, : min(QT, len(q_sv.indices))] = q_sv.values[:QT]
+
+    colsR = jnp.zeros((NUM_COLS, NR), jnp.int32).at[COL_VALID].set(1)
+    scalesR = scR[None, :]
+    passR = make_filter_spec()
+    termsR = jnp.asarray(termsR_np)
+    weightsR = jnp.asarray(weightsR_np)
+    termsR_np = weightsR_np = None
+
+    # --- oracle + flat hybrid QPS ---
+    @jax.jit
+    def flat_topR(q, vecsR, scalesR, colsR):
+        sc = dense_scan_scores(q, vecsR, colsR, passR, scalesR)
+        return masked_topk(sc, LIMIT)
+
+    ovalsR, oidsR = flat_topR(qR, vecsR, scalesR, colsR)
+    ovalsR, oidsR = np.asarray(ovalsR), np.asarray(oidsR)
+
+    qstackR = jnp.concatenate([qR] * ((N_ITERS * B) // n_q))[: N_ITERS * B]
+    qstackR = qstackR.reshape(N_ITERS, B, DR)
+    qtRj, qwRj = jnp.asarray(qtR), jnp.asarray(qwR)
+    qpsR, dtR = queued_qps(device_hybrid, qstackR, qtRj, qwRj, vecsR, colsR,
+                           termsR, weightsR, passR, scalesR)
+    out["real_hybrid_qps_1M_768d_int8"] = round(qpsR, 1)
+    roofline(out, "real_hybrid_1M_768_int8", dtR / N_ITERS * 1000,
+             NR * DR + NR * 4 + 2 * NR * NUM_COLS * 4 + NR * S * 4
+             + NR * S * 4)
+
+    # --- IVF on the real embedding distribution ---
+    log("real-corpus IVF build")
+    t0 = time.perf_counter()
+    ivfR = IVFIndex.build(vecsR, colsR.T, jnp.arange(NR, dtype=jnp.int32),
+                          n_cells=CR, kmeans_iters=20, skew_factor=1.5,
+                          dtype="int8", scales=scR, assign_k=2,
+                          assign_margin=0.05)
+    jax.block_until_ready(ivfR.vecs3)
+    out["real_ivf_build_s"] = round(time.perf_counter() - t0, 1)
+    n_restR = int(np.asarray(ivfR.rest_gid >= 0).sum())
+    out["real_ivf_residual_frac"] = round(n_restR / NR, 4)
+    out["real_ivf_cell_cap"] = ivfR.cell_cap
+    log(f"real IVF: cap={ivfR.cell_cap}, residual {n_restR} "
+        f"({100 * n_restR / NR:.1f}%)")
+    for nprobe in (16, 32):
+        def ivf_topR(q, nprobe=nprobe):
+            return ivfR.search_candidates(q, passR, nprobe=nprobe,
+                                          limit=LIMIT)
+
+        vivf, giv = ivf_topR(qR)
+        rec = recall_at10(np.asarray(giv), oidsR)
+        rec_t = recall_at10_scoreaware(np.asarray(vivf), ovalsR)
+        qps_ivf, dt_ivf = queued_qps(ivf_topR, qstackR)
+        out[f"real_ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
+        out[f"real_ivf_recall10_np{nprobe}"] = round(rec, 3)
+        out[f"real_ivf_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
+        log(f"real IVF np={nprobe}: recall {rec:.3f} "
+            f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+    return out
 
 
 def bench_10m(extra_main, rng):
@@ -780,7 +1068,13 @@ def bench_10m(extra_main, rng):
                              post10.weights)
     out["hybrid_qps_10M_768d_int8"] = round(qps10, 1)
     out["hybrid_ms_per_batch_10M_768d"] = round(dt10 / 8 * 1000, 2)
-    log(f"10M 768-d int8 hybrid (postings sparse): {qps10:.0f} qps")
+    # Compulsory reads: int8 vectors + scales + cols (postings candidates
+    # touch only ~max_postings * query-terms rows — noise at this scale).
+    roofline(out, "hybrid_10M_768_int8", dt10 / 8 * 1000,
+             N10 * D10 + N10 * 4 + N10 * NUM_COLS * 4)
+    log(f"10M 768-d int8 hybrid (postings sparse): {qps10:.0f} qps, "
+        f"{out['achieved_gbps_hybrid_10M_768_int8']} GB/s "
+        f"({out['roofline_frac_hybrid_10M_768_int8']:.0%} of peak)")
 
     # Oracle over the stored corpus (exact top-k over int8 scores).
     n_oracle = 64
@@ -790,15 +1084,24 @@ def bench_10m(extra_main, rng):
         sc = dense_scan_scores(q, vecs10, cols10, pass10, scales10)
         return masked_topk(sc, LIMIT)
 
-    _, oracle10 = flat_top10(q10[:n_oracle], vecs10, scales10, cols10)
-    oracle10 = np.asarray(oracle10)
+    ovals10, oracle10 = flat_top10(q10[:n_oracle], vecs10, scales10, cols10)
+    ovals10, oracle10 = np.asarray(ovals10), np.asarray(oracle10)
     # The postings (1.6 GB) are not needed past this point; the IVF
     # cell-major copy (10.5 GB at skew 1.3) needs the room.
     post10 = None
     gc.collect()
 
-    # --- IVF: train on a sample, assign, then regenerate-and-scatter ---
+    # --- IVF: train on a sample, margin-gated double assignment, then
+    # regenerate-and-scatter. The 2M probe study showed the recall floor is
+    # nprobe-INVARIANT: the lost neighbors are boundary rows whose own cell
+    # the query never probes. Replicating just those rows (secondary
+    # centroid within MARGIN cosine of the primary) removed the floor at 1M
+    # (0.98 → 1.00 recall at np=8). Replica count adapts to the HBM budget:
+    # boundary rows with the smallest centroid gap replicate first. ---
     log("10M IVF: sampled k-means")
+    MARGIN10 = 0.05
+    SKEW10 = 1.35
+    CAP_BUDGET = 1920  # 8192 cells x 1920 slots x 808 B/slot ~ 12.7 GB
     br = _block_rows_for(C10)
     ns = 262_144
     idx_s = jax.random.choice(jax.random.PRNGKey(80), N10, (ns,),
@@ -807,21 +1110,38 @@ def bench_10m(extra_main, rng):
     train_s = jnp.take(scales10[0], idx_s)
     centroids = _kmeans_train(train_v, train_s, C10, 20, max(1, ns // br), 0)
     train_v = train_s = None
-    assign = np.asarray(_assign_topk_cells(
-        vecs10, scales10[0], centroids, 1, max(1, -(-N10 // br))))[:, 0]
-    log("10M IVF: assignment done; packing via regeneration")
+    assign2_d, sims2_d = _assign_topk_cells(
+        vecs10, scales10[0], centroids, 2, max(1, -(-N10 // br)),
+        with_sims=True)
+    assign2 = np.array(assign2_d)
+    sims2 = np.asarray(sims2_d)
+    assign2_d = sims2_d = None
+    gap = sims2[:, 0] - sims2[:, 1]
+    budget_total = int(CAP_BUDGET * C10 / SKEW10)
+    n_keep = max(0, budget_total - N10)
+    gate = gap <= MARGIN10
+    if int(gate.sum()) > n_keep:
+        thr = np.partition(gap, n_keep)[n_keep]
+        gate &= gap < thr
+    assign2[:, 1] = np.where(gate, assign2[:, 1], -1)
+    n_replicas = int(gate.sum())
+    out["ivf10_boundary_replicas"] = n_replicas
+    log(f"10M IVF: {n_replicas} boundary replicas "
+        f"(margin {MARGIN10}); packing via regeneration")
 
-    cell_cap = round_up(max(int(1.3 * N10 / C10), 128), 128)
-    order = np.argsort(assign, kind="stable")
-    counts = np.bincount(assign, minlength=C10)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos_in_cell = np.arange(N10, dtype=np.int64) - starts[assign[order]]
-    fits = pos_in_cell < cell_cap
+    from voitta_rag_tpu.index.ivf import pack_permutation
+
+    cell_cap = round_up(
+        max(int(SKEW10 * (N10 + n_replicas) / C10), 128), 128)
     n_slots = C10 * cell_cap
+    src_p, dest_p, prio_p, rest_rows = pack_permutation(
+        assign2, C10, cell_cap)
     dest_of_row = np.full(N10, n_slots, np.int64)  # OOB → dropped in scatter
-    dest_of_row[order[fits]] = (assign[order[fits]].astype(np.int64)
-                                * cell_cap + pos_in_cell[fits])
-    rest_rows = order[~fits]
+    pmask = prio_p == 0
+    dest_of_row[src_p[pmask]] = dest_p[pmask]
+    dest2_of_row = np.full(N10, n_slots, np.int64)
+    dest2_of_row[src_p[~pmask]] = dest_p[~pmask]
+    assign2 = sims2 = gap = None
     n_rest = len(rest_rows)
     rest_cap = round_up(max(n_rest, 1), 128)
     rest_pos_of_row = np.full(N10, rest_cap, np.int64)  # OOB → dropped
@@ -844,14 +1164,15 @@ def bench_10m(extra_main, rng):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
     def scatter_block(vecs3, scales3, gid3, rest_vecs, rest_scales, rest_gid,
-                      v8b, scb, dests, rests, gids_b):
+                      v8b, scb, dests, dests2, rests, gids_b):
         # Flat slot -> (cell, pos); the OOB sentinel n_slots maps to cell
         # C10 which mode="drop" discards.
-        cells = dests // cell_cap
-        poss = dests % cell_cap
-        vecs3 = vecs3.at[cells, poss].set(v8b, mode="drop")
-        scales3 = scales3.at[cells, 0, poss].set(scb, mode="drop")
-        gid3 = gid3.at[cells, poss].set(gids_b, mode="drop")
+        for dst in (dests, dests2):
+            cells = dst // cell_cap
+            poss = dst % cell_cap
+            vecs3 = vecs3.at[cells, poss].set(v8b, mode="drop")
+            scales3 = scales3.at[cells, 0, poss].set(scb, mode="drop")
+            gid3 = gid3.at[cells, poss].set(gids_b, mode="drop")
         rest_vecs = rest_vecs.at[rests].set(v8b, mode="drop")
         rest_scales = rest_scales.at[0, rests].set(scb, mode="drop")
         rest_gid = rest_gid.at[rests].set(gids_b, mode="drop")
@@ -865,6 +1186,7 @@ def bench_10m(extra_main, rng):
                 vecs3, scales3, gid3, rest_vecs, rest_scales, rest_gid,
                 v8b, scb,
                 jnp.asarray(dest_of_row[lo:lo + bs]),
+                jnp.asarray(dest2_of_row[lo:lo + bs]),
                 jnp.asarray(rest_pos_of_row[lo:lo + bs]),
                 jnp.arange(lo, lo + bs, dtype=jnp.int32)))
     # Filter columns in cell-major order: gather from cols10 by gid.
@@ -891,14 +1213,21 @@ def bench_10m(extra_main, rng):
             return _ivf_search_candidates(
                 q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
                 rest_gid, scales3, rest_scales, pass10, nprobe=nprobe,
-                limit=LIMIT, assign_k=1)
+                limit=LIMIT, assign_k=2)
 
-        _, giv = ivf_top10(q10[:n_oracle])
+        vivf, giv = ivf_top10(q10[:n_oracle])
         rec = recall_at10(np.asarray(giv), oracle10)
-        qps_ivf, _ = queued_qps(ivf_top10, qstack10)
+        rec_t = recall_at10_scoreaware(np.asarray(vivf), ovals10)
+        qps_ivf, dt_ivf = queued_qps(ivf_top10, qstack10)
         out[f"ivf10_qps_np{nprobe}"] = round(qps_ivf, 1)
         out[f"ivf10_recall10_np{nprobe}"] = round(rec, 3)
-        log(f"10M IVF np={nprobe}: recall {rec:.3f}, {qps_ivf:.0f} qps")
+        out[f"ivf10_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
+        u_cells = min(B * nprobe, C10)
+        probe_rows = u_cells * cell_cap + rest_cap
+        roofline(out, f"ivf10_np{nprobe}", dt_ivf / 8 * 1000,
+                 probe_rows * (D10 + 4 + NUM_COLS * 4))
+        log(f"10M IVF np={nprobe}: recall {rec:.3f} "
+            f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
     return out
 
 

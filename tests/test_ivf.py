@@ -148,6 +148,20 @@ def test_multi_assign_improves_recall_and_dedups():
     assert r2 >= r1, (r1, r2)
     assert r2 >= 0.85, r2
 
+    # Margin-gated replicas: only boundary rows are duplicated, recall sits
+    # between single- and full-double-assignment, memory well under 2x.
+    idxm = IVFIndex.build(v, cols, gids, n_cells=32, kmeans_iters=8,
+                          dtype="float32", assign_k=2, assign_margin=0.10)
+    rm = recall(idxm, 2)
+    assert rm >= r1, (r1, rm)
+    slots2 = idx2.vecs3.shape[0] * idx2.vecs3.shape[1]
+    slotsm = idxm.vecs3.shape[0] * idxm.vecs3.shape[1]
+    assert slotsm < slots2, (slotsm, slots2)
+    # A huge margin degenerates to full assign_k=2 recall.
+    idxf = IVFIndex.build(v, cols, gids, n_cells=32, kmeans_iters=8,
+                          dtype="float32", assign_k=2, assign_margin=2.0)
+    assert recall(idxf, 2) == pytest.approx(r2, abs=0.03)
+
 
 def test_int8_cells_close_to_float():
     rng = np.random.default_rng(6)

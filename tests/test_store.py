@@ -427,3 +427,35 @@ def test_compaction_above_write_bucket_limit(temp_root, monkeypatch):
     finally:
         store.close()
         get_settings.cache_clear()
+
+
+def test_capacity_change_on_reload_adopts_spill_capacity(temp_root, monkeypatch):
+    """Spills written at one VOITTA_SEGMENT_CAPACITY must keep their gid
+    numbering when the env changes: the store adopts the spilled capacity
+    (silently renumbering would orphan every payload and empty searches)."""
+    from voitta_rag_tpu.config import get_settings
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "256")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", str(DIM))
+    get_settings.cache_clear()
+    vecs = rand_vecs(300, seed=9)
+    metas = [meta(file_path=f"docs/f{i}.md") for i in range(300)]
+    st = TpuVectorStore(index_dir=temp_root / "capchange")
+    st.store_chunks([f"text {i}" for i in range(300)], vecs, metas)
+    st.save()
+    st.close()
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "2048")
+    get_settings.cache_clear()
+    st2 = TpuVectorStore(index_dir=temp_root / "capchange")
+    try:
+        assert st2.count() == 300
+        res = st2.search(vecs[42], limit=3)
+        assert res and res[0].text == "text 42"
+        assert st2.segment_capacity == 256  # adopted from the spill
+        # New writes keep the consistent numbering.
+        st2.store_chunks(["text 300"], rand_vecs(1, seed=10),
+                         [meta(file_path="docs/f300.md")])
+        assert st2.search(vecs[42], limit=3)[0].text == "text 42"
+    finally:
+        st2.close()

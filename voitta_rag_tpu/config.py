@@ -111,6 +111,13 @@ class Settings:
         # IVF: number of cells (0 = flat scan) and probed cells per query.
         self.ivf_cells: int = int(os.getenv("VOITTA_IVF_CELLS", "0"))
         self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
+        # Multi-assignment: replicate rows into their top-k cells. With a
+        # margin (cosine points), only boundary rows — whose 2nd centroid is
+        # within the margin of the 1st — get replicas (memory-cheap recall).
+        self.ivf_assign_k: int = int(os.getenv("VOITTA_IVF_ASSIGN_K", "1"))
+        self.ivf_assign_margin: float | None = (
+            float(os.environ["VOITTA_IVF_ASSIGN_MARGIN"])
+            if os.getenv("VOITTA_IVF_ASSIGN_MARGIN") else None)
         # Hybrid over-fetch multiplier (reference limit*3, vector_store.py:636).
         self.prefetch_multiplier: int = int(os.getenv("VOITTA_PREFETCH_MULT", "3"))
         # Flat-scan fused candidate selection: rows per winner group

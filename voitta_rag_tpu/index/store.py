@@ -199,6 +199,20 @@ class TpuVectorStore:
                         self.segment_capacity, self.dimension,
                         self.sparse_slots, self.segment_dtype))
             if self._segments:
+                # gid = segment_index * capacity + row: the capacity the
+                # spills were WRITTEN with is authoritative. Loading them
+                # under a changed VOITTA_SEGMENT_CAPACITY would silently
+                # renumber every gid out from under the payload store and
+                # all searches would return nothing.
+                loaded_cap = self._segments[0].capacity
+                if loaded_cap != self.segment_capacity:
+                    logger.warning(
+                        "Segment spills were written with capacity %d but "
+                        "VOITTA_SEGMENT_CAPACITY is now %d; adopting %d "
+                        "(gid numbering is tied to it). Re-index from "
+                        "scratch to change capacity.",
+                        loaded_cap, self.segment_capacity, loaded_cap)
+                    self.segment_capacity = loaded_cap
                 logger.info("Loaded %d segments (%d live chunks) for '%s'",
                             len(self._segments), self.count(), self.collection_name)
             self._enforce_device_budget()
@@ -532,6 +546,8 @@ class TpuVectorStore:
                     f"(have {len(dense)}, n_cells={n_cells})")
             self._ivf = IVFIndex.build(dense, cols, gids, n_cells,
                                        kmeans_iters=kmeans_iters,
+                                       assign_k=settings.ivf_assign_k,
+                                       assign_margin=settings.ivf_assign_margin,
                                        dtype=self.segment_dtype
                                        if self.segment_dtype != "int8"
                                        else "bfloat16")

@@ -151,13 +151,32 @@ def dense_scan_scores(
 
 
 def _xla_scan_scores(q, vecs, cols, spec: FilterSpec, scales) -> jax.Array:
-    """Pure-XLA fallback with identical semantics (CPU tests, oracles)."""
+    """Pure-XLA path with the Pallas kernels' compute semantics.
+
+    bf16/int8 storage computes in bf16 on the MXU with f32 accumulation —
+    f32 compute runs at 1/4 the MXU rate and turns the 10M x 768 scan from
+    memory-bound (~9 ms/batch-32 at roofline) into compute-bound (~10 ms of
+    pure matmul); int8 values are exact in bf16, and the per-row dequant
+    scale is applied to the f32 scores (identical to _scan_kernel_int8).
+    f32 storage keeps full f32 compute.
+    """
     v = vecs
     if v.dtype == jnp.int8:
-        v = v.astype(jnp.float32) * scales[0][:, None]
-    scores = jnp.einsum(
-        "bd,nd->bn", q.astype(jnp.float32), v.astype(jnp.float32)
-    )
+        scores = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scales
+    elif v.dtype == jnp.bfloat16:
+        scores = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jnp.einsum(
+            "bd,nd->bn", q.astype(jnp.float32), v.astype(jnp.float32)
+        )
     mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
                      cols)
     return jnp.where(mask[None, :], scores, NEG_INF)
