@@ -16,13 +16,15 @@ Sections (each logged to stderr; stdout carries ONE JSON line):
    sequential queries inside ONE dispatch via lax.scan (the number a locally
    attached chip would see; the tunnel adds ~3-4 ms of RPC per dispatch that
    is not device work).
-7. CPU HNSW baseline (native/hnsw_baseline.cpp — single-thread, this host):
-   recall@10 + QPS on a 25k subsample of the same corpus. vs_baseline =
-   TPU IVF QPS / HNSW QPS at recall@10 at or above the baseline's.
+7. Real-text corpus: package sources/docs through the production chunker +
+   BM25, encoded on-chip (e5-base arch) — recall on a REAL distribution.
 8. 10M x 768 (BASELINE config 4 geometry) int8: flat hybrid QPS, postings,
-   and IVF (C=8192) recall/QPS. The IVF build regenerates the corpus
-   block-by-block from the same PRNG keys so the flat corpus (7.7 GB) and
-   the cell-major copy (8 GB) never coexist in 16 GB HBM.
+   and IVF (C=8192, margin-gated boundary replicas) recall/QPS. The IVF
+   build regenerates the corpus block-by-block from the same PRNG keys so
+   the flat corpus (7.7 GB) and the cell-major copy never coexist in HBM.
+9. CPU HNSW baseline (native/hnsw_baseline.cpp — single-thread, this host,
+   efc=200, ef swept to 512): recall@10 + QPS on a 25-50k subsample.
+   vs_baseline = TPU IVF QPS / HNSW QPS at recall@10 >= the baseline's.
 
 Timing notes (remote-TPU tunnel environment):
 - block_until_ready alone under-reports through the tunnel; only a host
@@ -625,46 +627,6 @@ def main():
     except Exception as e:
         extra["latency_error"] = str(e)[:250]
 
-    # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
-    # HNSW; here a from-scratch C++ HNSW, single-thread on this host) ----
-    log("CPU HNSW baseline (25k subsample)")
-    hnsw_qps = None
-    try:
-        from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
-
-        if time_left() < 300:
-            extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
-            log(extra["hnsw_skipped"])
-        elif available():
-            # 25k rows: the per-query cost (and recall@ef) barely moves vs
-            # 50k, while the single-thread build drops from ~7.5 to ~3 min
-            # on this 1-vCPU host — keeps the whole bench driver-friendly.
-            n_sub = 25_000
-            sub = vecs_np[:n_sub]
-            t0 = time.perf_counter()
-            h = HnswBaseline(D, n_sub, m=16, ef_construction=100)
-            h.add(sub)
-            extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
-            sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
-                                    axis=1)[:, :LIMIT]
-            # ef=128 gives the baseline its best recall shot (search-time
-            # cost only; the clustered corpus traps greedy search at low ef).
-            for ef in (32, 64, 128):
-                t0 = time.perf_counter()
-                ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
-                dt_h = (time.perf_counter() - t0) / n_oracle
-                extra[f"hnsw_recall10_ef{ef}"] = round(
-                    recall_at10(ids_h, sub_oracle), 3)
-                extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
-                if ef == 32:
-                    hnsw_qps = 1 / dt_h
-            log(f"HNSW: recall {extra.get('hnsw_recall10_ef32')} at "
-                f"{extra.get('hnsw_qps_ef32')} qps (1 thread, 25k rows)")
-        else:
-            extra["hnsw_error"] = "native lib unavailable"
-    except Exception as e:
-        extra["hnsw_error"] = str(e)[:250]
-
     # ---- real-text corpus (round-3: recall numbers on REAL data) ----
     if on_tpu and time_left() < 900:
         extra["real_corpus_skipped"] = (
@@ -701,13 +663,58 @@ def main():
             vecs_dev = vecs = v8 = scales = scale = w16 = cols = None
             terms = weights = qt_j = qw_j = qstack = q_oracle = None
             oracle_scores = oracle_ids = ivf = post = None
-            vecs_np = weights_np = terms_np = cols_np = sub = None
+            # vecs_np/qpool stay: the HNSW baseline (last section) reads them.
+            weights_np = terms_np = cols_np = None
             big = xs = ids_stack = istacks = qts = qws = eparams = None
             gc.collect()
             ten_m = bench_10m(extra, rng)
             extra.update(ten_m)
         except Exception as e:
             extra["scale10M_error"] = str(e)[:300]
+
+    # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
+    # HNSW; here a from-scratch C++ HNSW, single-thread on this host).
+    # Runs LAST: it only needs host arrays, so when the deadline squeezes
+    # something it is this section's size, not the TPU-scale sections. ----
+    hnsw_qps = None
+    try:
+        from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+
+        if time_left() < 240:
+            extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
+            log(extra["hnsw_skipped"])
+        elif available():
+            # ef_construction=200 (hnswlib's default — a properly built
+            # graph); the subsample grows when the deadline allows. The ef
+            # sweep runs to 512: search cost only, and the clustered
+            # corpus needs large ef for the baseline's best recall.
+            n_sub = 50_000 if time_left() > 600 else 25_000
+            log(f"CPU HNSW baseline ({n_sub} rows, efc=200, "
+                f"{time_left():.0f}s left)")
+            sub = vecs_np[:n_sub]
+            t0 = time.perf_counter()
+            h = HnswBaseline(D, n_sub, m=16, ef_construction=200)
+            h.add(sub)
+            extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+            extra["hnsw_rows"] = n_sub
+            sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
+                                    axis=1)[:, :LIMIT]
+            for ef in (32, 64, 128, 256, 512):
+                t0 = time.perf_counter()
+                ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
+                dt_h = (time.perf_counter() - t0) / n_oracle
+                extra[f"hnsw_recall10_ef{ef}"] = round(
+                    recall_at10(ids_h, sub_oracle), 3)
+                extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
+                if ef == 32:
+                    hnsw_qps = 1 / dt_h
+            log(f"HNSW: recall {extra.get('hnsw_recall10_ef512')} at "
+                f"{extra.get('hnsw_qps_ef512')} qps ef512 "
+                f"(1 thread, {n_sub} rows, efc=200)")
+        else:
+            extra["hnsw_error"] = "native lib unavailable"
+    except Exception as e:
+        extra["hnsw_error"] = str(e)[:250]
 
     # vs_baseline: QPS ratio at recall@10 at-or-above the CPU baseline's
     # best honest operating point. CPU point = its highest measured recall
@@ -720,7 +727,7 @@ def main():
     tpu_points = [p for p in tpu_points if p[1] is not None and p[2]]
     max_tpu_rec = max((p[1] for p in tpu_points), default=0)
     cpu_best = None
-    for ef in (128, 64, 32):  # highest-recall CPU config first
+    for ef in (512, 256, 128, 64, 32):  # highest-recall CPU config first
         r, qps = (extra.get(f"hnsw_recall10_ef{ef}"),
                   extra.get(f"hnsw_qps_ef{ef}"))
         if r is not None and qps and r <= max_tpu_rec:
@@ -782,10 +789,14 @@ def bench_real_corpus(rng, time_left):
     from voitta_rag_tpu.services.chunking import ChunkingService
 
     out = {}
-    NR, DR = 1_048_576, 768
+    # Full 1M when the deadline allows; a 512k real corpus still beats a
+    # skipped section when the run started late.
+    NR = 1_048_576 if time_left() > 1500 else 524_288
+    DR = 768
     LTOK, BE = 96, 256
     CR = 8192  # IVF cells
-    log("real-corpus section: harvesting text")
+    log(f"real-corpus section: harvesting text (target {NR} chunks, "
+        f"{time_left():.0f}s left)")
 
     # --- harvest + chunk (production chunker) ---
     chunker = ChunkingService(chunk_size=800, chunk_overlap=200)
