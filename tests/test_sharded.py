@@ -277,3 +277,25 @@ def test_replica_ivf_search(rmesh):
 def test_replica_pod_mesh_axes():
     m = index_mesh(4, n_slices=2, n_replicas=2)
     assert dict(m.shape) == {"replica": 2, "slice": 2, "shard": 2}
+
+
+def test_sharded_ivf_margin_multi_assign(rmesh):
+    """Margin-gated assign_k=2 on the sharded per-chip IVF: full-probe
+    search stays exact (dedup drops replica duplicates), and the gated
+    build stays within the full-double-assignment slot budget."""
+    idx, dense, cols, terms, weights, gids = build(rmesh, seed=13,
+                                                   n_rows=1200)
+    info = idx.build_ivf(8, kmeans_iters=5, assign_k=2, assign_margin=0.1)
+    spec = make_filter_spec()
+    B = 4
+    scores, out_gids = idx.search(jnp.asarray(dense[:B]), spec, limit=10,
+                                  nprobe=8)  # all cells -> exact
+    sims = dense @ dense[:B].T
+    for b in range(B):
+        got = [g for g in np.asarray(out_gids)[b].tolist() if g >= 0]
+        assert len(set(got)) == len(got), "duplicate gids after dedup"
+        order = np.argsort(-sims[:, b])[:10]
+        assert got == [int(gids[i]) for i in order]
+    # Probe-limited search on the replicated layout still returns valid rows.
+    s2, g2 = idx.search(jnp.asarray(dense[:B]), spec, limit=10, nprobe=2)
+    assert (np.asarray(g2)[:, 0] >= 0).all()

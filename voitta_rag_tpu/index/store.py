@@ -506,8 +506,10 @@ class TpuVectorStore:
             if self._sharded is not None:
                 # Per-chip IVF: shared centroids, per-shard cell-major
                 # blocks, probes merged over ICI (parallel/sharded.py).
-                info = self._sharded.build_ivf(n_cells,
-                                               kmeans_iters=kmeans_iters)
+                info = self._sharded.build_ivf(
+                    n_cells, kmeans_iters=kmeans_iters,
+                    assign_k=settings.ivf_assign_k,
+                    assign_margin=settings.ivf_assign_margin)
                 if nprobe:
                     self._ivf_nprobe = nprobe
                 self._ivf_dirty = False

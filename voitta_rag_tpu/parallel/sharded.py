@@ -282,8 +282,10 @@ def sharded_ivf_search(
             rest_scales[0] if is_int8 else None,
             local_spec, nprobe=nprobe)
         k = min(p * max(assign_k, 1), scores.shape[-1])
-        d_vals, pos = masked_topk(scores, k,
-                                  approx=scores.shape[-1] > (1 << 16))
+        # Exact selection over the probed scores (same finding as the flat
+        # IVF path, index/ivf.py: cost-neutral inside the fused program,
+        # recovers the candidates approx_max_k drops).
+        d_vals, pos = masked_topk(scores, k)
         d_gids = jnp.where(
             pos >= 0,
             jnp.take_along_axis(gids, jnp.maximum(pos, 0), axis=1),
@@ -679,6 +681,7 @@ class ShardedIndex:
 
     def build_ivf(self, n_cells: int, *, kmeans_iters: int = 25,
                   skew_factor: float = 2.0, seed: int = 0, assign_k: int = 1,
+                  assign_margin: float | None = None,
                   train_sample: int = 262144) -> dict:
         """Build the per-chip IVF snapshot from live rows.
 
@@ -686,6 +689,8 @@ class ShardedIndex:
         runs blocked on device; the host computes only the per-row slot
         destinations (int32, a few MB); the cell-major packing scatter runs
         under ``shard_map`` so the vector data never leaves HBM.
+        ``assign_margin`` gates secondary replicas to boundary rows, same
+        semantics as the flat build (index/ivf.py).
         """
         from voitta_rag_tpu.index.ivf import (
             _assign_topk_cells, _block_rows_for, _kmeans_train,
@@ -717,13 +722,28 @@ class ShardedIndex:
         # --- full blocked assignment (host pulls [n*cap, k] int32 only) ---
         flat_vecs = self.vecs.reshape(n * cap, self.dim)
         flat_scales = self.scales.reshape(n * cap) if is_int8 else None
-        assign = np.asarray(_assign_topk_cells(
-            flat_vecs, flat_scales, centroids, assign_k,
-            max(1, -(-(n * cap) // br)))).reshape(n, cap, assign_k)
+        n_blocks_a = max(1, -(-(n * cap) // br))
+        if assign_k > 1 and assign_margin is not None:
+            assign_d, sims_d = _assign_topk_cells(
+                flat_vecs, flat_scales, centroids, assign_k, n_blocks_a,
+                with_sims=True)
+            assign = np.array(assign_d)
+            sims = np.asarray(sims_d)
+            gate = sims[:, 1:] >= (sims[:, :1] - assign_margin)
+            assign[:, 1:] = np.where(gate, assign[:, 1:], -1)
+            assign = assign.reshape(n, cap, assign_k)
+            total_rows = n_live + int(
+                (gate.reshape(n, cap, assign_k - 1)
+                 & valid[:, :, None]).sum())
+        else:
+            assign = np.asarray(_assign_topk_cells(
+                flat_vecs, flat_scales, centroids, assign_k,
+                n_blocks_a)).reshape(n, cap, assign_k)
+            total_rows = n_live * assign_k
 
         # --- per-shard packing permutation (host int arithmetic) ---
         cell_cap = round_up(
-            max(int(skew_factor * n_live * assign_k / (n * n_cells)), 128),
+            max(int(skew_factor * total_rows / (n * n_cells)), 128),
             128)
         n_slots = n_cells * cell_cap
         dest_of = np.full((n, assign_k, cap), n_slots, np.int32)  # OOB drop
