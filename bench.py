@@ -828,6 +828,11 @@ def bench_real_corpus(rng, time_left):
             total_bytes += len(txt)
             texts.extend(c.text for c in chunker.chunk_text(txt))
     n_q = 64
+    # The host may hold slightly less text than the target (measured:
+    # 1.038M chunks vs the 1.049M ask) — size the corpus to the harvest,
+    # lane-aligned, reserving the tail as held-out queries.
+    if len(texts) < NR + n_q:
+        NR = ((len(texts) - n_q) // 1024) * 1024
     q_texts = texts[NR:NR + n_q]
     texts = texts[:NR]
     out["real_chunks"] = len(texts)
@@ -835,7 +840,7 @@ def bench_real_corpus(rng, time_left):
     out["real_text_mb"] = round(total_bytes / 1e6, 1)
     log(f"real corpus: {len(texts)} chunks from {files} files "
         f"({out['real_text_mb']} MB) in {time.time() - t0:.0f}s")
-    if len(texts) < NR // 2 or len(q_texts) < n_q:
+    if NR < 262144 or len(q_texts) < n_q:
         out["real_corpus_error"] = f"only {len(texts)} chunks harvested"
         return out
 
@@ -1219,7 +1224,10 @@ def bench_10m(extra_main, rng):
     # score transient grows past what the 12 GB of residents leave free
     # (np=128 OOM'd in fetch), and recall is residual-limited past np=32
     # anyway (0.966 -> 0.967 from 32 -> 64).
-    for nprobe in (16, 32, 64):
+    # With boundary replicas recall measured 1.000 at np=16/32/64, so the
+    # sweep starts at np=8 to walk the QPS frontier downward instead of
+    # probing deeper for recall that is already saturated.
+    for nprobe in (8, 16, 32):
         def ivf_top10(q, nprobe=nprobe):
             return _ivf_search_candidates(
                 q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,

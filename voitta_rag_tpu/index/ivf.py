@@ -112,11 +112,16 @@ def _kmeans_train(vecs, scales, n_cells: int, iters: int, n_blocks: int,
     return jax.lax.fori_loop(0, iters, step, centroids)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_blocks", "with_sims"))
-def _assign_topk_cells(vecs, scales, centroids, k: int, n_blocks: int,
-                       with_sims: bool = False):
-    """Blocked top-k cell assignment for the full corpus → int32 [N, k]
-    (plus the f32 [N, k] centroid similarities when ``with_sims``)."""
+@functools.partial(jax.jit, static_argnames=("k", "n_blocks"))
+def _assign_topk_cells_flat(vecs, scales, centroids, k: int, n_blocks: int):
+    """Blocked top-k cell assignment; outputs FLAT [n_blocks*br*k] arrays.
+
+    The scan's stacked per-block outputs must not have a tiny minor
+    dimension: a [blocks, br, k] layout lane-pads k up to 128 — at 10M
+    rows that is two 5 GB buffers of pure padding (64x expansion,
+    chip-measured compile OOM). Flattening each block to [br*k] keeps the
+    stacked buffers minor-packed; callers reshape on the host.
+    """
     n, d = vecs.shape
     br = -(-n // n_blocks)
     pad = n_blocks * br - n
@@ -134,14 +139,25 @@ def _assign_topk_cells(vecs, scales, centroids, k: int, n_blocks: int,
         else:
             top, idx = jax.lax.top_k(sims, k)
             idx = idx.astype(jnp.int32)
-        return None, (idx, top.astype(jnp.float32))
+        return None, (idx.reshape(-1), top.astype(jnp.float32).reshape(-1))
 
     _, (out, sims) = jax.lax.scan(body, None,
                                   (vp.reshape(n_blocks, br, d),
                                    sp.reshape(n_blocks, br)))
-    out = out.reshape(n_blocks * br, k)[:n]
+    return out.reshape(-1), sims.reshape(-1)
+
+
+def _assign_topk_cells(vecs, scales, centroids, k: int, n_blocks: int,
+                       with_sims: bool = False):
+    """Blocked top-k cell assignment for the full corpus → int32 [N, k]
+    numpy (plus the f32 [N, k] centroid similarities when ``with_sims``).
+    Host-side reshape by design — see _assign_topk_cells_flat."""
+    n = vecs.shape[0]
+    out_f, sims_f = _assign_topk_cells_flat(vecs, scales, centroids, k,
+                                            n_blocks)
+    out = np.asarray(out_f).reshape(-1, k)[:n]
     if with_sims:
-        return out, sims.reshape(n_blocks * br, k)[:n]
+        return out, np.asarray(sims_f).reshape(-1, k)[:n]
     return out
 
 
