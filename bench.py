@@ -447,7 +447,7 @@ def main():
                              assign_k=1)
         jax.block_until_ready(ivf.vecs3)
         extra["ivf_build_s"] = round(time.perf_counter() - t0, 1)
-        for nprobe in (16, 32, 64, 128):
+        for nprobe in (16, 32, 64):
             def ivf_top(q, nprobe=nprobe):
                 return ivf.search_candidates(q, pass_all, nprobe=nprobe,
                                              limit=LIMIT)
@@ -628,9 +628,9 @@ def main():
         extra["latency_error"] = str(e)[:250]
 
     # ---- real-text corpus (round-3: recall numbers on REAL data) ----
-    if on_tpu and time_left() < 900:
+    if on_tpu and time_left() < 800:
         extra["real_corpus_skipped"] = (
-            f"deadline: {time_left():.0f}s left, section needs ~900s")
+            f"deadline: {time_left():.0f}s left, section needs ~800s")
         log(extra["real_corpus_skipped"])
     elif on_tpu:
         try:
@@ -648,10 +648,11 @@ def main():
             log(f"real corpus failed: {e}")
 
     # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
-    if on_tpu and time_left() < 1200:
+    if on_tpu and time_left() < 1000:
         extra["scale10M_skipped"] = (
             f"deadline: {time_left():.0f}s left of "
-            f"VOITTA_BENCH_DEADLINE_S={deadline:.0f}, section needs ~1200s")
+            f"VOITTA_BENCH_DEADLINE_S={deadline:.0f}, section needs ~1000s "
+            "(warm compile cache)")
         log(extra["scale10M_skipped"])
     elif on_tpu:
         try:
@@ -791,7 +792,7 @@ def bench_real_corpus(rng, time_left):
     out = {}
     # Full 1M when the deadline allows; a 512k real corpus still beats a
     # skipped section when the run started late.
-    NR = 1_048_576 if time_left() > 1500 else 524_288
+    NR = 1_048_576 if time_left() > 1800 else 524_288
     DR = 768
     LTOK, BE = 96, 256
     CR = 8192  # IVF cells
