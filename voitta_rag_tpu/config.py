@@ -113,11 +113,14 @@ class Settings:
         self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
         # Multi-assignment: replicate rows into their top-k cells. With a
         # margin (cosine points), only boundary rows — whose 2nd centroid is
-        # within the margin of the 1st — get replicas (memory-cheap recall).
-        self.ivf_assign_k: int = int(os.getenv("VOITTA_IVF_ASSIGN_K", "1"))
+        # within the margin of the 1st — get replicas. Default ON: the
+        # replicas are exactly the rows probe-limited search loses
+        # (nprobe-invariant recall floor), and after 128-slot cap rounding
+        # they are usually memory-free (measured 1M: 0.98 → 1.00 recall@10).
+        self.ivf_assign_k: int = int(os.getenv("VOITTA_IVF_ASSIGN_K", "2"))
         self.ivf_assign_margin: float | None = (
             float(os.environ["VOITTA_IVF_ASSIGN_MARGIN"])
-            if os.getenv("VOITTA_IVF_ASSIGN_MARGIN") else None)
+            if os.getenv("VOITTA_IVF_ASSIGN_MARGIN") else 0.05)
         # Hybrid over-fetch multiplier (reference limit*3, vector_store.py:636).
         self.prefetch_multiplier: int = int(os.getenv("VOITTA_PREFETCH_MULT", "3"))
         # Flat-scan fused candidate selection: rows per winner group
