@@ -137,3 +137,31 @@ def test_bf16_storage():
                           jnp.asarray(cols), spec, use_pallas=True)
     )
     np.testing.assert_allclose(scores, q @ vecs.T, atol=3e-2)
+
+
+def test_two_stage_exact_topk_matches_full_sort():
+    """exact_topk's two-stage path (per-group top-k -> top-k of winners) is
+    mathematically exact: values identical to a full top_k, indices valid
+    (may differ only on exact ties). The two-stage path is a measured
+    NEGATIVE perf result on v5e (see ops/topk.py) and is NOT wired into
+    masked_topk; this guards the function itself. Covers the >=2^17 widths
+    where the two-stage path engages, non-multiples of the group size, and
+    fewer-than-k valid rows."""
+    import numpy as np
+    import jax
+    from voitta_rag_tpu.ops.topk import exact_topk, masked_topk
+
+    rng = np.random.default_rng(3)
+    for w in ((1 << 17), (1 << 17) + 777, 300_001):
+        s = jnp.asarray(rng.standard_normal((3, w)).astype(np.float32))
+        v_full, _ = jax.lax.top_k(s, 10)
+        v_two, i_two = exact_topk(s, 10)
+        np.testing.assert_array_equal(np.asarray(v_full), np.asarray(v_two))
+        sh = np.asarray(s)
+        for b in range(3):
+            np.testing.assert_allclose(sh[b][np.asarray(i_two)[b]],
+                                       np.asarray(v_full)[b])
+    # fewer than k valid entries -> -1 indices through masked_topk
+    s = jnp.full((1, 1 << 18), NEG_INF).at[0, 77].set(2.0).at[0, 200_000].set(1.0)
+    v, i = masked_topk(s, 10)
+    assert i[0, 0] == 77 and i[0, 1] == 200_000 and i[0, 2] == -1

@@ -49,6 +49,42 @@ def masked_topk(
     return vals, idxs
 
 
+# Two-stage exact selection: per-group top-k, then top-k of the group
+# winners. A row's global top-k is a subset of the union of per-group
+# top-ks, so this is EXACT. MEASURED NEGATIVE RESULT on v5e — do not wire
+# into masked_topk: standalone at B=32 W=1.4M it is 5.30 ms vs 2.75 ms for
+# one full-width lax.top_k, and inside the fused IVF probe (synthetic 2.1M
+# rows, 768-d int8, b32) 37.8 vs 31.5 ms at np16 / 47.5 vs 35.0 ms at np32.
+# TPU TopK with small k is a streaming reduce whose cost is linear in
+# elements, not sort-width; the grouped pass reads the same bytes AND adds
+# a [.., n_groups, k] intermediate, so it can only lose. Kept because it is
+# exact and useful where a future backend has sort-based TopK.
+_TOPK_GROUP = 2048
+_TOPK_2STAGE_MIN = 1 << 17
+
+
+def exact_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over the last axis; two-stage above _TOPK_2STAGE_MIN."""
+    n = scores.shape[-1]
+    if n < _TOPK_2STAGE_MIN or k * 4 > _TOPK_GROUP:
+        return jax.lax.top_k(scores, k)
+    g = _TOPK_GROUP
+    n_groups = -(-n // g)
+    pad = n_groups * g - n
+    if pad:
+        scores = jnp.pad(scores, [(0, 0)] * (scores.ndim - 1) + [(0, pad)],
+                         constant_values=NEG_INF)
+    grouped = scores.reshape(*scores.shape[:-1], n_groups, g)
+    gv, gi = jax.lax.top_k(grouped, k)                # [..., n_groups, k]
+    base = (jnp.arange(n_groups, dtype=jnp.int32) * g)[:, None]
+    flat_i = (gi.astype(jnp.int32) + base).reshape(*scores.shape[:-1],
+                                                   n_groups * k)
+    flat_v = gv.reshape(*scores.shape[:-1], n_groups * k)
+    vals, pos = jax.lax.top_k(flat_v, k)
+    idxs = jnp.take_along_axis(flat_i, pos, axis=-1)
+    return vals, idxs
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_from_lists(
     vals: jax.Array, ids: jax.Array, k: int
