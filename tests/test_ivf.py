@@ -163,6 +163,78 @@ def test_multi_assign_improves_recall_and_dedups():
     assert recall(idxf, 2) == pytest.approx(r2, abs=0.03)
 
 
+def test_pack_permutation_spill_invariants():
+    from voitta_rag_tpu.index.ivf import pack_permutation
+
+    rng = np.random.default_rng(11)
+    n, n_cells, cap = 5000, 8, 512  # 8*512 = 4096 < 5000 → forced overflow
+    # Skewed primaries: most rows pile into cells 0-2.
+    prim = rng.choice(n_cells, n, p=[.4, .25, .15, .05, .05, .04, .03, .03])
+    assign = prim[:, None].astype(np.int64)
+    # Spill candidates: two distinct other cells per row.
+    sp1 = (prim + 1) % n_cells
+    sp2 = (prim + 3) % n_cells
+    spill = np.stack([sp1, sp2], axis=1).astype(np.int64)
+
+    src0, dest0, prio0, rest0 = pack_permutation(assign, n_cells, cap)
+    src, dest, prio, rest = pack_permutation(assign, n_cells, cap,
+                                             spill=spill)
+    # Spill strictly shrinks the residual on skewed data.
+    assert len(rest) < len(rest0), (len(rest), len(rest0))
+    # No slot is written twice; slots stay in range.
+    assert len(np.unique(dest)) == len(dest)
+    assert dest.min() >= 0 and dest.max() < n_cells * cap
+    # Every row has EXACTLY one home: a prio-0 placement xor residual.
+    homes = np.zeros(n, np.int32)
+    np.add.at(homes, src[prio == 0], 1)
+    np.add.at(homes, rest, 1)
+    assert (homes == 1).all()
+    # A spilled row sits in one of ITS OWN candidate cells.
+    spilled = np.setdiff1d(src[prio == 0], np.array([], np.int32))
+    cell_of = np.full(n, -1, np.int64)
+    cell_of[src[prio == 0]] = dest[prio == 0] // cap
+    moved = np.nonzero((cell_of >= 0) & (cell_of != prim))[0]
+    assert len(moved) > 0
+    assert np.isin(cell_of[moved],
+                   np.stack([sp1, sp2], 1)[moved].T).any(axis=0).all()
+
+
+def test_spill_keeps_rows_probeable():
+    """Overflow rows homed in their 2nd-nearest cell are found by a probe
+    that covers it, and the residual stays small despite heavy skew."""
+    rng = np.random.default_rng(12)
+    v = clustered_corpus(4000, 8, seed=12)  # 8 true clusters, 32 cells
+    cols = cols_for(4000, rng)
+    gids = np.arange(4000, dtype=np.int64)
+    # Tight capacity: cap0 = 1.0 * 4000 / 32 = 125 → 128; clusters of ~500
+    # rows per 4 cells overflow hard.
+    idx = IVFIndex.build(v, cols, gids, n_cells=32, skew_factor=1.0,
+                         kmeans_iters=8, dtype="float32", spill_levels=2)
+    idx_ns = IVFIndex.build(v, cols, gids, n_cells=32, skew_factor=1.0,
+                            kmeans_iters=8, dtype="float32", spill_levels=0)
+    n_rest = int(np.asarray(idx.rest_gid >= 0).sum())
+    n_rest_ns = int(np.asarray(idx_ns.rest_gid >= 0).sum())
+    assert n_rest < n_rest_ns, (n_rest, n_rest_ns)
+    # Full probe remains exact even with spilled homes.
+    spec = make_filter_spec()
+    for qi in (3, 777, 2222):
+        scores, out_gids = idx.search_scores(jnp.asarray(v[qi][None]), spec,
+                                             nprobe=32)
+        _, pos = masked_topk(scores, 10)
+        got = set(np.asarray(out_gids)[0][np.asarray(pos)[0]].tolist())
+        oracle = set(np.argsort(-(v @ v[qi]))[:10].tolist())
+        assert got == oracle
+    # Moderate probes still reach spilled rows (their home is a near cell).
+    recalls = []
+    for qi in rng.choice(4000, 20, replace=False):
+        _, got = idx.search_candidates(jnp.asarray(v[qi][None]), spec,
+                                       nprobe=8, limit=10)
+        got = set(np.asarray(got)[0].tolist()) - {-1}
+        oracle = set(np.argsort(-(v @ v[qi]))[:10].tolist())
+        recalls.append(len(got & oracle) / 10)
+    assert np.mean(recalls) >= 0.85, np.mean(recalls)
+
+
 def test_int8_cells_close_to_float():
     rng = np.random.default_rng(6)
     v = clustered_corpus(2000, 16, seed=6)

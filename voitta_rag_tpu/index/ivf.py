@@ -195,43 +195,95 @@ def spherical_kmeans(
 
 
 def pack_permutation(
-    assign: np.ndarray, n_cells: int, cell_cap: int
+    assign: np.ndarray, n_cells: int, cell_cap: int,
+    spill: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host-side cell-major packing permutation (a few MB of int arithmetic).
 
     Args:
-        assign: int [N, k] top-k cell assignment per row (column 0 = primary).
+        assign: int [N, k] top-k cell assignment per row (column 0 = primary;
+            -1 in columns 1.. marks a margin-dropped replica).
         n_cells: C.
         cell_cap: uniform slot budget per cell.
+        spill: optional int [N, m] fallback cells (the row's ungated
+            2nd..(m+1)-th nearest centroids). A row whose primary cell is
+            full is HOMED into its first spill cell with free capacity
+            instead of the flat residual (ScaNN-style spilling applied to
+            overflow). The residual is scanned on EVERY query, so each row
+            kept out of it removes ``D+NUM_COLS*4+8`` bytes from every
+            probe dispatch; the cost is that a spilled row is only findable
+            through a probed neighbor cell (recall measured at 10M/8192
+            cells: unchanged at nprobe >= 8 — overflow comes from dense
+            clusters whose 2nd-nearest cell the query probes anyway).
 
     Returns:
         (src, dest, prio, rest_src): scatter row ``src[i]`` into flat slot
-        ``dest[i]`` (= cell * cell_cap + position); ``prio[i]`` is which
-        assignment level (0 = primary) produced the pair. Rows whose PRIMARY
-        cell overflowed land in ``rest_src`` (exact residual); overflowing
-        secondary replicas are dropped (the primary copy guarantees
-        findability).
+        ``dest[i]`` (= cell * cell_cap + position); ``prio[i]`` is 0 for the
+        row's single home placement (primary or spill) and c for a replica
+        from assignment column c — each row contributes at most one
+        placement per prio level. Rows no spill cell could home land in
+        ``rest_src`` (exact residual); replicas that don't fit are dropped
+        (the home copy guarantees findability).
     """
     n, assign_k = assign.shape
-    rows_all = np.tile(np.arange(n, dtype=np.int64), assign_k)
-    cells_all = assign.T.reshape(-1).astype(np.int64)  # col-major: k=0 first
-    prio = np.repeat(np.arange(assign_k, dtype=np.int64), n)
-    keep = cells_all >= 0  # margin-gated replicas carry cell -1
-    rows_all, cells_all, prio = rows_all[keep], cells_all[keep], prio[keep]
-    total = len(rows_all)
-    order = np.lexsort((prio, cells_all))  # cell asc, then priority asc
-    cell_sorted = cells_all[order]
-    rows_sorted = rows_all[order]
-    prio_sorted = prio[order]
-    counts = np.bincount(cells_all, minlength=n_cells)
+    prim = assign[:, 0].astype(np.int64)
+    order = np.argsort(prim, kind="stable")
+    cell_sorted = prim[order]
+    counts = np.bincount(cell_sorted, minlength=n_cells)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos_in_cell = np.arange(total) - starts[cell_sorted]
-    fits = pos_in_cell < cell_cap
-    src = rows_sorted[fits].astype(np.int32)
-    dest = (cell_sorted[fits] * cell_cap + pos_in_cell[fits]).astype(np.int32)
-    rest_mask = (~fits) & (prio_sorted == 0)
-    rest_src = rows_sorted[rest_mask].astype(np.int32)
-    return src, dest, prio_sorted[fits].astype(np.int32), rest_src
+    pos = np.arange(n, dtype=np.int64) - starts[cell_sorted]
+    fits = pos < cell_cap
+    srcs = [order[fits].astype(np.int32)]
+    dests = [(cell_sorted[fits] * cell_cap + pos[fits]).astype(np.int32)]
+    prios = [np.zeros(int(fits.sum()), np.int32)]
+    fill = np.minimum(counts, cell_cap)
+    pending = order[~fits]
+    home_cell = np.full(n, -1, np.int64)
+    home_cell[order[fits]] = cell_sorted[fits]
+
+    def place(rows: np.ndarray, cand: np.ndarray, prio_val: int):
+        """Rank-within-cell placement of ``rows`` into remaining capacity of
+        their candidate cells; returns the placed subset (rows, cells)."""
+        nonlocal fill
+        ok = cand >= 0
+        rows, cand = rows[ok], cand[ok].astype(np.int64)
+        o = np.argsort(cand, kind="stable")
+        rows_s, cells_s = rows[o], cand[o]
+        c_counts = np.bincount(cells_s, minlength=n_cells)
+        c_starts = np.concatenate([[0], np.cumsum(c_counts)[:-1]])
+        rank = np.arange(len(rows_s), dtype=np.int64) - c_starts[cells_s]
+        free = cell_cap - fill
+        fit = rank < free[cells_s]
+        placed_rows, placed_cells = rows_s[fit], cells_s[fit]
+        srcs.append(placed_rows.astype(np.int32))
+        dests.append((placed_cells * cell_cap + fill[placed_cells]
+                      + rank[fit]).astype(np.int32))
+        prios.append(np.full(len(placed_rows), prio_val, np.int32))
+        fill = fill + np.minimum(c_counts, np.maximum(free, 0))
+        return placed_rows, placed_cells
+
+    if spill is not None and len(pending):
+        for j in range(spill.shape[1]):
+            if not len(pending):
+                break
+            placed_rows, placed_cells = place(
+                pending, spill[pending, j].astype(np.int64), 0)
+            home_cell[placed_rows] = placed_cells
+            pending = pending[home_cell[pending] < 0]
+
+    # Margin replicas into whatever capacity the homes left. A replica into
+    # the row's own home cell would duplicate it inside one scan; a replica
+    # of a residual row is redundant (the residual is always scanned).
+    for c in range(1, assign_k):
+        sec = assign[:, c].astype(np.int64)
+        rows = np.nonzero((sec >= 0) & (home_cell >= 0)
+                          & (sec != home_cell))[0]
+        place(rows, sec[rows], c)
+
+    src = np.concatenate(srcs)
+    dest = np.concatenate(dests)
+    prio = np.concatenate(prios)
+    return src, dest, prio, pending.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -409,16 +461,20 @@ class IVFIndex:
         assign_k: int = 1,
         assign_margin: float | None = None,
         train_sample: int = 262144,
+        spill_levels: int = 2,
     ) -> "IVFIndex":
         """Build from live rows: dense [N, D] unit vectors (f32/bf16, or int8
         with per-row ``scales``), col_rows [N, NUM_COLS], gids [N] global row
         ids into the owning store.
 
         ``assign_k > 1`` replicates each row into its top-k cells (recall
-        lever; memory cost k x). Overflow policy: a row whose PRIMARY cell is
-        full spills to the exact residual block; secondary replicas that
-        don't fit are simply dropped (the primary copy already guarantees
-        findability).
+        lever; memory cost k x). Overflow policy: a row whose PRIMARY cell
+        is full is homed into its nearest of ``spill_levels`` fallback cells
+        with free capacity (ScaNN-style spilling — the row stays probeable
+        through a neighbor cell); only rows ALL fallbacks reject land in the
+        exact residual block, which is scanned on every query. Secondary
+        replicas that don't fit are simply dropped (the home copy already
+        guarantees findability).
 
         ``assign_margin`` gates the replicas to BOUNDARY rows only: a
         secondary assignment is kept iff its centroid similarity is within
@@ -454,30 +510,64 @@ class IVFIndex:
             train_v, train_s = dense_j, in_scales
         centroids = _kmeans_train(train_v, train_s, n_cells, kmeans_iters,
                                   max(1, ns // br), seed)
-        if assign_k > 1 and assign_margin is not None:
-            assign_d, sims_d = _assign_topk_cells(
-                dense_j, in_scales, centroids, assign_k,
-                max(1, -(-n // br)), with_sims=True)
-            assign = np.array(assign_d)                # [N, k] host (writable)
+        n_blocks = max(1, -(-n // br))
+        # One assignment pass computes both the (possibly margin-gated)
+        # replica columns AND the spill fallbacks.
+        k_all = min(max(assign_k, 1 + max(spill_levels, 0)), n_cells)
+        need_sims = ((assign_k > 1 and assign_margin is not None)
+                     or spill_levels > 0)
+        if need_sims:
+            assign_all_d, sims_d = _assign_topk_cells(
+                dense_j, in_scales, centroids, k_all, n_blocks,
+                with_sims=True)
+            assign_all = np.array(assign_all_d)        # [N, k_all] host
             sims = np.asarray(sims_d)
+        else:
+            assign_all = np.asarray(_assign_topk_cells(
+                dense_j, in_scales, centroids, k_all, n_blocks))
+            sims = None
+        assign = np.ascontiguousarray(assign_all[:, :assign_k])
+        if assign_k > 1 and assign_margin is not None:
             # Secondary replicas only for boundary rows; -1 = dropped.
-            gate = sims[:, 1:] >= (sims[:, :1] - assign_margin)
+            gate = sims[:, 1:assign_k] >= (sims[:, :1] - assign_margin)
             assign[:, 1:] = np.where(gate, assign[:, 1:], -1)
             n_replicas = int(gate.sum())
         else:
-            assign = np.asarray(_assign_topk_cells(
-                dense_j, in_scales, centroids, assign_k,
-                max(1, -(-n // br))))                  # [N, k] host
             n_replicas = n * (assign_k - 1)
+        # Spill fallbacks are margin-gated like replicas, and for the same
+        # reason: a BOUNDARY row's 2nd cell is one the row's own queries
+        # probe, so homing it there loses nothing, while spilling an
+        # INTERIOR row of a dense cluster strands it in a cell far down the
+        # query's probe order (measured at 2M x 768 / 2048 cells, zipf skew:
+        # ungated spill dropped recall@10 1.000 -> 0.927 at np=8; the exact
+        # residual, scanned every query, is the right home for those).
+        spill = None
+        if spill_levels > 0 and k_all > 1:
+            spill_margin = assign_margin if assign_margin is not None else 0.05
+            spill = np.ascontiguousarray(assign_all[:, 1:1 + spill_levels])
+            sgate = (sims[:, 1:1 + spill_levels]
+                     >= (sims[:, :1] - spill_margin))
+            spill = np.where(sgate, spill, -1)
 
         total = n + n_replicas
-        cell_cap = round_up(max(int(skew_factor * total / n_cells), 128), 128)
+        cap0 = max(int(skew_factor * total / n_cells), 128)
+        # Keep cell_cap a multiple of 512 once it's large enough: the probe
+        # kernel tiles each cell in pick_tile(cap, 512)-row blocks, and the
+        # measured marginal probe bandwidth at tile=128 is ~1.7x worse than
+        # at tile=512 (98 KB vs 393 KB DMAs at 768-d int8). Nearest multiple
+        # rather than round-up so memory moves by at most 256 slots/cell;
+        # spilling absorbs the extra overflow a round-down causes.
+        if cap0 >= 448:
+            cell_cap = max(512, ((cap0 + 256) // 512) * 512)
+        else:
+            cell_cap = round_up(cap0, 128)
 
         # Packing permutation on host (int arithmetic on the [N, k]
-        # assignment): priority-ordered stable sort by cell (primary
-        # assignments first within each cell), rank within cell, primary
-        # overflow to the residual, secondary overflow dropped.
-        src, dest, _, rest_src = pack_permutation(assign, n_cells, cell_cap)
+        # assignment): primaries ranked within their cell, overflow homed
+        # into spill cells with free capacity, margin replicas into the
+        # remaining slots, the doubly-unlucky into the residual.
+        src, dest, _, rest_src = pack_permutation(assign, n_cells, cell_cap,
+                                                  spill=spill)
         r = round_up(max(len(rest_src), 1), 128)
 
         store_int8 = dtype == "int8"
