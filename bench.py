@@ -1127,21 +1127,29 @@ def bench_10m(extra_main, rng):
     train_s = jnp.take(scales10[0], idx_s)
     centroids = _kmeans_train(train_v, train_s, C10, 20, max(1, ns // br), 0)
     train_v = train_s = None
-    assign2_d, sims2_d = _assign_topk_cells(
-        vecs10, scales10[0], centroids, 2, max(1, -(-N10 // br)),
+    # k=3: column 1 feeds margin replicas, columns 1-2 feed margin-gated
+    # spill fallbacks for rows whose primary cell overflows (keeps them out
+    # of the residual that every query scans; gating keeps recall — see
+    # index/ivf.py pack_permutation).
+    assign3_d, sims3_d = _assign_topk_cells(
+        vecs10, scales10[0], centroids, 3, max(1, -(-N10 // br)),
         with_sims=True)
-    assign2 = np.array(assign2_d)
-    sims2 = np.asarray(sims2_d)
-    assign2_d = sims2_d = None
-    gap = sims2[:, 0] - sims2[:, 1]
+    assign3 = np.array(assign3_d)
+    sims3 = np.asarray(sims3_d)
+    assign3_d = sims3_d = None
+    gap = sims3[:, 0] - sims3[:, 1]
     budget_total = int(CAP_BUDGET * C10 / SKEW10)
     n_keep = max(0, budget_total - N10)
     gate = gap <= MARGIN10
     if int(gate.sum()) > n_keep:
         thr = np.partition(gap, n_keep)[n_keep]
         gate &= gap < thr
+    assign2 = np.ascontiguousarray(assign3[:, :2])
     assign2[:, 1] = np.where(gate, assign2[:, 1], -1)
     n_replicas = int(gate.sum())
+    spill10 = np.where(
+        sims3[:, 1:3] >= sims3[:, :1] - MARGIN10, assign3[:, 1:3], -1)
+    assign3 = None
     out["ivf10_boundary_replicas"] = n_replicas
     log(f"10M IVF: {n_replicas} boundary replicas "
         f"(margin {MARGIN10}); packing via regeneration")
@@ -1152,13 +1160,16 @@ def bench_10m(extra_main, rng):
         max(int(SKEW10 * (N10 + n_replicas) / C10), 128), 128)
     n_slots = C10 * cell_cap
     src_p, dest_p, prio_p, rest_rows = pack_permutation(
-        assign2, C10, cell_cap)
+        assign2, C10, cell_cap, spill=spill10)
+    spill10 = None
     dest_of_row = np.full(N10, n_slots, np.int64)  # OOB → dropped in scatter
     pmask = prio_p == 0
     dest_of_row[src_p[pmask]] = dest_p[pmask]
     dest2_of_row = np.full(N10, n_slots, np.int64)
     dest2_of_row[src_p[~pmask]] = dest_p[~pmask]
-    assign2 = sims2 = gap = None
+    out["ivf10_spilled"] = int(
+        (dest_p[pmask] // cell_cap != assign2[src_p[pmask], 0]).sum())
+    assign2 = sims3 = gap = None
     n_rest = len(rest_rows)
     rest_cap = round_up(max(n_rest, 1), 128)
     rest_pos_of_row = np.full(N10, rest_cap, np.int64)  # OOB → dropped

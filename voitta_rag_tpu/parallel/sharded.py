@@ -682,7 +682,8 @@ class ShardedIndex:
     def build_ivf(self, n_cells: int, *, kmeans_iters: int = 25,
                   skew_factor: float = 2.0, seed: int = 0, assign_k: int = 1,
                   assign_margin: float | None = None,
-                  train_sample: int = 262144) -> dict:
+                  train_sample: int = 262144,
+                  spill_levels: int = 2) -> dict:
         """Build the per-chip IVF snapshot from live rows.
 
         Centroids train on a cross-shard device sample; the full assignment
@@ -723,23 +724,39 @@ class ShardedIndex:
         flat_vecs = self.vecs.reshape(n * cap, self.dim)
         flat_scales = self.scales.reshape(n * cap) if is_int8 else None
         n_blocks_a = max(1, -(-(n * cap) // br))
-        if assign_k > 1 and assign_margin is not None:
-            assign_d, sims_d = _assign_topk_cells(
-                flat_vecs, flat_scales, centroids, assign_k, n_blocks_a,
+        k_all = min(max(assign_k, 1 + max(spill_levels, 0)), n_cells)
+        need_sims = ((assign_k > 1 and assign_margin is not None)
+                     or spill_levels > 0)
+        if need_sims:
+            assign_all_d, sims_d = _assign_topk_cells(
+                flat_vecs, flat_scales, centroids, k_all, n_blocks_a,
                 with_sims=True)
-            assign = np.array(assign_d)
+            assign_all = np.array(assign_all_d)
             sims = np.asarray(sims_d)
-            gate = sims[:, 1:] >= (sims[:, :1] - assign_margin)
+        else:
+            assign_all = np.asarray(_assign_topk_cells(
+                flat_vecs, flat_scales, centroids, k_all, n_blocks_a))
+            sims = None
+        assign = np.ascontiguousarray(assign_all[:, :assign_k])
+        if assign_k > 1 and assign_margin is not None:
+            gate = sims[:, 1:assign_k] >= (sims[:, :1] - assign_margin)
             assign[:, 1:] = np.where(gate, assign[:, 1:], -1)
-            assign = assign.reshape(n, cap, assign_k)
             total_rows = n_live + int(
                 (gate.reshape(n, cap, assign_k - 1)
                  & valid[:, :, None]).sum())
         else:
-            assign = np.asarray(_assign_topk_cells(
-                flat_vecs, flat_scales, centroids, assign_k,
-                n_blocks_a)).reshape(n, cap, assign_k)
             total_rows = n_live * assign_k
+        # Margin-gated spill fallbacks (same semantics + rationale as the
+        # flat build, index/ivf.py): overflow rows home into a boundary
+        # neighbor cell instead of the always-scanned residual.
+        spill3 = None
+        if spill_levels > 0 and k_all > 1:
+            sm = assign_margin if assign_margin is not None else 0.05
+            sp = np.where(sims[:, 1:1 + spill_levels] >= sims[:, :1] - sm,
+                          assign_all[:, 1:1 + spill_levels], -1)
+            spill3 = sp.reshape(n, cap, -1)
+        assign = assign.reshape(n, cap, assign_k)
+        assign_all = sims = None
 
         # --- per-shard packing permutation (host int arithmetic) ---
         cell_cap = round_up(
@@ -754,7 +771,8 @@ class ShardedIndex:
                 rest_lists.append(np.empty(0, np.int64))
                 continue
             src, dest, prio, rest_src = pack_permutation(
-                assign[s][rows_v], n_cells, cell_cap)
+                assign[s][rows_v], n_cells, cell_cap,
+                spill=None if spill3 is None else spill3[s][rows_v])
             dest_of[s, prio, rows_v[src]] = dest
             rest_lists.append(rows_v[rest_src])
         rest_cap = round_up(
