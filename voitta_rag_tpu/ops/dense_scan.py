@@ -11,6 +11,14 @@ kernel* — masked rows get ``-inf`` before scores ever reach HBM.
 Storage dtypes: bf16 (default), f32, or int8 with a per-row scale (halves HBM
 traffic — the scan is bandwidth-bound, so int8 is ~2x faster at <1% recall
 cost; compute stays bf16/f32 on the MXU).
+
+Measured negative result (v5e, 2M x 768, B=32): quantizing the *query* to
+int8 as well and running the matmul int8 x int8 -> int32 (2x the MXU's bf16
+rate) changes nothing — 3.37 vs 3.39 ms, both at ~455 GB/s of int8 reads.
+The scan is DMA-bound at this batch size, not MXU-bound, and int8 queries
+cost 1.2% top-10 agreement vs exact dequant. bf16 compute (int8 values are
+exact in bf16) stays the right operating point; do not "optimize" this into
+an int8-compute path without re-measuring at much larger B.
 """
 
 from __future__ import annotations
