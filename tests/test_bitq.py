@@ -1,0 +1,138 @@
+"""Binary-quantization coarse tier: encoders, scan parity, coarse+rerank."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from voitta_rag_tpu.ops.bitq import (bitq_scan_scores, encode_int4,
+                                     encode_sign, encode_sign_device)
+from voitta_rag_tpu.ops.filters import make_filter_spec
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF
+from voitta_rag_tpu.ops.rerank import rerank_exact_jit
+
+def _cols(n, folder=None):
+    from voitta_rag_tpu.ops.filters import COL_FOLDER, COL_VALID, NUM_COLS
+    cols = np.zeros((NUM_COLS, n), np.int32)
+    cols[COL_VALID] = 1
+    if folder is not None:
+        cols[COL_FOLDER] = folder
+    return jnp.asarray(cols)
+
+
+def _mk(seed=0, n=256, d=64, b=4):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, v
+
+
+def _oracle_scores(q, v):
+    sign = np.where(v >= 0, 1.0, -1.0)
+    scale = np.abs(v).mean(axis=1)
+    return (q @ sign.T) * scale[None, :]
+
+
+def test_encode_sign_packs_lsb_first():
+    v = np.array([[1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0]], np.float32)
+    packed, scales = encode_sign(v)
+    assert packed.shape == (1, 1)
+    # bits 0..7 = 1,0,1,1,0,0,0,1 -> 0b10001101 = 141 -> int8 wrap -115
+    assert np.uint8(packed[0, 0]) == 0b10001101
+    np.testing.assert_allclose(scales[0, 0], 1.0)
+
+
+def test_host_and_device_encoders_agree():
+    _, v = _mk(seed=1)
+    ph, sh = encode_sign(v)
+    pd, sd = encode_sign_device(jnp.asarray(v))
+    np.testing.assert_array_equal(ph, np.asarray(pd))
+    np.testing.assert_allclose(sh, np.asarray(sd), rtol=1e-6)
+
+
+def test_scan_matches_sign_oracle_xla():
+    q, v = _mk(seed=2)
+    packed, scales = encode_sign(v)
+    spec = make_filter_spec()
+    got = bitq_scan_scores(jnp.asarray(q), jnp.asarray(packed),
+                           jnp.asarray(scales), _cols(len(v)), spec,
+                           use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), _oracle_scores(q, v),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_scan_pallas_interpret_matches_xla():
+    q, v = _mk(seed=3)
+    packed, scales = encode_sign(v)
+    spec = make_filter_spec()
+    a = bitq_scan_scores(jnp.asarray(q), jnp.asarray(packed),
+                         jnp.asarray(scales), _cols(len(v)), spec,
+                         use_pallas=False)
+    b = bitq_scan_scores(jnp.asarray(q), jnp.asarray(packed),
+                         jnp.asarray(scales), _cols(len(v)), spec,
+                         use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_scan_applies_filter_mask():
+    q, v = _mk(seed=4, b=2)
+    n = len(v)
+    folder = np.zeros(n, np.int32)
+    folder[: n // 2] = 7
+    packed, scales = encode_sign(v)
+    spec = make_filter_spec(include_folder_ids=[7])
+    got = np.asarray(bitq_scan_scores(
+        jnp.asarray(q), jnp.asarray(packed), jnp.asarray(scales),
+        _cols(n, folder), spec, use_pallas=False))
+    assert (got[:, n // 2:] == NEG_INF).all()
+    assert (got[:, : n // 2] > NEG_INF).all()
+
+
+def test_coarse_then_rerank_recall():
+    """BQ top-64 + exact rerank recovers >=0.9 of exact top-10 (clustered)."""
+    rng = np.random.default_rng(5)
+    n, d, b = 2048, 128, 8
+    centers = rng.standard_normal((32, d)).astype(np.float32)
+    cid = rng.integers(0, 32, n)
+    v = centers[cid] + 0.6 * rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = centers[rng.integers(0, 32, b)] + \
+        0.6 * rng.standard_normal((b, d)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    exact = q @ v.T
+    want = np.argsort(-exact, axis=1)[:, :10]
+
+    packed, scales = encode_sign(v)
+    spec = make_filter_spec()
+    coarse = bitq_scan_scores(jnp.asarray(q), jnp.asarray(packed),
+                              jnp.asarray(scales), _cols(n), spec,
+                              use_pallas=False)
+    import jax
+    _, cand = jax.lax.top_k(coarse, 64)
+    vals, gids = rerank_exact_jit(jnp.asarray(q), cand.astype(jnp.int32),
+                                  jnp.asarray(v), limit=10)
+    gids = np.asarray(gids)
+    recall = np.mean([len(set(gids[i]) & set(want[i])) / 10 for i in range(b)])
+    assert recall >= 0.9, recall
+    # and the reranked scores are the exact scores
+    np.testing.assert_allclose(
+        np.asarray(vals)[0], np.take_along_axis(exact, gids, axis=1)[0],
+        rtol=1e-4)
+
+
+def test_encode_int4_roundtrip_error_bounded():
+    _, v = _mk(seed=6)
+    codes, scales = encode_int4(v)
+    assert codes.dtype == np.int8 and np.abs(codes).max() <= 7
+    deq = codes.astype(np.float32) * scales.T
+    # max error per element is scale/2 = vmax/14
+    vmax = np.abs(v).max(axis=1, keepdims=True)
+    assert (np.abs(deq - v) <= vmax / 14 + 1e-6).all()
+
+
+def test_encode_int4_zero_row_safe():
+    v = np.zeros((4, 16), np.float32)
+    codes, scales = encode_int4(v)
+    assert np.isfinite(scales).all() and (codes == 0).all()
