@@ -673,6 +673,20 @@ def main():
         except Exception as e:
             extra["scale10M_error"] = str(e)[:300]
 
+    # ---- cold-tier BQ shadow (VOITTA_COLD_BQ serving pipeline) ----
+    if on_tpu and time_left() < 420:
+        extra["bq_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["bq_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_bq_cold())
+        except Exception as e:
+            extra["bq_error"] = str(e)[:300]
+            log(f"bq section failed: {e}")
+
     # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
     # HNSW; here a from-scratch C++ HNSW, single-thread on this host).
     # Runs LAST: it only needs host arrays, so when the deadline squeezes
@@ -757,6 +771,117 @@ def main():
         "extra": extra,
     }
     print(json.dumps(result))
+
+
+def bench_bq_cold():
+    """Cold-tier binary-quantization serving (index/bq_serve.py pipeline).
+
+    Measures the beyond-HBM upgrade: a 2M x 768 corpus whose exact int8 rows
+    live in HOST RAM while the device holds only the 1-bit sketch (~1/6 the
+    int8 footprint incl. filter cols). A query coarse-scans the sketch on
+    the MXU (ops/bitq.py Pallas kernel), over-fetches K' candidates, and
+    rescores them exactly against the host rows (ops/rerank.py) — Qdrant's
+    binary quantization + rescore-with-oversampling, which the reference
+    inherits from its engine. Reported: coarse-kernel roofline, end-to-end
+    QPS (device-only and tunnel-inclusive — the host hop costs one RTT), and
+    recall@10 vs the exact int8 oracle at two oversampling levels.
+    """
+    out = {}
+    from voitta_rag_tpu.ops.bitq import bitq_scan_scores, encode_sign_device
+    from voitta_rag_tpu.ops.rerank import rerank_exact_host
+
+    N2, D2, B2 = 1 << 21, 768, 32
+    log(f"bq cold section: {N2} x {D2}, exact tier on host")
+    key = jax.random.PRNGKey(7)
+    vecs2, _ = clustered_unit_vectors(key, N2, D2, n_clusters=4096,
+                                      intra_cos=INTRA_COS)
+    scale2 = jnp.max(jnp.abs(vecs2), axis=1) / 127.0
+    v8_2 = jnp.clip(jnp.round(vecs2 / scale2[:, None]),
+                    -127, 127).astype(jnp.int8)
+    scales2 = scale2[None, :].astype(jnp.float32)
+
+    @jax.jit
+    def _enc(v):
+        return encode_sign_device(v)
+
+    packed2, bq_scales2 = _enc(vecs2)
+    jax.block_until_ready(packed2)
+    vecs2 = scale2 = None  # free the f32 corpus
+    cols2 = jnp.zeros((NUM_COLS, N2), jnp.int32).at[COL_VALID].set(1)
+    pass2 = make_filter_spec()
+
+    # Exact int8 oracle (the exact-tier ground truth) for 64 queries.
+    n_o = 64
+    qpool2 = np.asarray(mixture_queries(
+        jax.random.PRNGKey(71), B2 * N_ITERS, D2, n_clusters=4096,
+        intra_cos=INTRA_COS, center_key=key))
+    q_o = jnp.asarray(qpool2[:n_o])
+
+    @jax.jit
+    def _oracle(q, v8, cols, scales):
+        return masked_topk(dense_scan_scores(q, v8, cols, pass2, scales),
+                           LIMIT)
+    ovals, oids = _fetch2(_oracle(q_o, v8_2, cols2, scales2))
+
+    # Exact tier -> host RAM (this is the serving state being measured).
+    t0 = time.perf_counter()
+    v8_np = np.asarray(v8_2)
+    scales_np = np.asarray(scales2)
+    out["bq_exact_tier_pull_s"] = round(time.perf_counter() - t0, 1)
+    v8_2 = None
+
+    sketch_bytes = N2 * (D2 // 8) + N2 * 4 + N2 * NUM_COLS * 4
+    out["bq_sketch_bytes_per_row"] = round(sketch_bytes / N2, 1)
+
+    # Raw coarse kernel: scan + top-K' in one program.
+    for os_factor in (4, 16):
+        kp = LIMIT * 3 * os_factor
+
+        @functools.partial(jax.jit, static_argnames=())
+        def coarse_top(q, packed, scales, cols, kp=kp):
+            c = bitq_scan_scores(q, packed, scales, cols, pass2,
+                                 use_pallas=True)
+            return masked_topk(c, kp)
+
+        qstack2 = jnp.asarray(qpool2).reshape(N_ITERS, B2, D2)
+        qps_c, dt_c = queued_qps(coarse_top, qstack2, packed2, bq_scales2,
+                                 cols2)
+        if os_factor == 4:
+            roofline(out, "bq_coarse_2M_768", dt_c / N_ITERS * 1000,
+                     sketch_bytes)
+            out["bq_coarse_qps"] = round(qps_c, 1)
+
+        # End-to-end: coarse (device) -> candidate pull -> exact host
+        # rescore. The pull is a [B, K'] int32 sync — one tunnel RTT here,
+        # one PCIe hop on co-located hardware.
+        def bq_query(qb_np, kp=kp):
+            vals_c, cand = coarse_top(jnp.asarray(qb_np), packed2,
+                                      bq_scales2, cols2)
+            return rerank_exact_host(qb_np, np.asarray(cand), v8_np,
+                                     scales_np, limit=LIMIT)
+
+        t0 = time.perf_counter()
+        got_v = []
+        got_i = []
+        for s in range(0, n_o, B2):
+            v, g = bq_query(qpool2[s:s + B2])
+            got_v.append(v)
+            got_i.append(g)
+        dt_e2e = (time.perf_counter() - t0) / (n_o // B2)
+        got_v, got_i = np.vstack(got_v), np.vstack(got_i)
+        rec = recall_at10(got_i, np.asarray(oids))
+        rec_s = recall_at10_scoreaware(got_v, np.asarray(ovals))
+        out[f"bq_recall10_os{os_factor}"] = round(rec, 3)
+        out[f"bq_recall10_scoreaware_os{os_factor}"] = round(rec_s, 3)
+        out[f"bq_e2e_qps_tunnel_os{os_factor}"] = round(B2 / dt_e2e, 1)
+        log(f"bq os={os_factor} (K'={kp}): recall {rec:.3f} "
+            f"(score-aware {rec_s:.3f}), e2e {B2 / dt_e2e:.0f} qps "
+            f"tunnel-inclusive; coarse {qps_c:.0f} qps device")
+    return out
+
+
+def _fetch2(out):
+    return tuple(np.asarray(x) for x in out)
 
 
 def bench_real_corpus(rng, time_left):

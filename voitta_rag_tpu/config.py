@@ -102,6 +102,18 @@ class Settings:
         # Staging-block rows for cold-tier streaming scans (lane-aligned).
         self.stream_block_rows: int = int(
             os.getenv("VOITTA_STREAM_BLOCK_ROWS", "262144"))
+        # Cold-tier binary-quantization shadow: offloaded segments keep a
+        # device-resident 1-bit sketch (D/8 bytes/row + filter cols) that is
+        # coarse-scanned in HBM; top candidates are exactly rescored against
+        # the host rows (ops/bitq.py, ops/rerank.py). Replaces the full
+        # streaming scan with ~1/6 the HBM footprint of int8 and no PCIe
+        # sweep per query — the Qdrant binary-quantization + rescore
+        # analogue. 0 = off (exact streaming scan, bit-identical results).
+        self.cold_bq: bool = os.getenv("VOITTA_COLD_BQ", "0") == "1"
+        # Oversampling factor for the BQ coarse pass: the coarse scan
+        # over-fetches limit*prefetch*oversample candidates before exact
+        # rescoring (Qdrant quantization "oversampling" semantics).
+        self.bq_oversample: int = int(os.getenv("VOITTA_BQ_OVERSAMPLE", "4"))
         # Dense storage dtype on device: "bfloat16" | "float32" | "int8"
         self.segment_dtype: str = os.getenv("VOITTA_SEGMENT_DTYPE", "bfloat16")
         # Sparse BM25 slots kept per chunk (top-|S| weighted terms).

@@ -1,0 +1,106 @@
+"""Cold-tier serving via binary-quantization shadows.
+
+Upgrades the beyond-HBM tier (index/stream_scan.py): instead of streaming a
+cold segment's full rows through PCIe staging blocks per query, the device
+coarse-scans the segment's 1-bit sketch (segment.offload(bq=True) keeps
+``bq_packed``/``bq_scales``/``bq_cols`` in HBM — ~1/6 the footprint of int8
+rows), over-fetches the top candidates, and rescores exactly those rows
+against the *host* copy of the exact vectors (ops/rerank.py host variant).
+The sparse side is served by host inverted postings
+(index/host_postings.py) — a sparse query touches only its own terms' runs.
+
+This mirrors Qdrant's "binary quantization + rescore with oversampling"
+serving mode (the reference's engine, layer 0), laid out TPU-first: the
+coarse pass is an MXU scan over bit-planes, the exact pass is a host gather
+of B*K' rows, and what returns to the flat search path is a score-shaped
+``[B, cap]`` array carrying exact values at candidate positions and -inf
+elsewhere — so fusion, gid arithmetic, and payload materialization are
+untouched.
+
+Approximation contract: a cold-BQ segment contributes its coarse-top-K'
+candidates (K' = limit * prefetch * oversample), exactly rescored. Rows the
+coarse scan misses are absent — recall is the oversampling-bounded BQ
+recall, measured in tests/test_bq_cold.py and bench.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voitta_rag_tpu.ops.bitq import bitq_scan_scores
+from voitta_rag_tpu.ops.filters import FilterSpec, eval_mask_host
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF
+from voitta_rag_tpu.ops.rerank import rerank_exact_host
+from voitta_rag_tpu.ops.topk import masked_topk
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _scatter_scores(rows: jax.Array, vals: jax.Array, cap: int) -> jax.Array:
+    """[B, K'] (rows, vals) -> [B, cap] f32, -inf off-candidates.
+
+    Invalid slots (row < 0) are redirected out of range and dropped by the
+    scatter, so they can never clobber row 0.
+    """
+    b = rows.shape[0]
+    safe = jnp.where(rows >= 0, rows, cap)
+    out = jnp.full((b, cap), NEG_INF, jnp.float32)
+    return out.at[jnp.arange(b)[:, None], safe].set(vals, mode="drop")
+
+
+def bq_segment_scores(
+    q_dense: jax.Array,
+    seg,
+    spec: FilterSpec,
+    qt: np.ndarray | None = None,
+    qw: np.ndarray | None = None,
+    *,
+    k_prime: int,
+    use_pallas: bool = True,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Score one cold-BQ segment. Returns ([B, cap] dense, [B, cap] sparse|None).
+
+    Dense: device coarse scan over the bit sketch -> top-K' -> exact host
+    rescore -> scatter back to score shape. Sparse: host postings -> top-K'
+    (host) -> scatter. Both sides carry exact values at candidate positions.
+    """
+    assert seg.bq_packed is not None, "segment has no BQ shadow"
+    cap = seg.capacity
+    kp = min(k_prime, cap)
+
+    coarse = bitq_scan_scores(q_dense, seg.bq_packed, seg.bq_scales,
+                              seg.bq_cols, spec, use_pallas=use_pallas)
+    _, cand = masked_topk(coarse, kp)
+    cand_np = np.asarray(cand)                     # [B, K'] host
+    q_np = np.asarray(q_dense, np.float32)
+    scales_host = (np.asarray(seg.scales)
+                   if getattr(seg, "scales", None) is not None else None)
+    vecs_host = seg.vecs
+    if vecs_host.dtype != np.int8 and vecs_host.dtype != np.float32:
+        # bf16 host mirror (ml_dtypes): rescore in f32.
+        vecs_host = np.asarray(vecs_host, np.float32)
+    vals, gids = rerank_exact_host(q_np, cand_np, vecs_host, scales_host,
+                                   limit=kp)
+    dense = _scatter_scores(jnp.asarray(gids), jnp.asarray(vals), cap)
+
+    sparse = None
+    if qt is not None and seg.host_postings is not None:
+        qt_np = np.asarray(qt).reshape(-1)
+        qw_np = np.asarray(qw, np.float32).reshape(-1)
+        s_host = seg.host_postings.scores(qt_np, qw_np)      # [cap]
+        mask = eval_mask_host(spec, seg.cols)
+        s_host = np.where(mask, s_host, NEG_INF).astype(np.float32)
+        b = q_np.shape[0]
+        rows = np.argpartition(-s_host, kp - 1)[:kp].astype(np.int32)
+        svals = s_host[rows]
+        keep = svals > NEG_INF / 2
+        rows = np.where(keep, rows, -1)
+        svals = np.where(keep, svals, NEG_INF)
+        rows_b = np.broadcast_to(rows, (b, kp))
+        svals_b = np.broadcast_to(svals, (b, kp))
+        sparse = _scatter_scores(jnp.asarray(rows_b), jnp.asarray(svals_b),
+                                 cap)
+    return dense, sparse

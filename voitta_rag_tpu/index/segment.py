@@ -100,26 +100,62 @@ class Segment:
         # stream it through device staging blocks (index/stream_scan.py);
         # it takes no new writes until compaction.
         self._resident = True
+        # Optional cold-tier BQ shadow (offload(bq=True)): a device-resident
+        # 1-bit sketch + filter cols that replaces the streaming scan with a
+        # coarse in-HBM scan + exact host rescore (index/bq_serve.py).
+        self.bq_packed = None      # [cap, D//8] int8 (device)
+        self.bq_scales = None      # [1, cap] f32 (device)
+        self.bq_cols = None        # [NUM_COLS, cap] int32 (device)
+        self.host_postings = None  # HostPostings over host sparse arrays
 
     # -- cold tier ----------------------------------------------------------
     @property
     def resident(self) -> bool:
         return self._resident
 
-    def offload(self) -> None:
+    def offload(self, bq: bool = False) -> None:
         """Move this segment's arrays to host RAM, freeing their HBM.
 
         Pending donated scatters are drained first so the host copy is the
-        settled state. bf16 vectors stay bf16 (ml_dtypes numpy)."""
+        settled state. bf16 vectors stay bf16 (ml_dtypes numpy).
+
+        With ``bq=True`` (VOITTA_COLD_BQ), a device-resident binary sketch
+        stays behind: sign bits (D/8 bytes/row) + per-row scale + the filter
+        columns, plus host inverted postings for the sparse side — together
+        they serve searches without streaming the full rows back
+        (index/bq_serve.py)."""
         if not self._resident:
             return
         jax.block_until_ready(self.cols)
+        if bq:
+            # Sign bits and the 1-bit scale come straight from the stored
+            # codes: sign(dequant) == sign(code) and mean|dequant| =
+            # mean|code| * row_scale, so no [cap, D] f32 dequant is ever
+            # materialized.
+            from voitta_rag_tpu.ops.bitq import encode_sign
+
+            vecs_host = np.asarray(self.vecs.astype(jnp.float32)
+                                   if self.dtype == "bfloat16" else self.vecs)
+            blk = 32768  # bound transient f32 memory during encode
+            parts = [encode_sign(vecs_host[lo:lo + blk].astype(np.float32))
+                     for lo in range(0, self.capacity, blk)]
+            packed = np.concatenate([p for p, _ in parts], axis=0)
+            scales_bq = np.concatenate([s for _, s in parts], axis=1)
+            if self.dtype == "int8":
+                scales_bq = scales_bq * np.asarray(self.scales)
+            self.bq_packed = jnp.asarray(packed)
+            self.bq_scales = jnp.asarray(scales_bq)
+            self.bq_cols = self.cols  # keep the device copy for the scan
         self.vecs = np.array(self.vecs)
         if self.scales is not None:
             self.scales = np.array(self.scales)
         self.terms = np.array(self.terms)
         self.weights = np.array(self.weights)
         self.cols = np.array(self.cols)
+        if bq:
+            from voitta_rag_tpu.index.host_postings import HostPostings
+
+            self.host_postings = HostPostings(self.terms, self.weights)
         self._resident = False
 
     def ensure_resident(self) -> None:
@@ -131,7 +167,12 @@ class Segment:
             self.scales = jnp.asarray(self.scales)
         self.terms = jnp.asarray(self.terms)
         self.weights = jnp.asarray(self.weights)
-        self.cols = jnp.asarray(self.cols)
+        # The BQ shadow's cols carry any tombstones applied while cold;
+        # adopt them as the live device copy instead of re-uploading.
+        self.cols = (self.bq_cols if self.bq_cols is not None
+                     else jnp.asarray(self.cols))
+        self.bq_packed = self.bq_scales = self.bq_cols = None
+        self.host_postings = None
         self._resident = True
 
     # -- allocation ---------------------------------------------------------
@@ -224,6 +265,7 @@ class Segment:
         if not self._resident:
             self.cols[COL_VALID, rows] = 0
             self.valid_np[rows] = False
+            self._bq_tombstone(rows)
             # No free-list reuse while cold: the segment takes no writes.
             return
         max_b = UPDATE_BUCKETS[-1]
@@ -235,6 +277,18 @@ class Segment:
             self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
         self.valid_np[rows] = False
         self._free.extend(int(r) for r in rows)
+
+    def _bq_tombstone(self, rows: np.ndarray) -> None:
+        """Mirror cold tombstones into the device BQ-shadow filter cols."""
+        if self.bq_cols is None or len(rows) == 0:
+            return
+        max_b = UPDATE_BUCKETS[-1]
+        for s in range(0, len(rows), max_b):
+            chunk = rows[s:s + max_b]
+            b = _bucket(len(chunk))
+            rows_p = np.full(b, self.capacity, np.int32)
+            rows_p[: len(chunk)] = chunk
+            self.bq_cols = _tombstone_rows(self.bq_cols, jnp.asarray(rows_p))
 
     def tombstone_matching(self, col_idx: int, match_id: int) -> np.ndarray:
         """Tombstone all rows whose cols[col_idx] == match_id; returns rows."""
@@ -248,6 +302,7 @@ class Segment:
         if not self._resident:
             self.cols[COL_VALID, rows] = 0
             self.valid_np[rows] = False
+            self._bq_tombstone(rows)
             return rows.astype(np.int32)
         self.cols = _tombstone_matching(self.cols, col_idx, match_id)
         self.valid_np[rows] = False

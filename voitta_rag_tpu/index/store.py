@@ -62,6 +62,11 @@ class TpuVectorStore:
         self.prefetch_multiplier = settings.prefetch_multiplier
         self._device_rows_budget = settings.device_rows_budget
         self._stream_block_rows = settings.stream_block_rows
+        # Cold-tier BQ shadows (VOITTA_COLD_BQ): offloaded segments keep a
+        # 1-bit device sketch + host postings and are served by coarse-scan
+        # + exact rescore instead of full streaming (index/bq_serve.py).
+        self._cold_bq = settings.cold_bq
+        self._bq_oversample = settings.bq_oversample
         self._lock = threading.RLock()
         # Serializes whole save() calls (capture + compress) without
         # holding the store lock during compression.
@@ -276,7 +281,7 @@ class TpuVectorStore:
                          if s._next >= s.capacity), resident[0])
             if cand is resident[-1]:
                 break
-            cand.offload()
+            cand.offload(bq=self._cold_bq)
             resident.remove(cand)
             logger.info(
                 "Offloaded segment %d to host (cold tier): %d resident "
@@ -610,16 +615,30 @@ class TpuVectorStore:
                     and not self._postings_dirty)
         return self._postings is not None and not self._postings_dirty
 
-    def _score_all_segments(self, q_dense, spec, qt=None, qw=None):
+    def _score_all_segments(self, q_dense, spec, qt=None, qw=None,
+                            bq_k: int | None = None):
         """Concatenated masked scores over all segments.
 
         Returns (dense_scores [B, total], sparse_scores [B, total] | None).
+        ``bq_k``: candidate over-fetch for cold-BQ segments (coarse top-K'
+        exactly rescored; index/bq_serve.py). Cold segments without a BQ
+        shadow (or when bq_k is None) stream exactly instead.
         """
         d_parts, s_parts = [], []
         qt_j = jnp.asarray(qt) if qt is not None else None
         qw_j = jnp.asarray(qw) if qw is not None else None
         for seg in self._segments:
             if not seg.resident:
+                if seg.bq_packed is not None and bq_k:
+                    from voitta_rag_tpu.index.bq_serve import \
+                        bq_segment_scores
+
+                    d, s = bq_segment_scores(q_dense, seg, spec, qt, qw,
+                                             k_prime=bq_k)
+                    d_parts.append(d)
+                    if s is not None:
+                        s_parts.append(s)
+                    continue
                 # Cold tier: stream through device staging blocks; same
                 # kernels, same [B, cap] score layout.
                 from voitta_rag_tpu.index.stream_scan import \
@@ -715,7 +734,8 @@ class TpuVectorStore:
                                          sparse_weight, has_sparse, fusion)
 
         dense_scores, sparse_scores = self._score_all_segments(
-            jnp.asarray(q), spec, qt, qw)
+            jnp.asarray(q), spec, qt, qw,
+            bq_k=limit * self.prefetch_multiplier * self._bq_oversample)
 
         if has_sparse:
             if fusion == "rrf":
@@ -767,7 +787,8 @@ class TpuVectorStore:
             d_vals, d_gids = self._ivf.search_candidates(
                 qj, spec, nprobe=self._ivf_nprobe, limit=p)
         else:
-            dense_scores, _ = self._score_all_segments(qj, spec)
+            dense_scores, _ = self._score_all_segments(
+                qj, spec, bq_k=p * self._bq_oversample)
             d_vals, d_gids = masked_topk(
                 dense_scores, min(p, dense_scores.shape[-1]),
                 approx=dense_scores.shape[-1] > (1 << 16))
@@ -868,6 +889,9 @@ class TpuVectorStore:
             "cold_segments": (0 if self._sharded is not None else
                               sum(1 for s in self._segments
                                   if not s.resident)),
+            "bq_shadowed_segments": (0 if self._sharded is not None else
+                                     sum(1 for s in self._segments
+                                         if s.bq_packed is not None)),
             "dimension": self.dimension,
             "dtype": self.segment_dtype,
             "status": "green",

@@ -181,3 +181,38 @@ def _time_ok(tcol: jax.Array, params: jax.Array) -> jax.Array:
 
 def eval_mask_spec(spec: FilterSpec, cols: jax.Array) -> jax.Array:
     return eval_mask(spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids, cols)
+
+
+def eval_mask_host(spec: FilterSpec, cols) -> "np.ndarray":
+    """NumPy twin of :func:`eval_mask` for host-side (cold tier) scoring.
+
+    ``cols`` is int32 [NUM_COLS, T] in host memory; returns bool [T].
+    Exists so cold-segment paths never bounce filter columns through the
+    device just to evaluate a mask. Kept in lockstep with eval_mask by
+    tests/test_bq_cold.py.
+    """
+    import numpy as np
+
+    params = np.asarray(spec.params)
+    inc_ids = np.asarray(spec.inc_ids)[0]
+    exc_ids = np.asarray(spec.exc_ids)[0]
+    exc_if_ids = np.asarray(spec.exc_if_ids)[0]
+    cols = np.asarray(cols)
+
+    valid = cols[COL_VALID] > 0
+    fid = cols[COL_FOLDER]
+    ifid = cols[COL_INDEX_FOLDER]
+
+    m = valid
+    if params[0, P_INC_EN] != 0:
+        m = m & np.isin(fid, inc_ids[inc_ids != NO_FOLDER])
+    m &= ~np.isin(fid, exc_ids[exc_ids != NO_FOLDER])
+    m &= ~np.isin(ifid, exc_if_ids[exc_if_ids != NO_FOLDER])
+
+    if params[0, P_TIME_EN] != 0:
+        tcol = cols[COL_CREATED if params[0, P_TIME_FIELD] == 1
+                    else COL_MODIFIED]
+        m &= ((tcol != MISSING_TS)
+              & (tcol >= params[0, P_TIME_LO])
+              & (tcol <= params[0, P_TIME_HI]))
+    return m

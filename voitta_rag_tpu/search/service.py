@@ -256,7 +256,7 @@ class SearchService:
             ids, mask = self.embedder.tokenize_query(query)
         cfg, params = self.embedder.encoder
 
-        qt = qw = None
+        qt = qw = sv = None
         has_sparse = False
         if hybrid:
             sv = self.sparse.embed_query(query)
@@ -282,6 +282,24 @@ class SearchService:
                     return store._search_sharded(
                         q, spec, qt, qw, limit,
                         jnp.asarray(sparse_weight, jnp.float32), has_sparse)
+
+            if any(not s.resident for s in store.segments):
+                # Cold tier present: every fused path below captures
+                # seg.vecs directly, which for an offloaded segment is a
+                # HOST array — the jit boundary would re-upload the whole
+                # segment on every query. Route to the store path instead,
+                # which streams cold segments block-wise or serves their
+                # BQ shadows (index/bq_serve.py) and only re-reads the
+                # candidate rows.
+                with trace("search.encode"):
+                    q = np.asarray(encode_tokens(
+                        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+                with trace("search.cold"):
+                    return store._search_locked(
+                        q[0], limit, None, include_folders, exclude_folders,
+                        exclude_index_folders, sv if has_sparse else None,
+                        sparse_weight, date_start, date_end, date_field,
+                        fusion)
 
             gen = store.generation  # detect gid reuse racing this search
             use_ivf = store.ivf_active
