@@ -841,7 +841,7 @@ def bench_bq_cold():
         def coarse_top(q, packed, scales, cols, kp=kp):
             c = bitq_scan_scores(q, packed, scales, cols, pass2,
                                  use_pallas=True)
-            return masked_topk(c, kp)
+            return masked_topk(c, kp, approx=True)
 
         qstack2 = jnp.asarray(qpool2).reshape(N_ITERS, B2, D2)
         qps_c, dt_c = queued_qps(coarse_top, qstack2, packed2, bq_scales2,

@@ -73,7 +73,12 @@ def bq_segment_scores(
 
     coarse = bitq_scan_scores(q_dense, seg.bq_packed, seg.bq_scales,
                               seg.bq_cols, spec, use_pallas=use_pallas)
-    _, cand = masked_topk(coarse, kp)
+    # approx_max_k above 64k rows (same policy as the snapshot path): exact
+    # top-k at K'~100-500 over millions of rows costs more than the coarse
+    # scan itself (measured 24 ms vs 5.3 ms at 2M on v5e), and the coarse
+    # pass is already oversampled — per-op recall 0.95 at 12x over-fetch is
+    # noise next to the 1-bit approximation it feeds.
+    _, cand = masked_topk(coarse, kp, approx=cap > (1 << 16))
     cand_np = np.asarray(cand)                     # [B, K'] host
     q_np = np.asarray(q_dense, np.float32)
     scales_host = (np.asarray(seg.scales)

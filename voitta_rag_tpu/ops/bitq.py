@@ -8,25 +8,37 @@ coarse score is the *asymmetric* estimate (query stays full-precision):
     score_i ~= s_i * (q . sign(v_i))  =  s_i * (2 * sum_{d: bit=1} q_d - sum_d q_d)
 
 with ``s_i = mean_d |v_i[d]|`` — the L2-optimal 1-bit dequant scale. The
-masked-sum term is exactly a matmul of q against the unpacked {0,1} bit
-matrix, so the scan runs on the MXU like the dense scan; bits are unpacked
-in-kernel on the VPU (HBM only ever sees the packed bytes).
+masked-sum term is a matmul of q against the {0,1} bit matrix, so the scan
+runs on the MXU like the dense scan; bits are unpacked on the VPU in-kernel
+(HBM only ever sees the packed bytes).
 
-Layout: packed uint8-as-int8 ``[N, D//8]`` — byte j of row i holds dims
-``j*8 .. j*8+7`` LSB-first. For D=768 that is 96 bytes/row (the TPU pads the
-lane dim to 128, so true compression vs int8 storage is 6x, vs bf16 12x).
+**Plane-major layout** (chosen for Mosaic): ``packed [N, W]`` int8 where
+byte ``j`` of a row holds the sign bits of dims ``k*W + j`` in bit ``k``,
+for ``k < P = D // W`` bit-planes. ``W`` is a multiple of 128 (W = 128 for
+D <= 1024), so every plane extraction ``(w >> k) & 1`` is a full-width 2D
+lane op and every per-plane dot is a K=W-aligned MXU matmul — no reshapes,
+no lane concatenation, no K padding. (The naive byte-per-8-dims layout
+needs a [T, W, 8] -> [T, D] shape cast that Mosaic's vector layout
+inference rejects, and its K=96 dots waste 25% of the MXU's K tile.)
+The query needs NO permutation: plane ``k`` scores q's contiguous slice
+``q[:, k*W:(k+1)*W]``.
 
-A coarse scan is NEVER the final answer: callers over-fetch top-K' candidates
-and rescore them against the exact tier with :mod:`voitta_rag_tpu.ops.rerank`
-(Qdrant's ``rescore: true`` semantics). Filters are applied inside the coarse
-kernel (masked rows -> -inf) so selective filters cannot crowd the candidate
-set out, same as :mod:`voitta_rag_tpu.ops.dense_scan`.
+A coarse scan is NEVER the final answer: callers over-fetch top-K'
+candidates and rescore them against the exact tier with
+:mod:`voitta_rag_tpu.ops.rerank` (Qdrant's ``rescore: true`` semantics).
+Filters are applied inside the coarse kernel (masked rows -> -inf) so
+selective filters cannot crowd the candidate set out, same as
+:mod:`voitta_rag_tpu.ops.dense_scan`.
 
-Measured (v5e, 2M x 768, B=32): the coarse scan is MXU-bound, not DMA-bound
-— at serving batch 32 the systolic array runs ~25% occupied, so every
-compressed format converges to the same ~2 ms/2M-rows matmul floor; BQ's win
-is *capacity* (6x rows per chip) and large-batch throughput, not b=32
-latency. See bench.py's bq section for current numbers.
+Measured (v5e, B=32): at serving batch 32 the systolic array runs ~25%
+occupied, so the coarse scan is MXU-bound, not DMA-bound — 2M x 768 takes
+5.3 ms vs 3.4 ms for the int8 dense scan at the same shape (the unpack VPU
+work shows, the 8x traffic cut does not). BQ's win is *capacity* (~6x rows
+per chip incl. filter cols) and large-batch throughput, not b=32 latency.
+Candidate selection MUST use approx_max_k at scale: exact top-120 over 2M
+costs 24 ms, 4.5x the scan itself. Coarse quality on a clustered 1M x 768
+corpus: top-120 holds 0.980 of the exact top-10, top-480 holds 1.000 —
+rescoring makes those the served recalls. See bench.py's bq section.
 """
 
 from __future__ import annotations
@@ -45,17 +57,34 @@ from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, pick_tile
 TILE_N = 2048
 
 
-def encode_sign(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pack sign bits of ``vecs [N, D]`` -> (packed int8 [N, D//8], scales).
+def plane_width(d: int) -> int:
+    """Lane width W of the packed layout (P = d // W bit-planes, P <= 8).
 
-    D must be a multiple of 8. scales is [1, N] f32 (mean |v_d| per row).
-    Host-side (NumPy): encoding happens at segment write time.
+    Prefers the largest plane count whose width is a multiple of 128 (full
+    TPU lanes: 384 -> W=128/P=3, 768 -> 128/6, 1024 -> 128/8, 1536 ->
+    256/6); small/odd dims fall back to the widest dividing plane count
+    (correct everywhere, lane-padded on TPU — fine for tests)."""
+    for p in range(8, 0, -1):
+        if d % p == 0 and (d // p) % 128 == 0:
+            return d // p
+    for p in range(8, 0, -1):
+        if d % p == 0:
+            return d // p
+    raise ValueError(f"bitq cannot tile dim {d}")
+
+
+def encode_sign(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack sign bits of ``vecs [N, D]`` -> (packed int8 [N, W], scales).
+
+    Plane-major: bit ``k`` of byte ``j`` = sign(vecs[:, k*W + j]).
+    ``scales`` is [1, N] f32 (mean |v_d| per row). Host-side NumPy.
     """
     n, d = vecs.shape
-    assert d % 8 == 0, "bitq requires dim % 8 == 0"
-    bits = (vecs >= 0).astype(np.uint8).reshape(n, d // 8, 8)
-    weights = (1 << np.arange(8, dtype=np.uint8))[None, None, :]
-    packed = (bits * weights).sum(axis=2).astype(np.uint8)
+    w = plane_width(d)
+    p = d // w
+    bits = (vecs >= 0).astype(np.uint8).reshape(n, p, w)
+    weights = (1 << np.arange(p, dtype=np.uint8))[None, :, None]
+    packed = (bits * weights).sum(axis=1, dtype=np.uint8)
     scales = np.abs(vecs).mean(axis=1, dtype=np.float32).reshape(1, n)
     return packed.view(np.int8), scales
 
@@ -63,10 +92,11 @@ def encode_sign(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def encode_sign_device(vecs: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Device-side :func:`encode_sign` (for bench/bulk encode paths)."""
     n, d = vecs.shape
-    bits = (vecs >= 0).astype(jnp.int32).reshape(n, d // 8, 8)
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
-    # Wrap the unsigned byte value into int8 range via uint8 intermediate.
-    packed = jnp.sum(bits * weights, axis=2).astype(jnp.uint8).astype(jnp.int8)
+    w = plane_width(d)
+    p = d // w
+    bits = (vecs >= 0).astype(jnp.int32).reshape(n, p, w)
+    weights = (1 << jnp.arange(p, dtype=jnp.int32))[None, :, None]
+    packed = jnp.sum(bits * weights, axis=1).astype(jnp.uint8).astype(jnp.int8)
     scales = jnp.mean(jnp.abs(vecs.astype(jnp.float32)), axis=1).reshape(1, n)
     return packed, scales
 
@@ -85,30 +115,27 @@ def encode_int4(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return codes, scales
 
 
-def _unpack_bits_bf16(packed: jax.Array, d: int) -> jax.Array:
-    """[T, D//8] int8 -> [T, D] bf16 in {0, 1} (LSB-first per byte)."""
-    t = packed.shape[0]
-    # int8 -> unsigned byte value (astype sign-extends; mask it off) — avoids
-    # a bitcast, which does not lower inside Pallas kernels.
-    w = packed.astype(jnp.int32) & 0xFF                 # [T, D//8]
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
-    bits = (w[:, :, None] >> shifts) & 1                # [T, D//8, 8]
-    return bits.reshape(t, d).astype(jnp.bfloat16)
+def _make_bitq_kernel(n_planes: int, w: int):
+    def kernel(params_ref, inc_ref, exc_ref, excif_ref, q_ref, qsum_ref,
+               packed_ref, scales_ref, cols_ref, out_ref):
+        # int8 -> unsigned byte (astype sign-extends; mask it off).
+        words = packed_ref[:].astype(jnp.int32) & 0xFF      # [T, W]
+        b = q_ref.shape[0]
+        t = words.shape[0]
+        acc = jnp.zeros((b, t), jnp.float32)
+        for k in range(n_planes):
+            bits_k = ((words >> k) & 1).astype(jnp.bfloat16)   # [T, W]
+            qk = q_ref[:, k * w:(k + 1) * w]                   # [B, W] bf16
+            acc = acc + jax.lax.dot_general(
+                qk, bits_k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        scores = (2.0 * acc - qsum_ref[:]) * scales_ref[:]
+        mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
+                         cols_ref[:])
+        out_ref[:] = jnp.where(mask[None, :], scores, NEG_INF)
 
-
-def _bitq_kernel(params_ref, inc_ref, exc_ref, excif_ref, q_ref, qsum_ref,
-                 packed_ref, scales_ref, cols_ref, out_ref):
-    d = q_ref.shape[1]
-    u = _unpack_bits_bf16(packed_ref[:], d)             # [T, D]
-    q = q_ref[:]                                        # [B, D] bf16
-    masked_sum = jax.lax.dot_general(
-        q, u,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [B, T]
-    scores = (2.0 * masked_sum - qsum_ref[:]) * scales_ref[:]
-    mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
-                     cols_ref[:])
-    out_ref[:] = jnp.where(mask[None, :], scores, NEG_INF)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -121,23 +148,28 @@ def bitq_scan_scores(
     *,
     use_pallas: bool = True,
 ) -> jax.Array:
-    """Masked coarse scores of ``q [B, D]`` against sign bits ``[N, D//8]``.
+    """Masked coarse scores of ``q [B, D]`` against sign planes ``[N, W]``.
 
     Returns f32 [B, N]; masked rows = -inf. Same contract as
     :func:`voitta_rag_tpu.ops.dense_scan.dense_scan_scores`, coarse values.
     """
     B, D = q.shape
     N, W = packed.shape
-    assert W * 8 == D and cols.shape[1] == N
+    P = D // W
+    assert W * P == D and cols.shape[1] == N
     qb = q.astype(jnp.bfloat16)
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
 
     if not use_pallas:
-        u = _unpack_bits_bf16(packed, D)
-        masked_sum = jax.lax.dot_general(
-            qb, u, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = (2.0 * masked_sum - qsum) * scales
+        words = packed.astype(jnp.int32) & 0xFF
+        acc = jnp.zeros((B, N), jnp.float32)
+        for k in range(P):
+            bits_k = ((words >> k) & 1).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                qb[:, k * W:(k + 1) * W], bits_k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        scores = (2.0 * acc - qsum) * scales
         mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids,
                          spec.exc_if_ids, cols)
         return jnp.where(mask[None, :], scores, NEG_INF)
@@ -159,7 +191,7 @@ def bitq_scan_scores(
         transcendentals=0,
     )
     return pl.pallas_call(
-        _bitq_kernel,
+        _make_bitq_kernel(P, W),
         grid=grid,
         in_specs=filt_specs + [
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),

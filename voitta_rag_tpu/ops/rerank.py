@@ -51,9 +51,11 @@ def rerank_exact(
     """
     safe = jnp.maximum(cand_gids, 0)                       # [B, K']
     rows = jnp.take(vecs, safe, axis=0).astype(jnp.float32)  # [B, K', D]
-    if scales is not None:
-        rows = rows * jnp.take(scales[0], safe, axis=0)[..., None]
     s = jnp.einsum("bd,bkd->bk", q.astype(jnp.float32), rows)
+    if scales is not None:
+        # Per-row dequant scale commutes with the dot: apply to the [B, K']
+        # result, not the [B, K', D] rows (D x less work).
+        s = s * jnp.take(scales[0], safe, axis=0)
     s = jnp.where(cand_gids >= 0, s, NEG_INF)
     vals, pos = jax.lax.top_k(s, limit)
     gids = jnp.take_along_axis(cand_gids, pos, axis=1)
@@ -87,9 +89,12 @@ def rerank_exact_host(
     safe = np.maximum(cand_gids, 0)
     rows = vecs_host[safe.reshape(-1)].astype(np.float32)
     rows = rows.reshape(B, Kp, -1)
+    # BLAS batched matmul, per-row scale applied to the [B, K'] result (a
+    # pre-dot [B, K', D] scale broadcast measured ~10x slower on a 1-vCPU
+    # host than the dot itself).
+    s = np.matmul(rows, q.astype(np.float32)[:, :, None])[..., 0]
     if scales_host is not None:
-        rows = rows * scales_host[0][safe][..., None]
-    s = np.einsum("bd,bkd->bk", q.astype(np.float32), rows)
+        s = s * scales_host[0][safe]
     s = np.where(cand_gids >= 0, s, NEG_INF)
     pos = np.argsort(-s, axis=1)[:, :limit]
     vals = np.take_along_axis(s, pos, axis=1)
