@@ -776,7 +776,7 @@ def main():
 def bench_bq_cold():
     """Cold-tier binary-quantization serving (index/bq_serve.py pipeline).
 
-    Measures the beyond-HBM upgrade: a 2M x 768 corpus whose exact int8 rows
+    Measures the beyond-HBM upgrade: a 1M x 768 corpus whose exact int8 rows
     live in HOST RAM while the device holds only the 1-bit sketch (~1/6 the
     int8 footprint incl. filter cols). A query coarse-scans the sketch on
     the MXU (ops/bitq.py Pallas kernel), over-fetches K' candidates, and
@@ -790,7 +790,9 @@ def bench_bq_cold():
     from voitta_rag_tpu.ops.bitq import bitq_scan_scores, encode_sign_device
     from voitta_rag_tpu.ops.rerank import rerank_exact_host
 
-    N2, D2, B2 = 1 << 21, 768, 32
+    # 1M x 768: the f32 corpus + quant temporaries peak ~7 GB; 2M OOMs a
+    # v5e during generation (measured), and 1M already demonstrates the tier.
+    N2, D2, B2 = 1 << 20, 768, 32
     log(f"bq cold section: {N2} x {D2}, exact tier on host")
     key = jax.random.PRNGKey(7)
     vecs2, _ = clustered_unit_vectors(key, N2, D2, n_clusters=4096,
@@ -847,7 +849,7 @@ def bench_bq_cold():
         qps_c, dt_c = queued_qps(coarse_top, qstack2, packed2, bq_scales2,
                                  cols2)
         if os_factor == 4:
-            roofline(out, "bq_coarse_2M_768", dt_c / N_ITERS * 1000,
+            roofline(out, "bq_coarse_1M_768", dt_c / N_ITERS * 1000,
                      sketch_bytes)
             out["bq_coarse_qps"] = round(qps_c, 1)
 
