@@ -695,37 +695,67 @@ def main():
     try:
         from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
 
-        if time_left() < 240:
+        if time_left() < 120:
             extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
             log(extra["hnsw_skipped"])
         elif available():
             # ef_construction=200 (hnswlib's default — a properly built
-            # graph); the subsample grows when the deadline allows. The ef
-            # sweep runs to 512: search cost only, and the clustered
+            # graph). Graph-only caches (committed under bench_cache/, built
+            # offline — the corpus is deterministic, checksum-verified) let
+            # the baseline run at 100k rows for the cost of a load; without
+            # a cache the subsample is sized to the remaining deadline
+            # (50k efc=200 builds in ~930s single-thread on this host).
+            # The ef sweep runs to 512: search cost only, and the clustered
             # corpus needs large ef for the baseline's best recall.
-            n_sub = 50_000 if time_left() > 600 else 25_000
-            log(f"CPU HNSW baseline ({n_sub} rows, efc=200, "
-                f"{time_left():.0f}s left)")
-            sub = vecs_np[:n_sub]
-            t0 = time.perf_counter()
-            h = HnswBaseline(D, n_sub, m=16, ef_construction=200)
-            h.add(sub)
-            extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
-            extra["hnsw_rows"] = n_sub
-            sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
-                                    axis=1)[:, :LIMIT]
-            for ef in (32, 64, 128, 256, 512):
+            from pathlib import Path
+
+            cache_dir = Path(__file__).resolve().parent / "bench_cache"
+            h = None
+            n_sub = 0
+            for n_try in (100_000, 50_000, 25_000):
+                cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v1.bin"
+                if cp.exists():
+                    h = HnswBaseline.load_graph(cp, vecs_np[:n_try])
+                    if h is not None:
+                        n_sub = n_try
+                        extra["hnsw_cache"] = cp.name
+                        log(f"CPU HNSW baseline: loaded cached {n_try}-row "
+                            f"efc=200 graph")
+                        break
+            if h is None and time_left() < 240:
+                extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
+                log(extra["hnsw_skipped"])
+            if h is None and time_left() >= 240:
+                n_sub = 50_000 if time_left() > 1150 else 25_000
+                log(f"CPU HNSW baseline ({n_sub} rows, efc=200, "
+                    f"{time_left():.0f}s left)")
                 t0 = time.perf_counter()
-                ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
-                dt_h = (time.perf_counter() - t0) / n_oracle
-                extra[f"hnsw_recall10_ef{ef}"] = round(
-                    recall_at10(ids_h, sub_oracle), 3)
-                extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
-                if ef == 32:
-                    hnsw_qps = 1 / dt_h
-            log(f"HNSW: recall {extra.get('hnsw_recall10_ef512')} at "
-                f"{extra.get('hnsw_qps_ef512')} qps ef512 "
-                f"(1 thread, {n_sub} rows, efc=200)")
+                h = HnswBaseline(D, n_sub, m=16, ef_construction=200)
+                h.add(vecs_np[:n_sub])
+                extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+                try:
+                    cache_dir.mkdir(exist_ok=True)
+                    h.save_graph(
+                        cache_dir / f"hnsw_{n_sub}r_{D}d_m16_efc200.v1.bin")
+                except Exception:
+                    pass
+            if h is not None:
+                sub = vecs_np[:n_sub]
+                extra["hnsw_rows"] = n_sub
+                sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
+                                        axis=1)[:, :LIMIT]
+                for ef in (32, 64, 128, 256, 512):
+                    t0 = time.perf_counter()
+                    ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
+                    dt_h = (time.perf_counter() - t0) / n_oracle
+                    extra[f"hnsw_recall10_ef{ef}"] = round(
+                        recall_at10(ids_h, sub_oracle), 3)
+                    extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
+                    if ef == 32:
+                        hnsw_qps = 1 / dt_h
+                log(f"HNSW: recall {extra.get('hnsw_recall10_ef512')} at "
+                    f"{extra.get('hnsw_qps_ef512')} qps ef512 "
+                    f"(1 thread, {n_sub} rows, efc=200)")
         else:
             extra["hnsw_error"] = "native lib unavailable"
     except Exception as e:

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <queue>
 #include <random>
@@ -255,5 +256,85 @@ int hnsw_search(void* p, const float* q, int k, int ef, int* out_ids,
 }
 
 int hnsw_size(void* p) { return ((Hnsw*)p)->count; }
+
+// ---- graph-only serialization --------------------------------------------
+// Saves LINKS + levels, not vectors: bench corpora are deterministic
+// (generated from a fixed PRNG key), so the loader re-fills `data` from the
+// caller-provided vectors and only verifies a checksum. This keeps a 100k x
+// 384 efc=200 graph cache ~25 MB instead of ~180 MB, cheap enough to commit
+// so later bench runs skip the ~30 min single-thread build.
+
+static const uint32_t kMagic = 0x484e5357;  // "HNSW"
+static const uint32_t kVersion = 1;
+
+int hnsw_save_graph(void* p, const char* path) {
+  auto* h = (Hnsw*)p;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  double csum = 0.0;
+  size_t ncheck = std::min((size_t)h->count * h->dim, (size_t)4096);
+  for (size_t i = 0; i < ncheck; i++) csum += h->data[i];
+  uint32_t hdr[8] = {kMagic, kVersion, (uint32_t)h->dim,
+                     (uint32_t)h->count, (uint32_t)h->M,
+                     (uint32_t)h->ef_construction, (uint32_t)h->entry,
+                     (uint32_t)h->max_level};
+  bool ok = std::fwrite(hdr, sizeof(hdr), 1, f) == 1 &&
+            std::fwrite(&csum, sizeof(csum), 1, f) == 1 &&
+            std::fwrite(h->levels.data(), sizeof(int), h->count, f) ==
+                (size_t)h->count;
+  for (int l = 0; ok && l <= h->max_level; l++) {
+    auto& lks = h->layer(l);
+    for (int i = 0; ok && i < h->count; i++) {
+      uint32_t sz = (uint32_t)lks[i].size();
+      ok = std::fwrite(&sz, sizeof(sz), 1, f) == 1 &&
+           (sz == 0 ||
+            std::fwrite(lks[i].data(), sizeof(int), sz, f) == (size_t)sz);
+    }
+  }
+  std::fclose(f);
+  return ok ? 0 : -1;
+}
+
+void* hnsw_load_graph(const char* path, const float* vecs, int n, int dim,
+                      int max_elements) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  uint32_t hdr[8];
+  double csum = 0.0;
+  if (std::fread(hdr, sizeof(hdr), 1, f) != 1 || hdr[0] != kMagic ||
+      hdr[1] != kVersion || (int)hdr[2] != dim || (int)hdr[3] != n ||
+      std::fread(&csum, sizeof(csum), 1, f) != 1) {
+    std::fclose(f);
+    return nullptr;
+  }
+  double want = 0.0;
+  size_t ncheck = std::min((size_t)n * dim, (size_t)4096);
+  for (size_t i = 0; i < ncheck; i++) want += vecs[i];
+  if (std::fabs(want - csum) > 1e-3 * (std::fabs(csum) + 1.0)) {
+    std::fclose(f);  // corpus changed: cache invalid
+    return nullptr;
+  }
+  auto* h = (Hnsw*)hnsw_create(dim, std::max(max_elements, n), (int)hdr[4],
+                               (int)hdr[5], 42);
+  h->count = n;
+  h->entry = (int)hdr[6];
+  h->max_level = (int)hdr[7];
+  std::memcpy(h->data.data(), vecs, (size_t)n * dim * sizeof(float));
+  bool ok = std::fread(h->levels.data(), sizeof(int), n, f) == (size_t)n;
+  for (int l = 0; ok && l <= h->max_level; l++) {
+    auto& lks = h->layer(l);
+    for (int i = 0; ok && i < n; i++) {
+      uint32_t sz = 0;
+      ok = std::fread(&sz, sizeof(sz), 1, f) == 1 && sz <= (uint32_t)(h->M0 + 1) * 4;
+      if (ok && sz) {
+        lks[i].resize(sz);
+        ok = std::fread(lks[i].data(), sizeof(int), sz, f) == (size_t)sz;
+      }
+    }
+  }
+  std::fclose(f);
+  if (!ok) { delete h; return nullptr; }
+  return h;
+}
 
 }  // extern "C"

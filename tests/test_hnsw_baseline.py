@@ -50,3 +50,18 @@ def test_scores_are_cosine(index, corpus):
     ids, sims = index.search(q, k=5, ef=64)
     for i, s in zip(ids[0], sims[0]):
         np.testing.assert_allclose(s, float(q @ corpus[i]), rtol=1e-5)
+
+
+def test_graph_save_load_roundtrip(index, corpus, tmp_path):
+    """Graph-only cache: identical search results after reload; a changed
+    corpus is refused by checksum (bench.py loads caches across rounds)."""
+    path = tmp_path / "g.bin"
+    ids1, _ = index.search(corpus[:8], k=10, ef=64)
+    assert index.save_graph(path)
+    h2 = hnsw_baseline.HnswBaseline.load_graph(path, corpus)
+    assert h2 is not None and len(h2) == len(corpus)
+    ids2, _ = h2.search(corpus[:8], k=10, ef=64)
+    np.testing.assert_array_equal(ids1, ids2)
+    bad = corpus.copy()
+    bad[0, 0] += 1.0
+    assert hnsw_baseline.HnswBaseline.load_graph(path, bad) is None
