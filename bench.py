@@ -713,7 +713,7 @@ def main():
             h = None
             n_sub = 0
             for n_try in (100_000, 50_000, 25_000):
-                cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v1.bin"
+                cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v2.bin"
                 if cp.exists():
                     h = HnswBaseline.load_graph(cp, vecs_np[:n_try])
                     if h is not None:
@@ -736,7 +736,7 @@ def main():
                 try:
                     cache_dir.mkdir(exist_ok=True)
                     h.save_graph(
-                        cache_dir / f"hnsw_{n_sub}r_{D}d_m16_efc200.v1.bin")
+                        cache_dir / f"hnsw_{n_sub}r_{D}d_m16_efc200.v2.bin")
                 except Exception:
                     pass
             if h is not None:

@@ -265,15 +265,26 @@ int hnsw_size(void* p) { return ((Hnsw*)p)->count; }
 // so later bench runs skip the ~30 min single-thread build.
 
 static const uint32_t kMagic = 0x484e5357;  // "HNSW"
-static const uint32_t kVersion = 1;
+static const uint32_t kVersion = 2;
+
+// Checksum sampled STRIDED across the whole [count*dim] range (4096 probes),
+// not a prefix: a corpus change anywhere must invalidate the cache, not
+// just one that touches the first few rows.
+static double data_checksum(const float* data, size_t total) {
+  size_t nprobe = std::min(total, (size_t)4096);
+  if (nprobe == 0) return 0.0;
+  size_t stride = total / nprobe;
+  if (stride == 0) stride = 1;
+  double s = 0.0;
+  for (size_t i = 0; i < nprobe; i++) s += data[i * stride];
+  return s;
+}
 
 int hnsw_save_graph(void* p, const char* path) {
   auto* h = (Hnsw*)p;
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  double csum = 0.0;
-  size_t ncheck = std::min((size_t)h->count * h->dim, (size_t)4096);
-  for (size_t i = 0; i < ncheck; i++) csum += h->data[i];
+  double csum = data_checksum(h->data.data(), (size_t)h->count * h->dim);
   uint32_t hdr[8] = {kMagic, kVersion, (uint32_t)h->dim,
                      (uint32_t)h->count, (uint32_t)h->M,
                      (uint32_t)h->ef_construction, (uint32_t)h->entry,
@@ -307,9 +318,7 @@ void* hnsw_load_graph(const char* path, const float* vecs, int n, int dim,
     std::fclose(f);
     return nullptr;
   }
-  double want = 0.0;
-  size_t ncheck = std::min((size_t)n * dim, (size_t)4096);
-  for (size_t i = 0; i < ncheck; i++) want += vecs[i];
+  double want = data_checksum(vecs, (size_t)n * dim);
   if (std::fabs(want - csum) > 1e-3 * (std::fabs(csum) + 1.0)) {
     std::fclose(f);  // corpus changed: cache invalid
     return nullptr;

@@ -46,7 +46,7 @@ def main() -> int:
 
     out_dir = Path(__file__).resolve().parent.parent / "bench_cache"
     out_dir.mkdir(exist_ok=True)
-    out = out_dir / f"hnsw_{n_rows}r_{bench.D}d_m16_efc200.v1.bin"
+    out = out_dir / f"hnsw_{n_rows}r_{bench.D}d_m16_efc200.v2.bin"
 
     print(f"building HNSW {n_rows} rows efc=200 (single thread)...",
           flush=True)

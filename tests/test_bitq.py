@@ -3,8 +3,8 @@
 import jax.numpy as jnp
 import numpy as np
 
-from voitta_rag_tpu.ops.bitq import (bitq_scan_scores, encode_int4,
-                                     encode_sign, encode_sign_device)
+from voitta_rag_tpu.ops.bitq import (bitq_scan_scores, encode_sign,
+                                     encode_sign_device)
 from voitta_rag_tpu.ops.filters import make_filter_spec
 from voitta_rag_tpu.ops.pallas_utils import NEG_INF
 from voitta_rag_tpu.ops.rerank import rerank_exact_jit
@@ -120,19 +120,3 @@ def test_coarse_then_rerank_recall():
     np.testing.assert_allclose(
         np.asarray(vals)[0], np.take_along_axis(exact, gids, axis=1)[0],
         rtol=1e-4)
-
-
-def test_encode_int4_roundtrip_error_bounded():
-    _, v = _mk(seed=6)
-    codes, scales = encode_int4(v)
-    assert codes.dtype == np.int8 and np.abs(codes).max() <= 7
-    deq = codes.astype(np.float32) * scales.T
-    # max error per element is scale/2 = vmax/14
-    vmax = np.abs(v).max(axis=1, keepdims=True)
-    assert (np.abs(deq - v) <= vmax / 14 + 1e-6).all()
-
-
-def test_encode_int4_zero_row_safe():
-    v = np.zeros((4, 16), np.float32)
-    codes, scales = encode_int4(v)
-    assert np.isfinite(scales).all() and (codes == 0).all()

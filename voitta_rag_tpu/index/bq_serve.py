@@ -83,16 +83,21 @@ def bq_segment_scores(
     q_np = np.asarray(q_dense, np.float32)
     scales_host = (np.asarray(seg.scales)
                    if getattr(seg, "scales", None) is not None else None)
-    vecs_host = seg.vecs
-    if vecs_host.dtype != np.int8 and vecs_host.dtype != np.float32:
-        # bf16 host mirror (ml_dtypes): rescore in f32.
-        vecs_host = np.asarray(vecs_host, np.float32)
-    vals, gids = rerank_exact_host(q_np, cand_np, vecs_host, scales_host,
+    # seg.vecs stays in its storage dtype (int8 / ml_dtypes bf16 / f32):
+    # rerank_exact_host gathers only the B*K' candidate rows and casts just
+    # that block to f32 — never the whole segment.
+    vals, gids = rerank_exact_host(q_np, cand_np, seg.vecs, scales_host,
                                    limit=kp)
     dense = _scatter_scores(jnp.asarray(gids), jnp.asarray(vals), cap)
 
     sparse = None
     if qt is not None and seg.host_postings is not None:
+        # One sparse query broadcast across the dense batch — the store's
+        # serving contract (sparse_scan_scores takes [1, Qt] and fusion
+        # broadcasts it). A true multi-sparse-query batch would need a
+        # per-row loop here; reshape(-1) on [>1, Qt] would silently merge
+        # queries' terms, so refuse it.
+        assert np.asarray(qt).shape[0] == 1, "bq sparse side expects 1 query"
         qt_np = np.asarray(qt).reshape(-1)
         qw_np = np.asarray(qw, np.float32).reshape(-1)
         s_host = seg.host_postings.scores(qt_np, qw_np)      # [cap]

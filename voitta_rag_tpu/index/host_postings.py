@@ -47,9 +47,9 @@ class HostPostings:
         Matches sparse_scan_scores' unmasked values (0 for rows matching no
         query term). Filters/masking are the caller's job
         (ops.filters.eval_mask_host)."""
-        out = np.zeros(self.capacity, np.float32)
         qt = np.asarray(q_terms).reshape(-1)
         qw = np.asarray(q_weights, np.float32).reshape(-1)
+        rows_parts, val_parts = [], []
         for t, w in zip(qt, qw):
             if t == TERM_PAD:
                 continue
@@ -57,8 +57,17 @@ class HostPostings:
             hi = np.searchsorted(self._terms, t, side="right")
             if lo == hi:
                 continue
-            np.add.at(out, self._rows[lo:hi], w * self._weights[lo:hi])
-        return out
+            rows_parts.append(self._rows[lo:hi])
+            val_parts.append(w * self._weights[lo:hi])
+        if not rows_parts:
+            return np.zeros(self.capacity, np.float32)
+        # One buffered accumulation over all runs — np.add.at (the
+        # unbuffered ufunc path) is ~10-30x slower on the long posting runs
+        # of frequent terms.
+        return np.bincount(
+            np.concatenate(rows_parts),
+            weights=np.concatenate(val_parts),
+            minlength=self.capacity).astype(np.float32)
 
     def nbytes(self) -> int:
         return self._terms.nbytes + self._rows.nbytes + self._weights.nbytes

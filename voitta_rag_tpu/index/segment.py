@@ -127,25 +127,11 @@ class Segment:
         if not self._resident:
             return
         jax.block_until_ready(self.cols)
-        if bq:
-            # Sign bits and the 1-bit scale come straight from the stored
-            # codes: sign(dequant) == sign(code) and mean|dequant| =
-            # mean|code| * row_scale, so no [cap, D] f32 dequant is ever
-            # materialized.
-            from voitta_rag_tpu.ops.bitq import encode_sign
-
-            vecs_host = np.asarray(self.vecs.astype(jnp.float32)
-                                   if self.dtype == "bfloat16" else self.vecs)
-            blk = 32768  # bound transient f32 memory during encode
-            parts = [encode_sign(vecs_host[lo:lo + blk].astype(np.float32))
-                     for lo in range(0, self.capacity, blk)]
-            packed = np.concatenate([p for p, _ in parts], axis=0)
-            scales_bq = np.concatenate([s for _, s in parts], axis=1)
-            if self.dtype == "int8":
-                scales_bq = scales_bq * np.asarray(self.scales)
-            self.bq_packed = jnp.asarray(packed)
-            self.bq_scales = jnp.asarray(scales_bq)
-            self.bq_cols = self.cols  # keep the device copy for the scan
+        bq_cols_dev = self.cols if bq else None
+        # Pull to host FIRST: offload runs exactly when HBM is under
+        # pressure, so the shadow must be built from the host copy —
+        # a device-side cast would allocate a cap*D f32 transient at the
+        # worst possible moment. bf16 arrives as ml_dtypes bf16.
         self.vecs = np.array(self.vecs)
         if self.scales is not None:
             self.scales = np.array(self.scales)
@@ -153,8 +139,24 @@ class Segment:
         self.weights = np.array(self.weights)
         self.cols = np.array(self.cols)
         if bq:
+            # Sign bits and the 1-bit scale come straight from the stored
+            # codes: sign(dequant) == sign(code) and mean|dequant| =
+            # mean|code| * row_scale. Encode in row blocks so the only f32
+            # transient is one block, never the segment.
             from voitta_rag_tpu.index.host_postings import HostPostings
+            from voitta_rag_tpu.ops.bitq import encode_sign
 
+            blk = 32768
+            parts = [encode_sign(np.asarray(self.vecs[lo:lo + blk],
+                                            np.float32))
+                     for lo in range(0, self.capacity, blk)]
+            packed = np.concatenate([p for p, _ in parts], axis=0)
+            scales_bq = np.concatenate([s for _, s in parts], axis=1)
+            if self.dtype == "int8":
+                scales_bq = scales_bq * self.scales
+            self.bq_packed = jnp.asarray(packed)
+            self.bq_scales = jnp.asarray(scales_bq)
+            self.bq_cols = bq_cols_dev  # device copy stays for the scan
             self.host_postings = HostPostings(self.terms, self.weights)
         self._resident = False
 

@@ -101,20 +101,6 @@ def encode_sign_device(vecs: jax.Array) -> tuple[jax.Array, jax.Array]:
     return packed, scales
 
 
-def encode_int4(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-row int4 quant -> (codes int8 in [-7, 7], scales [1, N]).
-
-    Codes are returned widened to int8 (NumPy has no int4); convert with
-    ``jnp.asarray(codes).astype(jnp.int4)`` inside jit when XLA-native int4
-    storage is wanted.
-    """
-    vmax = np.abs(vecs).max(axis=1, keepdims=True)
-    vmax = np.where(vmax == 0, 1.0, vmax)
-    codes = np.clip(np.round(vecs / vmax * 7.0), -7, 7).astype(np.int8)
-    scales = (vmax / 7.0).astype(np.float32).reshape(1, -1)
-    return codes, scales
-
-
 def _make_bitq_kernel(n_planes: int, w: int):
     def kernel(params_ref, inc_ref, exc_ref, excif_ref, q_ref, qsum_ref,
                packed_ref, scales_ref, cols_ref, out_ref):

@@ -4,7 +4,7 @@ The reference's Qdrant engine pairs every lossy-compressed index (scalar,
 product, or binary quantization) with an exact rescoring pass over the
 original vectors ("rescore: true", the default when quantization is on).
 This op is the TPU-native analogue: a coarse scan over a compressed
-representation (int4 / sign-bit planes, :mod:`voitta_rag_tpu.ops.bitq`)
+representation (sign-bit planes, :mod:`voitta_rag_tpu.ops.bitq`)
 selects ``K'`` candidate rows per query, then this kernel gathers those
 rows' *exact* vectors (bf16 / f32 / int8-with-scale) and rescores them in
 f32 before the final top-``limit``.
