@@ -1127,6 +1127,45 @@ def bench_real_corpus(rng, time_left):
         out[f"real_ivf_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
         log(f"real IVF np={nprobe}: recall {rec:.3f} "
             f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+
+    # --- BQ coarse tier on the REAL distribution (cold-tier sketch
+    # quality, index/bq_serve.py): every bq_* recall elsewhere is synthetic;
+    # real embeddings are anisotropic, which is exactly what hurts sign-bit
+    # sketches. Coarse top-K' -> exact rescore, recall vs the int8 oracle.
+    try:
+        from voitta_rag_tpu.ops.bitq import bitq_scan_scores, \
+            encode_sign_device
+        from voitta_rag_tpu.ops.rerank import rerank_exact
+
+        @jax.jit
+        def enc_bq(v8, sc):
+            # signs of the int8 codes == signs of the values; the 1-bit
+            # scale is mean|v| = mean|codes| * row_scale.
+            packed, mean_codes = encode_sign_device(v8.astype(jnp.float32))
+            return packed, mean_codes * sc[None, :]
+
+        packedR, bq_scalesR = enc_bq(vecsR, scR)
+        jax.block_until_ready(packedR)
+        for os_factor in (4, 16):
+            kp = LIMIT * 3 * os_factor
+
+            @jax.jit
+            def bq_topR(q, packed, bscales, cols, vecs, scales, kp=kp):
+                c = bitq_scan_scores(q, packed, bscales, cols, passR)
+                _, cand = masked_topk(c, kp, approx=True)
+                return rerank_exact(q, cand, vecs, scales, limit=LIMIT)
+
+            bvals, bgids = bq_topR(qR, packedR, bq_scalesR, colsR, vecsR,
+                                   scalesR)
+            rec = recall_at10(np.asarray(bgids), oidsR)
+            rec_t = recall_at10_scoreaware(np.asarray(bvals), ovalsR)
+            out[f"real_bq_recall10_os{os_factor}"] = round(rec, 3)
+            out[f"real_bq_recall10_scoreaware_os{os_factor}"] = round(rec_t, 3)
+            log(f"real BQ os={os_factor} (K'={kp}): recall {rec:.3f} "
+                f"(score-aware {rec_t:.3f})")
+    except Exception as e:
+        out["real_bq_error"] = str(e)[:200]
+        log(f"real BQ check failed: {e}")
     return out
 
 

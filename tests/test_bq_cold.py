@@ -196,3 +196,34 @@ def test_host_postings_match_sparse_scan():
     hp = HostPostings(terms, weights)
     got = hp.scores(qt, qw)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bq_compaction_rebuilds_shadows(temp_root, monkeypatch):
+    """Compaction over a cold-BQ store: ensure_resident drops the shadows,
+    the rebuilt segments re-offload past the budget, and searches stay
+    correct across the generation bump."""
+    vecs, texts, metas, sparse = make_corpus()
+    cold = build_store(temp_root, monkeypatch, 2 * CAP, "cold4", bq=True)
+    try:
+        cold.store_chunks(texts, vecs, metas, sparse)
+        assert any(s.bq_packed is not None for s in cold.segments)
+        # delete half the distinct files (paths cycle mod 50) -> enough
+        # waste for a real compaction
+        victims = {f"docs/f{i}.md" for i in range(25)}
+        for fp in sorted(victims):
+            cold.delete_by_file(fp)
+        stats = cold.compact(min_waste_fraction=0.1)
+        assert stats.get("segments_dropped", 0) >= 1 or stats.get(
+            "rows_moved", 0) > 0, stats
+        # after compaction + re-offload, cold segments must carry shadows
+        for s in cold.segments:
+            if not s.resident:
+                assert s.bq_packed is not None
+                assert s.host_postings is not None
+        # survivors are searchable; victims are gone (chunk 30 lives in
+        # docs/f30.md, a survivor)
+        hits = cold.search(vecs[30], limit=10)
+        assert hits and all(
+            r.metadata.file_path not in victims for r in hits)
+    finally:
+        cold.close()
