@@ -67,10 +67,25 @@ def bq_segment_scores(
     rescore -> scatter back to score shape. Sparse: host postings -> top-K'
     (host) -> scatter. Both sides carry exact values at candidate positions.
     """
+    cand = bq_coarse_candidates(q_dense, seg, spec, k_prime=k_prime,
+                                use_pallas=use_pallas)
+    return bq_finish_segment(q_dense, seg, spec, np.asarray(cand), qt, qw,
+                             k_prime=k_prime)
+
+
+def bq_coarse_candidates(q_dense, seg, spec: FilterSpec, *, k_prime: int,
+                         use_pallas: bool = True) -> jax.Array:
+    """Phase 1 (device, async): coarse scan + candidate select.
+
+    Returns the [B, K'] candidate-row array WITHOUT forcing it to host, so
+    a caller with several cold segments can enqueue every segment's coarse
+    pass before the first host sync (one overlapped round of device work
+    instead of a serial sync per segment — the tunnel/PCIe hop is the cold
+    path's fixed cost).
+    """
     assert seg.bq_packed is not None, "segment has no BQ shadow"
     cap = seg.capacity
     kp = min(k_prime, cap)
-
     coarse = bitq_scan_scores(q_dense, seg.bq_packed, seg.bq_scales,
                               seg.bq_cols, spec, use_pallas=use_pallas)
     # approx_max_k above 64k rows (same policy as the snapshot path): exact
@@ -79,7 +94,22 @@ def bq_segment_scores(
     # pass is already oversampled — per-op recall 0.95 at 12x over-fetch is
     # noise next to the 1-bit approximation it feeds.
     _, cand = masked_topk(coarse, kp, approx=cap > (1 << 16))
-    cand_np = np.asarray(cand)                     # [B, K'] host
+    return cand
+
+
+def bq_finish_segment(
+    q_dense: jax.Array,
+    seg,
+    spec: FilterSpec,
+    cand_np: np.ndarray,
+    qt: np.ndarray | None = None,
+    qw: np.ndarray | None = None,
+    *,
+    k_prime: int,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Phase 2 (host + scatter): exact rescore of phase-1 candidates."""
+    cap = seg.capacity
+    kp = min(k_prime, cap)
     q_np = np.asarray(q_dense, np.float32)
     scales_host = (np.asarray(seg.scales)
                    if getattr(seg, "scales", None) is not None else None)

@@ -627,14 +627,26 @@ class TpuVectorStore:
         d_parts, s_parts = [], []
         qt_j = jnp.asarray(qt) if qt is not None else None
         qw_j = jnp.asarray(qw) if qw is not None else None
-        for seg in self._segments:
-            if not seg.resident:
-                if seg.bq_packed is not None and bq_k:
-                    from voitta_rag_tpu.index.bq_serve import \
-                        bq_segment_scores
+        # Phase 1 for every cold-BQ segment FIRST: enqueue all coarse scans
+        # before the first host sync, so their device work overlaps and the
+        # host pays one pull round, not one per segment.
+        bq_cands: dict[int, object] = {}
+        if bq_k:
+            from voitta_rag_tpu.index.bq_serve import bq_coarse_candidates
 
-                    d, s = bq_segment_scores(q_dense, seg, spec, qt, qw,
-                                             k_prime=bq_k)
+            for i, seg in enumerate(self._segments):
+                if not seg.resident and seg.bq_packed is not None:
+                    bq_cands[i] = bq_coarse_candidates(q_dense, seg, spec,
+                                                       k_prime=bq_k)
+        for i, seg in enumerate(self._segments):
+            if not seg.resident:
+                if i in bq_cands:
+                    from voitta_rag_tpu.index.bq_serve import \
+                        bq_finish_segment
+
+                    d, s = bq_finish_segment(
+                        q_dense, seg, spec, np.asarray(bq_cands[i]), qt, qw,
+                        k_prime=bq_k)
                     d_parts.append(d)
                     if s is not None:
                         s_parts.append(s)
