@@ -116,3 +116,57 @@ def test_search_with_ivf_snapshot_active(service):
     assert hits
     hits = svc.search("synthetic filler document number 42", limit=5)
     assert hits
+
+
+@pytest.fixture
+def cold_service(temp_root, monkeypatch):
+    """Service over a store whose first segments are cold (BQ-shadowed)."""
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "128")
+    monkeypatch.setenv("VOITTA_DEVICE_ROWS_BUDGET", "256")
+    monkeypatch.setenv("VOITTA_COLD_BQ", "1")
+    monkeypatch.setenv("EMBEDDING_MODEL", "test-tiny")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_MAX_SEQ_LEN", "32")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    store = TpuVectorStore(dimension=64)
+    embedder = EmbeddingService(model_name="test-tiny", model_path="",
+                                max_seq_len=32)
+    svc = SearchService(store=store, embedder=embedder)
+    yield svc
+    store.close()
+
+
+def test_cold_store_routes_to_store_path(cold_service, monkeypatch):
+    """With cold segments, the service must NOT capture host arrays in its
+    fused jit paths (a silent full re-upload per query); it routes to the
+    store path, which streams or BQ-serves cold segments."""
+    svc = cold_service
+    sparse = get_sparse_embedding_service()
+    texts = [f"chunk number {i} about topic {i % 7} and theme {i % 3}"
+             for i in range(520)]
+    vecs = np.asarray(svc.embedder.embed_texts_array(texts))
+    metas = [ChunkMetadata(
+        file_path=f"kb/f{i % 40}.md", folder_path="kb", index_folder="kb",
+        file_name=f"f{i % 40}.md", chunk_index=i // 40, total_chunks=13,
+        start_char=0, end_char=10,
+        indexed_at=datetime.now(timezone.utc).isoformat())
+        for i in range(520)]
+    svc.store.store_chunks(texts, vecs, metas, sparse.embed(texts))
+    assert svc.store.cold_tier_active
+    assert any(s.bq_packed is not None for s in svc.store.segments)
+
+    calls = {"n": 0}
+    orig = type(svc.store)._search_locked
+
+    def counted(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(type(svc.store), "_search_locked", counted)
+    res = svc.search("chunk number 3 about topic 3 and theme 0", limit=5)
+    assert calls["n"] == 1, "cold store must route through _search_locked"
+    assert res and res[0].text.startswith("chunk number")
+    # hybrid + filters still work through the cold route
+    res2 = svc.search("topic theme chunk", limit=5, include_folders=["kb"])
+    assert res2
