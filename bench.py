@@ -469,6 +469,22 @@ def main():
                 + (f" (score-aware {extra.get(f'ivf_recall10_scoreaware_np{nprobe}')})"
                    if oids8 is not None else "")
                 + f", {qps_ivf:.0f} qps")
+
+        # Throughput operating point: approx_max_k candidate selection
+        # (VOITTA_IVF_SELECT=approx; measured trade in index/ivf.py).
+        def ivf_top_a(q):
+            return ivf.search_candidates(q, pass_all, nprobe=16,
+                                         limit=LIMIT, select="approx")
+
+        vivf, giv = ivf_top_a(q_oracle)
+        rec_a = recall_at10(np.asarray(giv), oracle_ids)
+        qps_a, _ = queued_qps(ivf_top_a, qstack)
+        extra["ivf_qps_np16_approx"] = round(qps_a, 1)
+        extra["ivf_recall10_np16_approx"] = round(rec_a, 3)
+        if oids8 is not None:
+            extra["ivf_recall10_scoreaware_np16_approx"] = round(
+                recall_at10_scoreaware(np.asarray(vivf), ovals8), 3)
+        log(f"IVF np=16 approx-select: recall {rec_a:.3f}, {qps_a:.0f} qps")
     except Exception as e:
         extra["ivf_error"] = str(e)[:250]
         ivf = None
@@ -1455,6 +1471,28 @@ def bench_10m(extra_main, rng):
                  probe_rows * (D10 + 4 + NUM_COLS * 4))
         log(f"10M IVF np={nprobe}: recall {rec:.3f} "
             f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+
+    # Throughput operating point (VOITTA_IVF_SELECT=approx): approx_max_k
+    # candidate selection — measured at 1M ~2x the selection speed for ~1%
+    # real recall (index/ivf.py). Reported alongside, default stays exact.
+    try:
+        def ivf_top10_a(q):
+            return _ivf_search_candidates(
+                q, centroids, vecs3, cols3, gid3, rest_vecs, rest_cols,
+                rest_gid, scales3, rest_scales, pass10, nprobe=8,
+                limit=LIMIT, assign_k=2, select="approx")
+
+        vivf, giv = ivf_top10_a(q10[:n_oracle])
+        rec = recall_at10(np.asarray(giv), oracle10)
+        rec_t = recall_at10_scoreaware(np.asarray(vivf), ovals10)
+        qps_ivf, _ = queued_qps(ivf_top10_a, qstack10)
+        out["ivf10_qps_np8_approx"] = round(qps_ivf, 1)
+        out["ivf10_recall10_np8_approx"] = round(rec, 3)
+        out["ivf10_recall10_scoreaware_np8_approx"] = round(rec_t, 3)
+        log(f"10M IVF np=8 approx-select: recall {rec:.3f} "
+            f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+    except Exception as e:
+        out["ivf10_approx_error"] = str(e)[:200]
     return out
 
 

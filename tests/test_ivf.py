@@ -291,3 +291,21 @@ def test_dedup_candidates_keeps_best():
     assert i2[0] == 7 and v2[0] == 5.0
     assert i2[1] == 9 and v2[1] == 4.0
     assert (i2[2:] == -1).all()
+
+
+def test_approx_select_candidates(built):
+    """VOITTA_IVF_SELECT=approx path: valid, deduplicated, near-exact on a
+    full probe (approx_max_k falls back to exact on small widths; the exact
+    vs approx QPS/recall trade is measured on hardware — see
+    _ivf_search_candidates docstring)."""
+    idx, v, cols, gids = built
+    spec = make_filter_spec()
+    q = jnp.asarray(v[9][None])
+    ve, ge = idx.search_candidates(q, spec, nprobe=32, limit=10)
+    va, ga = idx.search_candidates(q, spec, nprobe=32, limit=10,
+                                   select="approx")
+    ge, ga = np.asarray(ge)[0], np.asarray(ga)[0]
+    assert len(set(ga.tolist())) == len(ga)  # deduplicated
+    assert set(ga.tolist()) == set(ge.tolist())
+    np.testing.assert_allclose(np.asarray(va)[0], np.asarray(ve)[0],
+                               rtol=1e-5)

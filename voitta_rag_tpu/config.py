@@ -123,6 +123,11 @@ class Settings:
         # IVF: number of cells (0 = flat scan) and probed cells per query.
         self.ivf_cells: int = int(os.getenv("VOITTA_IVF_CELLS", "0"))
         self.ivf_nprobe: int = int(os.getenv("VOITTA_IVF_NPROBE", "32"))
+        # Candidate selection in the fused probe: "exact" (lax.top_k —
+        # recall@10 1.000, the default) or "approx" (approx_max_k — ~2x the
+        # selection throughput for ~1% real recall; measured trade in
+        # index/ivf.py::_ivf_search_candidates).
+        self.ivf_select: str = os.getenv("VOITTA_IVF_SELECT", "exact")
         # Multi-assignment: replicate rows into their top-k cells. With a
         # margin (cosine points), only boundary rows — whose 2nd centroid is
         # within the margin of the 1st — get replicas. Default ON: the

@@ -667,27 +667,32 @@ class IVFIndex:
             self.rest_scales, spec, nprobe=min(nprobe, self.n_cells))
 
     def search_candidates(
-        self, q: jax.Array, spec: FilterSpec, *, nprobe: int, limit: int
+        self, q: jax.Array, spec: FilterSpec, *, nprobe: int, limit: int,
+        select: str = "exact",
     ) -> tuple[jax.Array, jax.Array]:
         """Deduplicated top-``limit`` candidates (vals [B, limit], gids).
 
         One jitted program (probe + top-k + dedup): each extra dispatch
         costs milliseconds through a remote-TPU tunnel, and even locally
         splitting hides the scores from XLA's scheduler.
+
+        ``select``: "exact" (default) or "approx" — see
+        _ivf_search_candidates for the measured trade.
         """
         return _ivf_search_candidates(
             q, self.centroids, self.vecs3, self.cols3, self.gid3,
             self.rest_vecs, self.rest_cols, self.rest_gid, self.scales3,
             self.rest_scales, spec, nprobe=min(nprobe, self.n_cells),
-            limit=limit, assign_k=self.assign_k)
+            limit=limit, assign_k=self.assign_k, select=select)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nprobe", "limit", "assign_k"))
+                   static_argnames=("nprobe", "limit", "assign_k", "select"))
 def _ivf_search_candidates(q, centroids, vecs3, cols3, gid3, rest_vecs,
                            rest_cols, rest_gid, scales3, rest_scales,
                            spec: FilterSpec,
-                           *, nprobe: int, limit: int, assign_k: int):
+                           *, nprobe: int, limit: int, assign_k: int,
+                           select: str = "exact"):
     from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
 
     scores, gids = _ivf_search_scores(
@@ -696,11 +701,16 @@ def _ivf_search_candidates(q, centroids, vecs3, cols3, gid3, rest_vecs,
     # Over-fetch to survive dedup dropping replicas.
     k = min(limit * max(assign_k, 1) + (8 if assign_k > 1 else 0),
             scores.shape[-1])
-    # Exact selection: measured on v5e at 2M/np16-32 (b64), exact top_k in
-    # the fused probe program costs the same or less than approx_max_k
-    # (6.4 vs 5.6 ms at np16, 10.8 vs 15.1 ms at np32) and recovers the
-    # ~0.6-0.8% of top-10 the approx pass drops on clustered corpora.
-    vals, pos = masked_topk(scores, k)
+    # Selection policy (VOITTA_IVF_SELECT), measured on v5e at 1M x 384
+    # int8, np16, b32, assign_k=2: exact top_k gives recall@10 1.000
+    # (score-aware 1.000) at 3.17 ms/batch; approx_max_k gives 0.981
+    # (score-aware 0.991) at 1.55 ms — 2x the QPS for ~1% real recall.
+    # Over-fetching the approx pass (2x/4x) and recall_target=0.99 recover
+    # NONE of the gap (all land on 0.9813 exactly), so there is no
+    # intermediate point — it's a binary exact/approx trade. Default is
+    # exact: recall is the product headline, and at 10M shapes the probe
+    # scan dominates anyway.
+    vals, pos = masked_topk(scores, k, approx=(select == "approx"))
     cand_gids = jnp.where(pos >= 0,
                           jnp.take_along_axis(
                               gids, jnp.maximum(pos, 0), axis=1), -1)

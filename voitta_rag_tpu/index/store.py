@@ -87,6 +87,7 @@ class TpuVectorStore:
         # IVF snapshot (read-optimized; invalidated by any mutation).
         self._ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
+        self._ivf_select = settings.ivf_select
         self._ivf_dirty = True
         # Sparse postings snapshot (read-optimized; invalidated likewise).
         self._postings = None
@@ -797,7 +798,8 @@ class TpuVectorStore:
         p = limit * self.prefetch_multiplier
         if self.ivf_active:
             d_vals, d_gids = self._ivf.search_candidates(
-                qj, spec, nprobe=self._ivf_nprobe, limit=p)
+                qj, spec, nprobe=self._ivf_nprobe, limit=p,
+                select=self._ivf_select)
         else:
             dense_scores, _ = self._score_all_segments(
                 qj, spec, bq_k=p * self._bq_oversample)

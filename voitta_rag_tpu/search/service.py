@@ -126,7 +126,7 @@ def fused_query(
     jax.jit,
     static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
                      "fusion", "nprobe", "assign_k", "max_postings",
-                     "use_ivf"),
+                     "use_ivf", "ivf_select"),
 )
 def fused_snapshot_query(
     params,
@@ -156,6 +156,7 @@ def fused_snapshot_query(
     assign_k: int,
     max_postings: int,
     use_ivf: bool,
+    ivf_select: str = "exact",
 ):
     """Encode + snapshot retrieval + fusion as ONE device program.
 
@@ -174,7 +175,8 @@ def fused_snapshot_query(
     p = limit * prefetch_multiplier
     if use_ivf:
         d_vals, d_gids = _ivf_search_candidates(
-            q, *ivf_ops, spec, nprobe=nprobe, limit=p, assign_k=assign_k)
+            q, *ivf_ops, spec, nprobe=nprobe, limit=p, assign_k=assign_k,
+            select=ivf_select)
     else:
         d_parts = [dense_scan_scores(q, v, c, spec, s)
                    for v, c, s in zip(seg_vecs, seg_cols, seg_scales)]
@@ -339,7 +341,8 @@ class SearchService:
                                 if use_ivf else 0),
                         assign_k=store._ivf.assign_k if use_ivf else 1,
                         max_postings=store._sparse_max_postings,
-                        use_ivf=use_ivf)
+                        use_ivf=use_ivf,
+                        ivf_select=store._ivf_select)
                 with trace("search.materialize"):
                     return store._materialize(np.asarray(scores)[0],
                                               np.asarray(gids)[0],
