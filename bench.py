@@ -833,8 +833,12 @@ def bench_bq_cold():
     recall@10 vs the exact int8 oracle at two oversampling levels.
     """
     out = {}
-    from voitta_rag_tpu.ops.bitq import bitq_scan_scores, encode_sign_device
+    from voitta_rag_tpu.ops.bitq import (bitq_scan_scores,
+                                         encode_planes_device,
+                                         whitening_transform)
     from voitta_rag_tpu.ops.rerank import rerank_exact_host
+
+    BQ_BITS = 2  # production default (VOITTA_BQ_BITS)
 
     # 1M x 768: the f32 corpus + quant temporaries peak ~7 GB; 2M OOMs a
     # v5e during generation (measured), and 1M already demonstrates the tier.
@@ -848,11 +852,23 @@ def bench_bq_cold():
                     -127, 127).astype(jnp.int8)
     scales2 = scale2[None, :].astype(jnp.float32)
 
+    # Whitened sketch (the production encoding, segment.offload): cov on
+    # device (one [D, D] matmul over the corpus), eigh on host (tiny).
     @jax.jit
-    def _enc(v):
-        return encode_sign_device(v)
+    def _mu_cov(v):
+        mu = jnp.mean(v, axis=0)
+        c = v - mu
+        return mu, (c.T @ c) / v.shape[0]
 
-    packed2, bq_scales2 = _enc(vecs2)
+    mu2, cov2 = _mu_cov(vecs2)
+    w_mat, a_mat = whitening_transform(np.asarray(mu2), np.asarray(cov2))
+    w_dev, a_dev = jnp.asarray(w_mat), jnp.asarray(a_mat)
+
+    @functools.partial(jax.jit, static_argnames=("bits",))
+    def _enc(v, mu, w, bits=BQ_BITS):
+        return encode_planes_device((v - mu) @ w.T, bits=bits)
+
+    packed2, bq_scales2 = _enc(vecs2, mu2, w_dev)
     jax.block_until_ready(packed2)
     vecs2 = scale2 = None  # free the f32 corpus
     cols2 = jnp.zeros((NUM_COLS, N2), jnp.int32).at[COL_VALID].set(1)
@@ -878,22 +894,23 @@ def bench_bq_cold():
     out["bq_exact_tier_pull_s"] = round(time.perf_counter() - t0, 1)
     v8_2 = None
 
-    sketch_bytes = N2 * (D2 // 8) + N2 * 4 + N2 * NUM_COLS * 4
+    sketch_bytes = N2 * (D2 // 8) * BQ_BITS + N2 * 4 + N2 * NUM_COLS * 4
+    out["bq_bits"] = BQ_BITS
     out["bq_sketch_bytes_per_row"] = round(sketch_bytes / N2, 1)
 
     # Raw coarse kernel: scan + top-K' in one program.
     for os_factor in (4, 16):
         kp = LIMIT * 3 * os_factor
 
-        @functools.partial(jax.jit, static_argnames=())
-        def coarse_top(q, packed, scales, cols, kp=kp):
-            c = bitq_scan_scores(q, packed, scales, cols, pass2,
-                                 use_pallas=True)
-            return masked_topk(c, kp, approx=True)
+        @functools.partial(jax.jit, static_argnames=("approx",))
+        def coarse_top(q, packed, scales, cols, qmat, kp=kp, approx=True):
+            c = bitq_scan_scores(q @ qmat.T, packed, scales, cols, pass2,
+                                 bits=BQ_BITS, use_pallas=True)
+            return masked_topk(c, kp, approx=approx)
 
         qstack2 = jnp.asarray(qpool2).reshape(N_ITERS, B2, D2)
         qps_c, dt_c = queued_qps(coarse_top, qstack2, packed2, bq_scales2,
-                                 cols2)
+                                 cols2, a_dev)
         if os_factor == 4:
             roofline(out, "bq_coarse_1M_768", dt_c / N_ITERS * 1000,
                      sketch_bytes)
@@ -904,7 +921,7 @@ def bench_bq_cold():
         # one PCIe hop on co-located hardware.
         def bq_query(qb_np, kp=kp):
             vals_c, cand = coarse_top(jnp.asarray(qb_np), packed2,
-                                      bq_scales2, cols2)
+                                      bq_scales2, cols2, a_dev)
             return rerank_exact_host(qb_np, np.asarray(cand), v8_np,
                                      scales_np, limit=LIMIT)
 
@@ -922,9 +939,21 @@ def bench_bq_cold():
         out[f"bq_recall10_os{os_factor}"] = round(rec, 3)
         out[f"bq_recall10_scoreaware_os{os_factor}"] = round(rec_s, 3)
         out[f"bq_e2e_qps_tunnel_os{os_factor}"] = round(B2 / dt_e2e, 1)
-        log(f"bq os={os_factor} (K'={kp}): recall {rec:.3f} "
-            f"(score-aware {rec_s:.3f}), e2e {B2 / dt_e2e:.0f} qps "
-            f"tunnel-inclusive; coarse {qps_c:.0f} qps device")
+        # Exact candidate selection (VOITTA_BQ_SELECT default; ~free at the
+        # store's B=1 serving shape): recall with the same oversampling.
+        got_e = []
+        for st in range(0, n_o, B2):
+            _, cand = coarse_top(jnp.asarray(qpool2[st:st + B2]), packed2,
+                                 bq_scales2, cols2, a_dev, approx=False)
+            _, g = rerank_exact_host(qpool2[st:st + B2], np.asarray(cand),
+                                     v8_np, scales_np, limit=LIMIT)
+            got_e.append(g)
+        rec_e = recall_at10(np.vstack(got_e), np.asarray(oids))
+        out[f"bq_recall10_exactsel_os{os_factor}"] = round(rec_e, 3)
+        log(f"bq os={os_factor} (K'={kp}): recall {rec:.3f} approx-sel / "
+            f"{rec_e:.3f} exact-sel (score-aware {rec_s:.3f}), e2e "
+            f"{B2 / dt_e2e:.0f} qps tunnel-inclusive; coarse {qps_c:.0f} "
+            f"qps device")
     return out
 
 
@@ -1146,39 +1175,54 @@ def bench_real_corpus(rng, time_left):
 
     # --- BQ coarse tier on the REAL distribution (cold-tier sketch
     # quality, index/bq_serve.py): every bq_* recall elsewhere is synthetic;
-    # real embeddings are anisotropic, which is exactly what hurts sign-bit
-    # sketches. Coarse top-K' -> exact rescore, recall vs the int8 oracle.
+    # real embeddings are anisotropic low-effective-rank cones — exactly
+    # what collapses raw sign sketches (measured 0.48 recall) and what the
+    # production WHITENED encoding (segment.offload) exists to fix.
+    # Coarse top-K' -> exact rescore, recall vs the int8 oracle.
     try:
-        from voitta_rag_tpu.ops.bitq import bitq_scan_scores, \
-            encode_sign_device
+        from voitta_rag_tpu.ops.bitq import (bitq_scan_scores,
+                                             encode_planes_device,
+                                             whitening_transform)
         from voitta_rag_tpu.ops.rerank import rerank_exact
 
-        @jax.jit
-        def enc_bq(v8, sc):
-            # signs of the int8 codes == signs of the values; the 1-bit
-            # scale is mean|v| = mean|codes| * row_scale.
-            packed, mean_codes = encode_sign_device(v8.astype(jnp.float32))
-            return packed, mean_codes * sc[None, :]
+        BQ_BITS = 2  # production default (VOITTA_BQ_BITS)
 
-        packedR, bq_scalesR = enc_bq(vecsR, scR)
+        @jax.jit
+        def _mu_covR(v8, sc):
+            v = v8.astype(jnp.float32) * sc[:, None]
+            mu = jnp.mean(v, axis=0)
+            c = v - mu
+            return mu, (c.T @ c) / v.shape[0]
+
+        muR, covR = _mu_covR(vecsR, scR)
+        wR, aR = whitening_transform(np.asarray(muR), np.asarray(covR))
+        wR_d, aR_d = jnp.asarray(wR), jnp.asarray(aR)
+
+        @functools.partial(jax.jit, static_argnames=("bits",))
+        def enc_bq(v8, sc, mu, w, bits=BQ_BITS):
+            v = v8.astype(jnp.float32) * sc[:, None]
+            return encode_planes_device((v - mu) @ w.T, bits=bits)
+
+        packedR, bq_scalesR = enc_bq(vecsR, scR, muR, wR_d)
         jax.block_until_ready(packedR)
         for os_factor in (4, 16):
             kp = LIMIT * 3 * os_factor
 
             @jax.jit
-            def bq_topR(q, packed, bscales, cols, vecs, scales, kp=kp):
-                c = bitq_scan_scores(q, packed, bscales, cols, passR)
+            def bq_topR(q, packed, bscales, cols, vecs, scales, qmat, kp=kp):
+                c = bitq_scan_scores(q @ qmat.T, packed, bscales, cols,
+                                     passR, bits=BQ_BITS)
                 _, cand = masked_topk(c, kp, approx=True)
                 return rerank_exact(q, cand, vecs, scales, limit=LIMIT)
 
             bvals, bgids = bq_topR(qR, packedR, bq_scalesR, colsR, vecsR,
-                                   scalesR)
+                                   scalesR, aR_d)
             rec = recall_at10(np.asarray(bgids), oidsR)
             rec_t = recall_at10_scoreaware(np.asarray(bvals), ovalsR)
             out[f"real_bq_recall10_os{os_factor}"] = round(rec, 3)
             out[f"real_bq_recall10_scoreaware_os{os_factor}"] = round(rec_t, 3)
-            log(f"real BQ os={os_factor} (K'={kp}): recall {rec:.3f} "
-                f"(score-aware {rec_t:.3f})")
+            log(f"real BQ (whitened, {BQ_BITS}-bit) os={os_factor} "
+                f"(K'={kp}): recall {rec:.3f} (score-aware {rec_t:.3f})")
     except Exception as e:
         out["real_bq_error"] = str(e)[:200]
         log(f"real BQ check failed: {e}")

@@ -28,7 +28,8 @@ def _mk(seed=0, n=256, d=64, b=4):
 
 
 def _oracle_scores(q, v):
-    sign = np.where(v >= 0, 1.0, -1.0)
+    # 1-bit midrise: deq = (bit - 0.5) * step, step = mean|v| per row
+    sign = np.where(v >= 0, 0.5, -0.5)
     scale = np.abs(v).mean(axis=1)
     return (q @ sign.T) * scale[None, :]
 
@@ -120,3 +121,65 @@ def test_coarse_then_rerank_recall():
     np.testing.assert_allclose(
         np.asarray(vals)[0], np.take_along_axis(exact, gids, axis=1)[0],
         rtol=1e-4)
+
+
+def test_whitened_sketch_survives_anisotropy():
+    """Real embedding distributions are low-effective-rank cones: raw sign
+    bits collapse there (measured 0.48 recall on a real corpus). The
+    PRODUCTION sketch — partial whitening (alpha=0.5) + 2-bit midrise codes
+    (ops/bitq.py) — must hold >=0.9 in a hard cone regime where the raw
+    1-bit sketch measures ~0.2."""
+    import jax
+
+    from voitta_rag_tpu.ops.bitq import encode_planes, whitening_transform
+
+    rng = np.random.default_rng(11)
+    n, d, b = 4096, 128, 16
+    mean = rng.standard_normal(d).astype(np.float32) * 3.0
+    spread = 0.05 + 0.95 * rng.random(d).astype(np.float32) ** 2
+    centers = mean + spread * rng.standard_normal((32, d)).astype(np.float32)
+    cid = rng.integers(0, 32, n)
+    v = centers[cid] + 0.4 * spread * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = centers[rng.integers(0, 32, b)] + 0.4 * spread * \
+        rng.standard_normal((b, d)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    exact = q @ v.T
+    want = np.argsort(-exact, axis=1)[:, :10]
+    spec = make_filter_spec()
+
+    def recall(packed, scales, q_used, bits):
+        coarse = bitq_scan_scores(jnp.asarray(q_used), jnp.asarray(packed),
+                                  jnp.asarray(scales), _cols(n), spec,
+                                  bits=bits, use_pallas=False)
+        _, cand = jax.lax.top_k(coarse, 128)
+        _, gids = rerank_exact_jit(jnp.asarray(q), cand.astype(jnp.int32),
+                                   jnp.asarray(v), limit=10)
+        gids = np.asarray(gids)
+        return np.mean([len(set(gids[i]) & set(want[i])) / 10
+                        for i in range(b)])
+
+    p_raw, s_raw = encode_planes(v, bits=1)
+    r_raw = recall(p_raw, s_raw, q, 1)
+
+    mu = v.mean(axis=0)
+    cov = (v - mu).T @ (v - mu) / n
+    w_mat, a_mat = whitening_transform(mu, cov)  # production alpha=0.5
+    p_w, s_w = encode_planes((v - mu) @ w_mat.T, bits=2)
+    r_w = recall(p_w, s_w, q @ a_mat.T, 2)
+
+    assert r_w >= 0.9, (r_raw, r_w)
+    assert r_w >= r_raw + 0.3, (r_raw, r_w)  # the transform must clearly win
+
+
+def test_centered_encoders_host_device_agree():
+    _, v = _mk(seed=12, n=512, d=64)
+    mu = v.mean(axis=0)
+    sigma = np.maximum(v.std(axis=0), 1e-9)
+    ph, sh = encode_sign(v, mu, sigma)
+    pd, sd = encode_sign_device(jnp.asarray(v), jnp.asarray(mu),
+                                jnp.asarray(sigma))
+    np.testing.assert_array_equal(ph, np.asarray(pd))
+    np.testing.assert_allclose(sh, np.asarray(sd), rtol=1e-5)

@@ -74,7 +74,8 @@ def test_bq_shadow_built_and_serves_with_exact_scores(temp_root, monkeypatch):
         assert shadows, "no BQ shadow was built on offload"
         for s in shadows:
             assert not s.resident
-            assert s.bq_packed.shape == (CAP, DIM // 8)
+            w = DIM // 8  # plane_width(64) = 8, times bq_bits planes
+            assert s.bq_packed.shape == (CAP, s.bq_bits * w)
             assert s.host_postings is not None
 
         recalls = []

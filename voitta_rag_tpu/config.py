@@ -114,6 +114,17 @@ class Settings:
         # over-fetches limit*prefetch*oversample candidates before exact
         # rescoring (Qdrant quantization "oversampling" semantics).
         self.bq_oversample: int = int(os.getenv("VOITTA_BQ_OVERSAMPLE", "4"))
+        # Bits per dimension of the cold-tier sketch (1-4). 2 is the
+        # measured sweet spot: on the hardest real distribution 1-bit
+        # sketches hold 0.78 recall@10 at 16x oversampling, 2-bit 0.97,
+        # 4-bit 1.00 (ops/bitq.py docstring); 2 bits still shadows ~3.4x
+        # more rows per chip than int8 holds.
+        self.bq_bits: int = int(os.getenv("VOITTA_BQ_BITS", "2"))
+        # Candidate selection in the BQ coarse pass: "exact" (default —
+        # the store serves B=1 where exact top-K' is nearly free, and on
+        # the hardest real corpus it holds 0.973 recall vs approx's 0.891)
+        # or "approx" (approx_max_k; ~7x the batch-32 selection speed).
+        self.bq_select: str = os.getenv("VOITTA_BQ_SELECT", "exact")
         # Dense storage dtype on device: "bfloat16" | "float32" | "int8"
         self.segment_dtype: str = os.getenv("VOITTA_SEGMENT_DTYPE", "bfloat16")
         # Sparse BM25 slots kept per chunk (top-|S| weighted terms).

@@ -60,6 +60,7 @@ def bq_segment_scores(
     *,
     k_prime: int,
     use_pallas: bool = True,
+    select: str = "exact",
 ) -> tuple[jax.Array, jax.Array | None]:
     """Score one cold-BQ segment. Returns ([B, cap] dense, [B, cap] sparse|None).
 
@@ -68,13 +69,14 @@ def bq_segment_scores(
     (host) -> scatter. Both sides carry exact values at candidate positions.
     """
     cand = bq_coarse_candidates(q_dense, seg, spec, k_prime=k_prime,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, select=select)
     return bq_finish_segment(q_dense, seg, spec, np.asarray(cand), qt, qw,
                              k_prime=k_prime)
 
 
 def bq_coarse_candidates(q_dense, seg, spec: FilterSpec, *, k_prime: int,
-                         use_pallas: bool = True) -> jax.Array:
+                         use_pallas: bool = True,
+                         select: str = "exact") -> jax.Array:
     """Phase 1 (device, async): coarse scan + candidate select.
 
     Returns the [B, K'] candidate-row array WITHOUT forcing it to host, so
@@ -86,14 +88,24 @@ def bq_coarse_candidates(q_dense, seg, spec: FilterSpec, *, k_prime: int,
     assert seg.bq_packed is not None, "segment has no BQ shadow"
     cap = seg.capacity
     kp = min(k_prime, cap)
-    coarse = bitq_scan_scores(q_dense, seg.bq_packed, seg.bq_scales,
-                              seg.bq_cols, spec, use_pallas=use_pallas)
-    # approx_max_k above 64k rows (same policy as the snapshot path): exact
-    # top-k at K'~100-500 over millions of rows costs more than the coarse
-    # scan itself (measured 24 ms vs 5.3 ms at 2M on v5e), and the coarse
-    # pass is already oversampled — per-op recall 0.95 at 12x over-fetch is
-    # noise next to the 1-bit approximation it feeds.
-    _, cand = masked_topk(coarse, kp, approx=cap > (1 << 16))
+    # Whitened sketch: the query-side half of the transform is one [D, D]
+    # matvec (ops/bitq.py::whitening_transform) — the q.mu term is
+    # rank-constant and the coarse scores only pick candidates.
+    q_coarse = q_dense
+    if getattr(seg, "bq_qmat", None) is not None:
+        q_coarse = q_dense.astype(jnp.float32) @ seg.bq_qmat.T
+    coarse = bitq_scan_scores(q_coarse, seg.bq_packed, seg.bq_scales,
+                              seg.bq_cols, spec,
+                              bits=max(1, getattr(seg, "bq_bits", 1)),
+                              use_pallas=use_pallas)
+    # Selection policy (VOITTA_BQ_SELECT): exact top-K' is the default —
+    # the store serves B=1 where it is nearly free, and on the hardest real
+    # corpus it holds recall 0.973 vs approx_max_k's 0.891 (approx binning
+    # drops near-tied candidates the oversampled rescore needed; measured
+    # at 1M x 768, 2-bit, K'=480, b32: 51 ms exact vs 7 ms approx — a
+    # batch-throughput trade only).
+    _, cand = masked_topk(coarse, kp,
+                          approx=(select == "approx" and cap > (1 << 16)))
     return cand
 
 

@@ -103,8 +103,10 @@ class Segment:
         # Optional cold-tier BQ shadow (offload(bq=True)): a device-resident
         # 1-bit sketch + filter cols that replaces the streaming scan with a
         # coarse in-HBM scan + exact host rescore (index/bq_serve.py).
-        self.bq_packed = None      # [cap, D//8] int8 (device)
-        self.bq_scales = None      # [1, cap] f32 (device)
+        self.bq_packed = None      # [cap, bits*W] int8 code planes (device)
+        self.bq_bits = 0           # bits per dim of the sketch
+        self.bq_scales = None      # [1, cap] f32 per-row 1-bit scale (device)
+        self.bq_qmat = None        # [D, D] f32 whitening query transform (device)
         self.bq_cols = None        # [NUM_COLS, cap] int32 (device)
         self.host_postings = None  # HostPostings over host sparse arrays
 
@@ -139,23 +141,51 @@ class Segment:
         self.weights = np.array(self.weights)
         self.cols = np.array(self.cols)
         if bq:
-            # Sign bits and the 1-bit scale come straight from the stored
-            # codes: sign(dequant) == sign(code) and mean|dequant| =
-            # mean|code| * row_scale. Encode in row blocks so the only f32
-            # transient is one block, never the segment.
+            # WHITENED sign sketch: real embedding distributions are
+            # low-effective-rank cones where raw sign bits stop
+            # discriminating (ops/bitq.py::whitening_transform has the
+            # measured numbers). Rows encode as sign(W (v - mu)); the query
+            # is transformed with A = W^-1 at search time. Everything runs
+            # in row blocks so the only f32 transient is one block.
+            from voitta_rag_tpu.config import get_settings
             from voitta_rag_tpu.index.host_postings import HostPostings
-            from voitta_rag_tpu.ops.bitq import encode_sign
+            from voitta_rag_tpu.ops.bitq import (encode_planes,
+                                                 whitening_transform)
 
+            bits = max(1, min(4, get_settings().bq_bits))
             blk = 32768
-            parts = [encode_sign(np.asarray(self.vecs[lo:lo + blk],
-                                            np.float32))
-                     for lo in range(0, self.capacity, blk)]
+
+            def dequant_block(lo):
+                v = np.asarray(self.vecs[lo:lo + blk], np.float32)
+                if self.dtype == "int8":
+                    v = v * np.asarray(self.scales)[0, lo:lo + blk, None]
+                return v
+
+            live = self.valid_np
+            n_live = max(int(live.sum()), 1)
+            mu = np.zeros(self.dim, np.float64)
+            for lo in range(0, self.capacity, blk):
+                v = dequant_block(lo)
+                v[~live[lo:lo + blk]] = 0.0
+                mu += v.sum(axis=0, dtype=np.float64)
+            mu = (mu / n_live).astype(np.float32)
+            cov = np.zeros((self.dim, self.dim), np.float64)
+            for lo in range(0, self.capacity, blk):
+                v = dequant_block(lo) - mu
+                v[~live[lo:lo + blk]] = 0.0
+                cov += v.T.astype(np.float64) @ v.astype(np.float64)
+            w_mat, a_mat = whitening_transform(mu, cov / n_live)
+
+            parts = []
+            for lo in range(0, self.capacity, blk):
+                u = (dequant_block(lo) - mu) @ w_mat.T
+                parts.append(encode_planes(u, bits=bits))
             packed = np.concatenate([p for p, _ in parts], axis=0)
             scales_bq = np.concatenate([s for _, s in parts], axis=1)
-            if self.dtype == "int8":
-                scales_bq = scales_bq * self.scales
             self.bq_packed = jnp.asarray(packed)
             self.bq_scales = jnp.asarray(scales_bq)
+            self.bq_bits = bits
+            self.bq_qmat = jnp.asarray(a_mat)  # [D, D]; query transform
             self.bq_cols = bq_cols_dev  # device copy stays for the scan
             self.host_postings = HostPostings(self.terms, self.weights)
         self._resident = False
@@ -174,6 +204,7 @@ class Segment:
         self.cols = (self.bq_cols if self.bq_cols is not None
                      else jnp.asarray(self.cols))
         self.bq_packed = self.bq_scales = self.bq_cols = None
+        self.bq_qmat = None
         self.host_postings = None
         self._resident = True
 

@@ -67,6 +67,7 @@ class TpuVectorStore:
         # + exact rescore instead of full streaming (index/bq_serve.py).
         self._cold_bq = settings.cold_bq
         self._bq_oversample = settings.bq_oversample
+        self._bq_select = settings.bq_select
         self._lock = threading.RLock()
         # Serializes whole save() calls (capture + compress) without
         # holding the store lock during compression.
@@ -637,8 +638,9 @@ class TpuVectorStore:
 
             for i, seg in enumerate(self._segments):
                 if not seg.resident and seg.bq_packed is not None:
-                    bq_cands[i] = bq_coarse_candidates(q_dense, seg, spec,
-                                                       k_prime=bq_k)
+                    bq_cands[i] = bq_coarse_candidates(
+                        q_dense, seg, spec, k_prime=bq_k,
+                        select=self._bq_select)
         for i, seg in enumerate(self._segments):
             if not seg.resident:
                 if i in bq_cands:
