@@ -1208,21 +1208,29 @@ def bench_real_corpus(rng, time_left):
         for os_factor in (4, 16):
             kp = LIMIT * 3 * os_factor
 
-            @jax.jit
-            def bq_topR(q, packed, bscales, cols, vecs, scales, qmat, kp=kp):
+            @functools.partial(jax.jit, static_argnames=("approx",))
+            def bq_topR(q, packed, bscales, cols, vecs, scales, qmat,
+                        kp=kp, approx=True):
                 c = bitq_scan_scores(q @ qmat.T, packed, bscales, cols,
                                      passR, bits=BQ_BITS)
-                _, cand = masked_topk(c, kp, approx=True)
+                _, cand = masked_topk(c, kp, approx=approx)
                 return rerank_exact(q, cand, vecs, scales, limit=LIMIT)
 
             bvals, bgids = bq_topR(qR, packedR, bq_scalesR, colsR, vecsR,
                                    scalesR, aR_d)
             rec = recall_at10(np.asarray(bgids), oidsR)
             rec_t = recall_at10_scoreaware(np.asarray(bvals), ovalsR)
+            # Production default: exact candidate selection
+            # (VOITTA_BQ_SELECT; approx binning drops near-tied rows).
+            _, bgids_e = bq_topR(qR, packedR, bq_scalesR, colsR, vecsR,
+                                 scalesR, aR_d, approx=False)
+            rec_e = recall_at10(np.asarray(bgids_e), oidsR)
             out[f"real_bq_recall10_os{os_factor}"] = round(rec, 3)
+            out[f"real_bq_recall10_exactsel_os{os_factor}"] = round(rec_e, 3)
             out[f"real_bq_recall10_scoreaware_os{os_factor}"] = round(rec_t, 3)
             log(f"real BQ (whitened, {BQ_BITS}-bit) os={os_factor} "
-                f"(K'={kp}): recall {rec:.3f} (score-aware {rec_t:.3f})")
+                f"(K'={kp}): recall {rec:.3f} approx-sel / {rec_e:.3f} "
+                f"exact-sel (score-aware {rec_t:.3f})")
     except Exception as e:
         out["real_bq_error"] = str(e)[:200]
         log(f"real BQ check failed: {e}")
