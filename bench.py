@@ -894,7 +894,12 @@ def bench_bq_cold():
     out["bq_exact_tier_pull_s"] = round(time.perf_counter() - t0, 1)
     v8_2 = None
 
-    sketch_bytes = N2 * (D2 // 8) * BQ_BITS + N2 * 4 + N2 * NUM_COLS * 4
+    # TRUE device footprint: each bit-plane group stores plane_width(D)
+    # bytes (128 at 768-d; only P=6 of 8 bits per byte used — the lane
+    # alignment the Mosaic kernel needs), NOT D/8.
+    from voitta_rag_tpu.ops.bitq import plane_width as _pw
+
+    sketch_bytes = (N2 * _pw(D2) * BQ_BITS + N2 * 4 + N2 * NUM_COLS * 4)
     out["bq_bits"] = BQ_BITS
     out["bq_sketch_bytes_per_row"] = round(sketch_bytes / N2, 1)
 

@@ -208,9 +208,13 @@ def test_bq_compaction_rebuilds_shadows(temp_root, monkeypatch):
     try:
         cold.store_chunks(texts, vecs, metas, sparse)
         assert any(s.bq_packed is not None for s in cold.segments)
-        # delete half the distinct files (paths cycle mod 50) -> enough
-        # waste for a real compaction
-        victims = {f"docs/f{i}.md" for i in range(25)}
+        # delete 10 of the 50 distinct files (paths cycle mod 50):
+        # enough waste for a real compaction, while leaving >3*CAP live
+        # rows so the REBUILD itself crosses the device budget and takes
+        # compaction's mid-rebuild offload branch (which must also build
+        # BQ shadows — regression for a found bug where it offloaded
+        # without them and silently degraded to streaming).
+        victims = {f"docs/f{i}.md" for i in range(10)}
         for fp in sorted(victims):
             cold.delete_by_file(fp)
         stats = cold.compact(min_waste_fraction=0.1)

@@ -18,6 +18,22 @@ def _env_bool(name: str, default: str = "false") -> bool:
     return os.getenv(name, default).lower() in ("true", "1", "yes")
 
 
+def _select_policy(name: str) -> str:
+    """Candidate-selection env knob: "exact" | "approx" (case-insensitive).
+
+    Any other value falls back to "exact" WITH a warning — a typo'd
+    "approx" silently serving exact selection would lose the requested
+    throughput with no signal."""
+    raw = os.getenv(name, "exact").strip().lower()
+    if raw in ("exact", "approx"):
+        return raw
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s=%r is not 'exact' or 'approx'; using 'exact'", name, raw)
+    return "exact"
+
+
 class Settings:
     """Settings loaded from environment variables (reference config.py:12-107)."""
 
@@ -117,14 +133,14 @@ class Settings:
         # Bits per dimension of the cold-tier sketch (1-4). 2 is the
         # measured sweet spot: on the hardest real distribution 1-bit
         # sketches hold 0.78 recall@10 at 16x oversampling, 2-bit 0.97,
-        # 4-bit 1.00 (ops/bitq.py docstring); 2 bits still shadows ~3.4x
-        # more rows per chip than int8 holds.
+        # 4-bit 1.00 (ops/bitq.py docstring); 2 bits still shadows ~2.6x
+        # more rows per chip than int8 holds (~4.7x at 1 bit).
         self.bq_bits: int = int(os.getenv("VOITTA_BQ_BITS", "2"))
         # Candidate selection in the BQ coarse pass: "exact" (default —
         # the store serves B=1 where exact top-K' is nearly free, and on
         # the hardest real corpus it holds 0.973 recall vs approx's 0.891)
         # or "approx" (approx_max_k; ~7x the batch-32 selection speed).
-        self.bq_select: str = os.getenv("VOITTA_BQ_SELECT", "exact")
+        self.bq_select: str = _select_policy("VOITTA_BQ_SELECT")
         # Dense storage dtype on device: "bfloat16" | "float32" | "int8"
         self.segment_dtype: str = os.getenv("VOITTA_SEGMENT_DTYPE", "bfloat16")
         # Sparse BM25 slots kept per chunk (top-|S| weighted terms).
@@ -138,7 +154,7 @@ class Settings:
         # recall@10 1.000, the default) or "approx" (approx_max_k — ~2x the
         # selection throughput for ~1% real recall; measured trade in
         # index/ivf.py::_ivf_search_candidates).
-        self.ivf_select: str = os.getenv("VOITTA_IVF_SELECT", "exact")
+        self.ivf_select: str = _select_policy("VOITTA_IVF_SELECT")
         # Multi-assignment: replicate rows into their top-k cells. With a
         # margin (cosine points), only boundary rows — whose 2nd centroid is
         # within the margin of the 1st — get replicas. Default ON: the

@@ -2,9 +2,10 @@
 
 Upgrades the beyond-HBM tier (index/stream_scan.py): instead of streaming a
 cold segment's full rows through PCIe staging blocks per query, the device
-coarse-scans the segment's 1-bit sketch (segment.offload(bq=True) keeps
-``bq_packed``/``bq_scales``/``bq_cols`` in HBM — ~1/6 the footprint of int8
-rows), over-fetches the top candidates, and rescores exactly those rows
+coarse-scans the segment's quantized sketch (segment.offload(bq=True) keeps
+``bq_packed``/``bq_scales``/``bq_cols`` in HBM — ~38% of the int8 footprint
+at the default 2 bits, ~21% at 1 bit), over-fetches the top candidates, and
+rescores exactly those rows
 against the *host* copy of the exact vectors (ops/rerank.py host variant).
 The sparse side is served by host inverted postings
 (index/host_postings.py) — a sparse query touches only its own terms' runs.

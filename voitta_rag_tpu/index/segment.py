@@ -156,25 +156,30 @@ class Segment:
             blk = 32768
 
             def dequant_block(lo):
-                v = np.asarray(self.vecs[lo:lo + blk], np.float32)
+                # Always a COPY: for f32 segments np.asarray would alias
+                # self.vecs and the dead-row zeroing below would corrupt
+                # the stored rows (and their on-disk spill).
+                v = np.array(self.vecs[lo:lo + blk], np.float32)
                 if self.dtype == "int8":
-                    v = v * np.asarray(self.scales)[0, lo:lo + blk, None]
+                    v *= np.asarray(self.scales)[0, lo:lo + blk, None]
                 return v
 
             live = self.valid_np
             n_live = max(int(live.sum()), 1)
-            mu = np.zeros(self.dim, np.float64)
+            # One pass for both moments: cov = E[vv^T] - mu mu^T. Offload
+            # runs under memory pressure, so one dequant sweep and one f64
+            # temporary per block, not three sweeps and two casts.
+            s1 = np.zeros(self.dim, np.float64)
+            s2 = np.zeros((self.dim, self.dim), np.float64)
             for lo in range(0, self.capacity, blk):
                 v = dequant_block(lo)
                 v[~live[lo:lo + blk]] = 0.0
-                mu += v.sum(axis=0, dtype=np.float64)
-            mu = (mu / n_live).astype(np.float32)
-            cov = np.zeros((self.dim, self.dim), np.float64)
-            for lo in range(0, self.capacity, blk):
-                v = dequant_block(lo) - mu
-                v[~live[lo:lo + blk]] = 0.0
-                cov += v.T.astype(np.float64) @ v.astype(np.float64)
-            w_mat, a_mat = whitening_transform(mu, cov / n_live)
+                v64 = v.astype(np.float64)
+                s1 += v64.sum(axis=0)
+                s2 += v64.T @ v64
+            mu = (s1 / n_live).astype(np.float32)
+            cov = s2 / n_live - np.outer(mu, mu)
+            w_mat, a_mat = whitening_transform(mu, cov)
 
             parts = []
             for lo in range(0, self.capacity, blk):

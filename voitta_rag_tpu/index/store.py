@@ -1048,7 +1048,7 @@ class TpuVectorStore:
                 # they complete (the last stays resident for writes).
                 if (self._device_rows_budget and si < n_needed - 1
                         and (si + 1) * cap > self._device_rows_budget):
-                    seg.offload()
+                    seg.offload(bq=self._cold_bq)
 
             # ---- journaled commit ----
             # 1. New spills under temp names (old finals stay valid).

@@ -42,9 +42,10 @@ case — a real-text corpus whose random-init-encoder embeddings have 56% of
 variance in 8 of 768 directions: raw sign bits 0.494 recall@10, whitened
 1-bit midrise 0.777, whitened 2-bit 0.972, 4-bit 1.000. On the clustered
 synthetic corpus all variants measure 0.98 (os=4) / 1.000 (os=16).
-Default bits=2 (VOITTA_BQ_BITS): 228 B/row at 768-d incl. scale + filter
-cols vs 772 B/row for int8 — ~3.4x more rows shadowed per chip at 0.97+
-worst-case recall.
+Default bits=2 (VOITTA_BQ_BITS): 292 B/row at 768-d incl. scale + filter
+cols (each plane group stores plane_width=128 bytes — P=6 of 8 bits per
+byte used, the price of lane alignment) vs 772 B/row for int8 — ~2.6x
+more rows shadowed per chip at 0.97+ worst-case recall (~4.7x at 1 bit).
 """
 
 from __future__ import annotations
