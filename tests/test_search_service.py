@@ -170,3 +170,56 @@ def test_cold_store_routes_to_store_path(cold_service, monkeypatch):
     # hybrid + filters still work through the cold route
     res2 = svc.search("topic theme chunk", limit=5, include_folders=["kb"])
     assert res2
+
+
+def test_ivf_select_approx_through_fused_path(temp_root, monkeypatch):
+    """VOITTA_IVF_SELECT=approx plumbs through the fused snapshot program
+    (service -> _ivf_search_candidates) and returns valid results."""
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_MODEL", "test-tiny")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_MAX_SEQ_LEN", "32")
+    monkeypatch.setenv("VOITTA_IVF_SELECT", "approx")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    store = TpuVectorStore(dimension=64)
+    embedder = EmbeddingService(model_name="test-tiny", model_path="",
+                                max_seq_len=32)
+    svc = SearchService(store=store, embedder=embedder)
+    try:
+        index_docs(svc)
+        # IVF needs >=256 rows: pad with filler chunks
+        sparse = get_sparse_embedding_service()
+        texts = [f"filler chunk {i} about subject {i % 9}"
+                 for i in range(300)]
+        vecs = svc.embedder.embed_texts_array(texts)
+        metas = [ChunkMetadata(
+            file_path=f"fill/f{i}.md", folder_path="fill",
+            index_folder="fill", file_name=f"f{i}.md", chunk_index=0,
+            total_chunks=1, start_char=0, end_char=5,
+            indexed_at=datetime.now(timezone.utc).isoformat())
+            for i in range(300)]
+        store.store_chunks(texts, vecs, metas, sparse.embed(texts))
+        store.build_ivf(n_cells=2)
+        store.build_postings()
+        assert store.ivf_active and store._ivf_select == "approx"
+        res = svc.search("dogs are loyal pets that love walks and bones",
+                         limit=3)
+        assert res and res[0].metadata.file_path == "pets/dogs.md"
+    finally:
+        store.close()
+
+
+def test_select_policy_env_validation(monkeypatch):
+    """Typo'd select values fall back to 'exact' (with a warning), never
+    silently change semantics."""
+    from voitta_rag_tpu.config import get_settings
+    for raw, want in (("Approx", "approx"), ("aprox", "exact"),
+                      ("EXACT", "exact"), ("", "exact")):
+        monkeypatch.setenv("VOITTA_IVF_SELECT", raw)
+        monkeypatch.setenv("VOITTA_BQ_SELECT", raw)
+        get_settings.cache_clear()
+        s = get_settings()
+        assert s.ivf_select == want, (raw, s.ivf_select)
+        assert s.bq_select == want
+    get_settings.cache_clear()
