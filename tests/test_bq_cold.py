@@ -232,3 +232,28 @@ def test_bq_compaction_rebuilds_shadows(temp_root, monkeypatch):
             r.metadata.file_path not in victims for r in hits)
     finally:
         cold.close()
+
+
+def test_bq_shadows_rebuilt_after_reload(temp_root, monkeypatch):
+    """save() -> close() -> reopen: budget enforcement on load re-offloads
+    filled segments WITH shadows (bq_packed/host_postings), and searches
+    keep working against the reloaded cold tier."""
+    vecs, texts, metas, sparse = make_corpus()
+    cold = build_store(temp_root, monkeypatch, 2 * CAP, "cold5", bq=True)
+    try:
+        cold.store_chunks(texts, vecs, metas, sparse)
+        before = cold.search(vecs[123], limit=5)
+        cold.save()
+    finally:
+        cold.close()
+
+    reopened = build_store(temp_root, monkeypatch, 2 * CAP, "cold5", bq=True)
+    try:
+        assert reopened.count() == N
+        info = reopened.get_collection_info()
+        assert info["cold_segments"] >= 1
+        assert info["bq_shadowed_segments"] >= 1, info
+        after = reopened.search(vecs[123], limit=5)
+        assert [r.text for r in after] == [r.text for r in before]
+    finally:
+        reopened.close()
