@@ -861,7 +861,7 @@ def bench_bq_cold():
         return mu, (c.T @ c) / v.shape[0]
 
     mu2, cov2 = _mu_cov(vecs2)
-    w_mat, a_mat = whitening_transform(np.asarray(mu2), np.asarray(cov2))
+    w_mat, a_mat = whitening_transform(np.asarray(cov2))
     w_dev, a_dev = jnp.asarray(w_mat), jnp.asarray(a_mat)
 
     @functools.partial(jax.jit, static_argnames=("bits",))
@@ -1200,7 +1200,7 @@ def bench_real_corpus(rng, time_left):
             return mu, (c.T @ c) / v.shape[0]
 
         muR, covR = _mu_covR(vecsR, scR)
-        wR, aR = whitening_transform(np.asarray(muR), np.asarray(covR))
+        wR, aR = whitening_transform(np.asarray(covR))
         wR_d, aR_d = jnp.asarray(wR), jnp.asarray(aR)
 
         @functools.partial(jax.jit, static_argnames=("bits",))

@@ -323,6 +323,14 @@ void* hnsw_load_graph(const char* path, const float* vecs, int n, int dim,
     std::fclose(f);  // corpus changed: cache invalid
     return nullptr;
   }
+  // Structural validation: a truncated or bit-flipped cache must return
+  // nullptr (-> rebuild fallback), never hand search() an out-of-range id
+  // that becomes an OOB read/write.
+  if ((int)hdr[6] >= n || (int)hdr[7] < 0 || (int)hdr[7] > 64 ||
+      hdr[4] == 0 || hdr[4] > 1024) {
+    std::fclose(f);
+    return nullptr;
+  }
   auto* h = (Hnsw*)hnsw_create(dim, std::max(max_elements, n), (int)hdr[4],
                                (int)hdr[5], 42);
   h->count = n;
@@ -330,6 +338,8 @@ void* hnsw_load_graph(const char* path, const float* vecs, int n, int dim,
   h->max_level = (int)hdr[7];
   std::memcpy(h->data.data(), vecs, (size_t)n * dim * sizeof(float));
   bool ok = std::fread(h->levels.data(), sizeof(int), n, f) == (size_t)n;
+  for (int i = 0; ok && i < n; i++)
+    ok = h->levels[i] >= 0 && h->levels[i] <= h->max_level;
   for (int l = 0; ok && l <= h->max_level; l++) {
     auto& lks = h->layer(l);
     for (int i = 0; ok && i < n; i++) {
@@ -338,6 +348,8 @@ void* hnsw_load_graph(const char* path, const float* vecs, int n, int dim,
       if (ok && sz) {
         lks[i].resize(sz);
         ok = std::fread(lks[i].data(), sizeof(int), sz, f) == (size_t)sz;
+        for (uint32_t j = 0; ok && j < sz; j++)
+          ok = lks[i][j] >= 0 && lks[i][j] < n;
       }
     }
   }

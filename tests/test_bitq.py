@@ -166,7 +166,7 @@ def test_whitened_sketch_survives_anisotropy():
 
     mu = v.mean(axis=0)
     cov = (v - mu).T @ (v - mu) / n
-    w_mat, a_mat = whitening_transform(mu, cov)  # production alpha=0.5
+    w_mat, a_mat = whitening_transform(cov)  # production alpha=0.5
     p_w, s_w = encode_planes((v - mu) @ w_mat.T, bits=2)
     r_w = recall(p_w, s_w, q @ a_mat.T, 2)
 

@@ -18,6 +18,24 @@ def _env_bool(name: str, default: str = "false") -> bool:
     return os.getenv(name, default).lower() in ("true", "1", "yes")
 
 
+def _clamped_int(name: str, default: int, lo: int, hi: int) -> int:
+    """Integer env knob clamped to [lo, hi] WITH a warning on out-of-range
+    (a silently-clamped value would serve different semantics than asked)."""
+    try:
+        raw = int(os.getenv(name, str(default)))
+    except ValueError:
+        raw = default
+    if not lo <= raw <= hi:
+        import logging
+
+        clamped = max(lo, min(hi, raw))
+        logging.getLogger(__name__).warning(
+            "%s=%s out of range [%d, %d]; using %d", name, raw, lo, hi,
+            clamped)
+        return clamped
+    return raw
+
+
 def _select_policy(name: str) -> str:
     """Candidate-selection env knob: "exact" | "approx" (case-insensitive).
 
@@ -135,7 +153,7 @@ class Settings:
         # sketches hold 0.78 recall@10 at 16x oversampling, 2-bit 0.97,
         # 4-bit 1.00 (ops/bitq.py docstring); 2 bits still shadows ~2.6x
         # more rows per chip than int8 holds (~4.7x at 1 bit).
-        self.bq_bits: int = int(os.getenv("VOITTA_BQ_BITS", "2"))
+        self.bq_bits: int = _clamped_int("VOITTA_BQ_BITS", 2, 1, 4)
         # Candidate selection in the BQ coarse pass: "exact" (default —
         # the store serves B=1 where exact top-K' is nearly free, and on
         # the hardest real corpus it holds 0.973 recall vs approx's 0.891)

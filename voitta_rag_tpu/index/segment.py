@@ -71,6 +71,38 @@ def _tombstone_rows(cols, rows):
     return cols.at[COL_VALID, rows].set(0, mode="drop")
 
 
+def _bq_dequant_slice(vecs, scales, cols, lo, blk: int, is_int8: bool):
+    """Device slice [blk, D] of live rows in f32 (dead rows zeroed)."""
+    d = vecs.shape[1]
+    v = jax.lax.dynamic_slice(vecs, (lo, 0), (blk, d)).astype(jnp.float32)
+    if is_int8:
+        sc = jax.lax.dynamic_slice(scales, (0, lo), (1, blk))
+        v = v * sc[0][:, None]
+    valid = jax.lax.dynamic_slice(
+        cols, (COL_VALID, lo), (1, blk))[0] > 0
+    return jnp.where(valid[:, None], v, 0.0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "is_int8"))
+def _bq_moments_block(vecs, scales, cols, lo, s1, s2, n_live, *,
+                      blk: int, is_int8: bool):
+    """Accumulate sum / sum-of-outer-products / live count for one block
+    (device-side; only the final [D] + [D, D] cross to the host)."""
+    v, valid = _bq_dequant_slice(vecs, scales, cols, lo, blk, is_int8)
+    return (s1 + v.sum(axis=0), s2 + v.T @ v,
+            n_live + valid.sum().astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "bits", "is_int8"))
+def _bq_encode_block(vecs, scales, cols, mu, w, lo, *,
+                     blk: int, bits: int, is_int8: bool):
+    """Whiten + quantize one block on device (ops/bitq encode)."""
+    from voitta_rag_tpu.ops.bitq import encode_planes_device
+
+    v, _ = _bq_dequant_slice(vecs, scales, cols, lo, blk, is_int8)
+    return encode_planes_device((v - mu) @ w.T, bits=bits)
+
+
 class Segment:
     """Host handle for one device segment."""
 
@@ -129,11 +161,62 @@ class Segment:
         if not self._resident:
             return
         jax.block_until_ready(self.cols)
-        bq_cols_dev = self.cols if bq else None
-        # Pull to host FIRST: offload runs exactly when HBM is under
-        # pressure, so the shadow must be built from the host copy —
-        # a device-side cast would allocate a cap*D f32 transient at the
-        # worst possible moment. bf16 arrives as ml_dtypes bf16.
+        if bq:
+            # WHITENED multi-bit sketch, built ON DEVICE while the segment
+            # is still HBM-resident: the moments + the cap x D x D whitening
+            # transform are MXU matmuls (milliseconds), where the host
+            # equivalent is an O(cap*D^2) f64 GEMM that would stall every
+            # search for the tens of seconds offload holds the store lock.
+            # Only the [D, D] covariance crosses to the host (for eigh).
+            # Row blocks bound the f32 transients to ~blk * D.
+            from voitta_rag_tpu.config import get_settings
+            from voitta_rag_tpu.index.host_postings import HostPostings
+            from voitta_rag_tpu.ops.bitq import whitening_transform
+
+            bits = get_settings().bq_bits  # validated in config
+            is_int8 = self.dtype == "int8"
+            scales_arg = (self.scales if self.scales is not None
+                          else jnp.ones((1, 1), jnp.float32))
+
+            def blocks():
+                lo, cap, pref = 0, self.capacity, min(32768, self.capacity)
+                while lo < cap:
+                    size = min(pref, cap - lo)
+                    yield lo, size
+                    lo += size
+
+            s1 = jnp.zeros((self.dim,), jnp.float32)
+            s2 = jnp.zeros((self.dim, self.dim), jnp.float32)
+            n_live_dev = jnp.zeros((), jnp.float32)
+            for lo, size in blocks():
+                s1, s2, n_live_dev = _bq_moments_block(
+                    self.vecs, scales_arg, self.cols, lo, s1, s2,
+                    n_live_dev, blk=size, is_int8=is_int8)
+            n_live = max(float(n_live_dev), 1.0)
+            mu_np = np.asarray(s1, np.float64) / n_live
+            cov = (np.asarray(s2, np.float64) / n_live
+                   - np.outer(mu_np, mu_np))
+            w_mat, a_mat = whitening_transform(cov)
+            mu_dev = jnp.asarray(mu_np.astype(np.float32))
+            w_dev = jnp.asarray(w_mat)
+
+            parts = []
+            for lo, size in blocks():
+                parts.append(_bq_encode_block(
+                    self.vecs, scales_arg, self.cols, mu_dev, w_dev, lo,
+                    blk=size, bits=bits, is_int8=is_int8))
+            if len(parts) == 1:
+                packed, scales_bq = parts[0]
+            else:
+                packed = jnp.concatenate([p for p, _ in parts], axis=0)
+                scales_bq = jnp.concatenate([s for _, s in parts], axis=1)
+            self.bq_packed = packed
+            self.bq_scales = scales_bq
+            self.bq_bits = bits
+            self.bq_qmat = jnp.asarray(a_mat)  # [D, D]; query transform
+            self.bq_cols = self.cols  # device copy stays for the scan
+            jax.block_until_ready(self.bq_packed)
+        # Pull the full arrays to host (bf16 arrives as ml_dtypes numpy).
         self.vecs = np.array(self.vecs)
         if self.scales is not None:
             self.scales = np.array(self.scales)
@@ -141,57 +224,8 @@ class Segment:
         self.weights = np.array(self.weights)
         self.cols = np.array(self.cols)
         if bq:
-            # WHITENED sign sketch: real embedding distributions are
-            # low-effective-rank cones where raw sign bits stop
-            # discriminating (ops/bitq.py::whitening_transform has the
-            # measured numbers). Rows encode as sign(W (v - mu)); the query
-            # is transformed with A = W^-1 at search time. Everything runs
-            # in row blocks so the only f32 transient is one block.
-            from voitta_rag_tpu.config import get_settings
             from voitta_rag_tpu.index.host_postings import HostPostings
-            from voitta_rag_tpu.ops.bitq import (encode_planes,
-                                                 whitening_transform)
 
-            bits = max(1, min(4, get_settings().bq_bits))
-            blk = 32768
-
-            def dequant_block(lo):
-                # Always a COPY: for f32 segments np.asarray would alias
-                # self.vecs and the dead-row zeroing below would corrupt
-                # the stored rows (and their on-disk spill).
-                v = np.array(self.vecs[lo:lo + blk], np.float32)
-                if self.dtype == "int8":
-                    v *= np.asarray(self.scales)[0, lo:lo + blk, None]
-                return v
-
-            live = self.valid_np
-            n_live = max(int(live.sum()), 1)
-            # One pass for both moments: cov = E[vv^T] - mu mu^T. Offload
-            # runs under memory pressure, so one dequant sweep and one f64
-            # temporary per block, not three sweeps and two casts.
-            s1 = np.zeros(self.dim, np.float64)
-            s2 = np.zeros((self.dim, self.dim), np.float64)
-            for lo in range(0, self.capacity, blk):
-                v = dequant_block(lo)
-                v[~live[lo:lo + blk]] = 0.0
-                v64 = v.astype(np.float64)
-                s1 += v64.sum(axis=0)
-                s2 += v64.T @ v64
-            mu = (s1 / n_live).astype(np.float32)
-            cov = s2 / n_live - np.outer(mu, mu)
-            w_mat, a_mat = whitening_transform(mu, cov)
-
-            parts = []
-            for lo in range(0, self.capacity, blk):
-                u = (dequant_block(lo) - mu) @ w_mat.T
-                parts.append(encode_planes(u, bits=bits))
-            packed = np.concatenate([p for p, _ in parts], axis=0)
-            scales_bq = np.concatenate([s for _, s in parts], axis=1)
-            self.bq_packed = jnp.asarray(packed)
-            self.bq_scales = jnp.asarray(scales_bq)
-            self.bq_bits = bits
-            self.bq_qmat = jnp.asarray(a_mat)  # [D, D]; query transform
-            self.bq_cols = bq_cols_dev  # device copy stays for the scan
             self.host_postings = HostPostings(self.terms, self.weights)
         self._resident = False
 

@@ -174,8 +174,7 @@ def bq_query_transform(q, sigma):
 
 
 def whitening_transform(
-    mu: np.ndarray, cov: np.ndarray, alpha: float = 0.5,
-    eps_frac: float = 1e-2,
+    cov: np.ndarray, alpha: float = 0.5, eps_frac: float = 1e-2,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Partial-whitening pair (W, A) for quantized sketches.
 
@@ -199,26 +198,34 @@ def whitening_transform(
     return w.astype(np.float32), a.astype(np.float32)
 
 
+def _acc_planes(qb, packed_vals, bits: int, n_planes: int, w: int):
+    """Shared plane-dot accumulation: sum_k 2^kb (q_k . bitplane_{kb,k}).
+
+    Pure jnp so the SAME code runs inside the Pallas kernel (on loaded
+    tiles) and in the XLA fallback (on whole arrays) — one copy of the
+    unpack/dot math to keep correct.
+    """
+    acc = jnp.zeros((qb.shape[0], packed_vals.shape[0]), jnp.float32)
+    for kb in range(bits):
+        # int8 -> unsigned byte (astype sign-extends; mask it off).
+        words = (packed_vals[:, kb * w:(kb + 1) * w]
+                 .astype(jnp.int32) & 0xFF)                      # [T, W]
+        for k in range(n_planes):
+            bits_k = ((words >> k) & 1).astype(jnp.bfloat16)     # [T, W]
+            qk = qb[:, k * w:(k + 1) * w]                        # [B, W]
+            acc = acc + (float(1 << kb)) * jax.lax.dot_general(
+                qk, bits_k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc
+
+
 def _make_planes_kernel(bits: int, n_planes: int, w: int):
-    levels = 1 << bits
-    offset = levels / 2 - 0.5
+    offset = (1 << bits) / 2 - 0.5
 
     def kernel(params_ref, inc_ref, exc_ref, excif_ref, q_ref, qsum_ref,
                packed_ref, scales_ref, cols_ref, out_ref):
-        b_rows = q_ref.shape[0]
-        t = packed_ref.shape[0]
-        acc = jnp.zeros((b_rows, t), jnp.float32)
-        for kb in range(bits):
-            # int8 -> unsigned byte (astype sign-extends; mask it off).
-            words = (packed_ref[:, kb * w:(kb + 1) * w]
-                     .astype(jnp.int32) & 0xFF)                  # [T, W]
-            for k in range(n_planes):
-                bits_k = ((words >> k) & 1).astype(jnp.bfloat16)  # [T, W]
-                qk = q_ref[:, k * w:(k + 1) * w]                  # [B, W]
-                acc = acc + (float(1 << kb)) * jax.lax.dot_general(
-                    qk, bits_k,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        acc = _acc_planes(q_ref[:], packed_ref[:], bits, n_planes, w)
         scores = (acc - offset * qsum_ref[:]) * scales_ref[:]
         mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
                          cols_ref[:])
@@ -255,15 +262,7 @@ def bitq_scan_scores(
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # [B, 1]
 
     if not use_pallas:
-        acc = jnp.zeros((B, N), jnp.float32)
-        for kb in range(bits):
-            words = packed[:, kb * W:(kb + 1) * W].astype(jnp.int32) & 0xFF
-            for k in range(P):
-                bits_k = ((words >> k) & 1).astype(jnp.bfloat16)
-                acc = acc + (float(1 << kb)) * jax.lax.dot_general(
-                    qb[:, k * W:(k + 1) * W], bits_k,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        acc = _acc_planes(qb, packed, bits, P, W)
         scores = (acc - offset * qsum) * scales
         mask = eval_mask(spec.params, spec.inc_ids, spec.exc_ids,
                          spec.exc_if_ids, cols)
