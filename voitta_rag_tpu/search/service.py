@@ -241,16 +241,29 @@ class SearchService:
         if sparse_weight is None:
             sparse_weight = self.default_sparse_weight
 
-        include_ids, exclude_ids, exclude_if_ids, impossible = (
-            store._resolve_filter_ids(None, include_folders, exclude_folders,
-                                      exclude_index_folders))
-        if impossible:
-            return []
-        spec = make_filter_spec(
-            include_folder_ids=include_ids,
-            exclude_folder_ids=exclude_ids,
-            exclude_index_folder_ids=exclude_if_ids,
-            date_start=date_start, date_end=date_end, date_field=date_field)
+        # Cold segments present? Route to the store path (it streams or
+        # BQ-serves them and resolves filters itself) — decided up front so
+        # filter ids / the FilterSpec are never built twice per query.
+        # Sharded stores have an empty segment list, so the routes are
+        # mutually exclusive. The check runs outside the store lock: a
+        # segment offloading between check and dispatch only makes this one
+        # query take the other (still-correct) path — mutations themselves
+        # are excluded by the lock held around the dispatch below.
+        cold_route = any(not seg.resident for seg in store.segments)
+        spec = None
+        if not cold_route:
+            include_ids, exclude_ids, exclude_if_ids, impossible = (
+                store._resolve_filter_ids(None, include_folders,
+                                          exclude_folders,
+                                          exclude_index_folders))
+            if impossible:
+                return []
+            spec = make_filter_spec(
+                include_folder_ids=include_ids,
+                exclude_folder_ids=exclude_ids,
+                exclude_index_folder_ids=exclude_if_ids,
+                date_start=date_start, date_end=date_end,
+                date_field=date_field)
 
         from voitta_rag_tpu.utils.profiling import trace
 
@@ -285,7 +298,7 @@ class SearchService:
                         q, spec, qt, qw, limit,
                         jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-            if any(not s.resident for s in store.segments):
+            if cold_route:
                 # Cold tier present: every fused path below captures
                 # seg.vecs directly, which for an offloaded segment is a
                 # HOST array — the jit boundary would re-upload the whole
