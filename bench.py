@@ -816,7 +816,46 @@ def main():
         "vs_baseline": vs,
         "extra": extra,
     }
-    print(json.dumps(result))
+    # Evidence chain: the driver tail-captures only the last ~2000 chars of
+    # stdout, so the FULL metric set goes to a committed artifact file and
+    # the final printed line stays a COMPACT headline (parseable even in a
+    # truncated tail). BENCH_r03.json was lost to exactly this (parsed:
+    # null) — never print the full `extra` dict as the last line.
+    from pathlib import Path
+
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(result, indent=1, sort_keys=True))
+        log(f"full metric set written to {full_path}")
+    except Exception as e:
+        log(f"could not write {full_path}: {e}")
+
+    hl_keys = (
+        "ivf_qps_np16", "ivf_recall10_np16",
+        "real_ivf_qps_np16", "real_ivf_recall10_np16",
+        "ivf10_qps_np8", "ivf10_recall10_np8",
+        "real10m_ivf_qps_np8", "real10m_ivf_recall10_np8",
+        "bq_coarse_qps", "bq_recall10_exactsel_os4",
+        "p50_query_ms_device", "p50_query_ms_device_ivf",
+        "p50_query_ms_tunnel", "p99_under_mutation_ms", "p99_idle_ms",
+        "trained_recall10", "bm25_only_recall10", "randinit_recall10",
+        "hnsw_rows", "hnsw_recall10_ef64", "hnsw_qps_ef64",
+        "hnsw_recall10_ef128", "hnsw_qps_ef128",
+        "vs_baseline_definition", "backend",
+    )
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "qps",
+        "vs_baseline": vs,
+        "full": full_path.name,
+        "hl": {k: extra[k] for k in hl_keys if k in extra},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces: drop hl before risking the tail
+        compact.pop("hl")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def bench_bq_cold():

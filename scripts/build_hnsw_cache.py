@@ -8,11 +8,23 @@ does), so the GRAPH can be built once here and committed under
 ``bench_cache/``; bench.py then loads it in seconds (checksum-verified
 against the regenerated corpus, rebuilt from scratch if it mismatches).
 
-Usage: python scripts/build_hnsw_cache.py [n_rows]   (default 100000)
-Must run where the corpus generator matches the bench device (the TPU via
-the axon tunnel, or whatever backend the bench will use).
+Incremental/resumable: a multi-hour target (1M rows ~= 6-8 h on this 1-vCPU
+host) is built in checkpointed stages — every ``--checkpoint-every`` rows
+the graph is saved as ``hnsw_<k>r_...``, and a fresh invocation RESUMES
+from the largest committed checkpoint below the target (hnsw_load_graph
+restores a graph that keeps accepting adds; levels keep their original RNG
+draws, new rows draw fresh ones — statistically identical graphs).
+bench.py picks up whichever checkpoint size is largest at run time.
+
+Usage: python scripts/build_hnsw_cache.py [n_rows] [--corpus path.npy]
+       [--checkpoint-every k]
+Without --corpus the corpus is regenerated in-process; it must then run
+where the generator matches the bench device (the TPU via the axon tunnel).
+With --corpus it runs backend-free from a pre-pulled host array (use
+scripts/dump_bench_corpus.py on the TPU first).
 """
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -21,45 +33,91 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
-from voitta_rag_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
-setup_jax()
+def load_corpus(args) -> np.ndarray:
+    import bench  # constants + generator, no sections run
 
-import jax.numpy as jnp  # noqa: E402
+    if args.corpus:
+        vecs_np = np.load(args.corpus, mmap_mode="r")
+        assert vecs_np.shape[1] == bench.D, vecs_np.shape
+        return vecs_np
+    from voitta_rag_tpu.utils.jax_setup import setup_jax
 
-import bench  # noqa: E402  (constants + generator, no sections run)
-from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available  # noqa: E402
-from voitta_rag_tpu.utils.synth import clustered_unit_vectors  # noqa: E402
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
 
+    from voitta_rag_tpu.utils.synth import clustered_unit_vectors
 
-def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    assert available(), "libhnsw_baseline.so unavailable"
     print(f"generating bench corpus ({bench.N} x {bench.D}) on "
-          f"{__import__('jax').default_backend()}", flush=True)
+          f"{jax.default_backend()}", flush=True)
     vecs, _ = clustered_unit_vectors(
         bench.CORPUS_KEY, bench.N, bench.D,
         n_clusters=bench.TRUE_CLUSTERS, intra_cos=bench.INTRA_COS)
     # EXACTLY bench.build_corpus's host mirror: f16 round-trip.
-    vecs_np = np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
-    sub = vecs_np[:n_rows]
+    return np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_rows", nargs="?", type=int, default=100_000)
+    ap.add_argument("--corpus", default=None,
+                    help=".npy of the bench host corpus (f16 round-tripped)")
+    ap.add_argument("--checkpoint-every", type=int, default=100_000)
+    args = ap.parse_args()
+    n_rows = args.n_rows
+
+    from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+
+    assert available(), "libhnsw_baseline.so unavailable"
+    import bench
+
+    vecs_np = load_corpus(args)
+    assert n_rows <= len(vecs_np)
 
     out_dir = Path(__file__).resolve().parent.parent / "bench_cache"
     out_dir.mkdir(exist_ok=True)
-    out = out_dir / f"hnsw_{n_rows}r_{bench.D}d_m16_efc200.v2.bin"
 
-    print(f"building HNSW {n_rows} rows efc=200 (single thread)...",
+    def path_for(k: int) -> Path:
+        return out_dir / f"hnsw_{k}r_{bench.D}d_m16_efc200.v2.bin"
+
+    # Resume from the largest checkpoint below the target.
+    h, start = None, 0
+    for cp in sorted(out_dir.glob(f"hnsw_*r_{bench.D}d_m16_efc200.v2.bin"),
+                     key=lambda p: -int(p.name.split("_")[1][:-1])):
+        k = int(cp.name.split("_")[1][:-1])
+        if k >= n_rows:
+            continue
+        h = HnswBaseline.load_graph(cp, np.ascontiguousarray(
+            vecs_np[:k], np.float32), max_elements=n_rows)
+        if h is not None:
+            start = k
+            print(f"resuming from {cp.name} ({k} rows)", flush=True)
+            break
+    if h is None:
+        h = HnswBaseline(bench.D, n_rows, m=16, ef_construction=200)
+
+    print(f"building HNSW {start}->{n_rows} rows efc=200 (single thread)...",
           flush=True)
     t0 = time.perf_counter()
-    h = HnswBaseline(bench.D, n_rows, m=16, ef_construction=200)
     blk = 10_000
-    for lo in range(0, n_rows, blk):
-        h.add(sub[lo:lo + blk])
-        print(f"  {min(lo + blk, n_rows)}/{n_rows} "
-              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    next_cp = ((start // args.checkpoint_every) + 1) * args.checkpoint_every
+    for lo in range(start, n_rows, blk):
+        h.add(np.ascontiguousarray(vecs_np[lo:lo + blk], np.float32))
+        done = min(lo + blk, n_rows)
+        print(f"  {done}/{n_rows} ({time.perf_counter() - t0:.0f}s)",
+              flush=True)
+        if done >= next_cp and done < n_rows:
+            cp = path_for(done)
+            assert h.save_graph(cp), f"checkpoint save failed: {cp}"
+            print(f"  checkpoint {cp.name} "
+                  f"({cp.stat().st_size / 1e6:.1f} MB)", flush=True)
+            next_cp += args.checkpoint_every
     print(f"built in {time.perf_counter() - t0:.0f}s", flush=True)
 
+    out = path_for(n_rows)
     assert h.save_graph(out), f"save failed: {out}"
+    sub = np.ascontiguousarray(vecs_np[:n_rows], np.float32)
     h2 = HnswBaseline.load_graph(out, sub)
     assert h2 is not None and len(h2) == n_rows, "reload verification failed"
     ids1, _ = h.search(sub[:4], k=10, ef=64)

@@ -143,11 +143,12 @@ class Settings:
         # streaming scan with ~1/6 the HBM footprint of int8 and no PCIe
         # sweep per query — the Qdrant binary-quantization + rescore
         # analogue. 0 = off (exact streaming scan, bit-identical results).
-        self.cold_bq: bool = os.getenv("VOITTA_COLD_BQ", "0") == "1"
+        self.cold_bq: bool = _env_bool("VOITTA_COLD_BQ")
         # Oversampling factor for the BQ coarse pass: the coarse scan
         # over-fetches limit*prefetch*oversample candidates before exact
         # rescoring (Qdrant quantization "oversampling" semantics).
-        self.bq_oversample: int = int(os.getenv("VOITTA_BQ_OVERSAMPLE", "4"))
+        self.bq_oversample: int = _clamped_int("VOITTA_BQ_OVERSAMPLE", 4, 1,
+                                               256)
         # Bits per dimension of the cold-tier sketch (1-4). 2 is the
         # measured sweet spot: on the hardest real distribution 1-bit
         # sketches hold 0.78 recall@10 at 16x oversampling, 2-bit 0.97,

@@ -134,7 +134,13 @@ def bq_finish_segment(
     dense = _scatter_scores(jnp.asarray(gids), jnp.asarray(vals), cap)
 
     sparse = None
-    if qt is not None and seg.host_postings is not None:
+    if qt is not None:
+        # offload(bq=True) sets bq_packed and host_postings together; a
+        # segment with only the dense shadow would return a sparse block
+        # narrower than the dense one and fusion's indices would map to
+        # wrong gids. Fail loudly instead of corrupting the gid mapping.
+        assert seg.host_postings is not None, (
+            "cold-BQ segment has bq_packed but no host_postings")
         # One sparse query broadcast across the dense batch — the store's
         # serving contract (sparse_scan_scores takes [1, Qt] and fusion
         # broadcasts it). A true multi-sparse-query batch would need a

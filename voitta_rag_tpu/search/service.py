@@ -245,10 +245,12 @@ class SearchService:
         # BQ-serves them and resolves filters itself) — decided up front so
         # filter ids / the FilterSpec are never built twice per query.
         # Sharded stores have an empty segment list, so the routes are
-        # mutually exclusive. The check runs outside the store lock: a
-        # segment offloading between check and dispatch only makes this one
-        # query take the other (still-correct) path — mutations themselves
-        # are excluded by the lock held around the dispatch below.
+        # mutually exclusive. This pre-lock check only decides whether to
+        # build the FilterSpec; the routing decision is RE-CHECKED under
+        # the store lock below — a segment offloading between here and the
+        # lock must not let the fused path jit-capture a host-resident
+        # seg.vecs (that re-uploads the whole segment, which on a genuinely
+        # beyond-HBM store can OOM the device, not just run slow).
         cold_route = any(not seg.resident for seg in store.segments)
         spec = None
         if not cold_route:
@@ -298,14 +300,21 @@ class SearchService:
                         q, spec, qt, qw, limit,
                         jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-            if cold_route:
+            if cold_route or any(not seg.resident
+                                 for seg in store.segments):
                 # Cold tier present: every fused path below captures
                 # seg.vecs directly, which for an offloaded segment is a
                 # HOST array — the jit boundary would re-upload the whole
                 # segment on every query. Route to the store path instead,
                 # which streams cold segments block-wise or serves their
                 # BQ shadows (index/bq_serve.py) and only re-reads the
-                # candidate rows.
+                # candidate rows. Re-checked here under the lock: an
+                # offload racing the pre-lock check flips this query to
+                # the (still-correct) store path instead of letting the
+                # fused path capture host arrays. A stale True (segment
+                # re-warmed meanwhile) also takes the store path — spec
+                # is None in that case, and the store resolves filters
+                # itself.
                 with trace("search.encode"):
                     q = np.asarray(encode_tokens(
                         params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
