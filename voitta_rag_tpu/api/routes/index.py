@@ -40,11 +40,22 @@ async def optimize_index(request: web.Request, user) -> web.Response:
             stats.update(await loop.run_in_executor(None, store.compact))
         except ValueError as e:
             return web.json_response({"detail": str(e)}, status=400)
-    try:
-        stats.update(await loop.run_in_executor(
-            None, store.build_postings))
-    except ValueError as e:
-        return web.json_response({"detail": str(e)}, status=400)
+    # The store opens lazily; cold_tier_active is only meaningful after the
+    # segments are loaded (and the device budget enforced).
+    await loop.run_in_executor(None, store.count)
+    if store.cold_tier_active:
+        # Beyond-HBM store: cold segments already serve sparse queries from
+        # host inverted postings (index/host_postings.py) and the resident
+        # tail is slot-scanned exactly — there is no postings snapshot to
+        # build. The IVF build below composes with the cold tier
+        # (index/ivf_bq.py), so fall through to it.
+        stats["postings"] = "cold tier (host postings per segment)"
+    else:
+        try:
+            stats.update(await loop.run_in_executor(
+                None, store.build_postings))
+        except ValueError as e:
+            return web.json_response({"detail": str(e)}, status=400)
     if body.get("n_cells") or get_settings().ivf_cells:
         try:
             stats.update(await loop.run_in_executor(

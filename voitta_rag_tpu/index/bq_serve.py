@@ -110,6 +110,74 @@ def bq_coarse_candidates(q_dense, seg, spec: FilterSpec, *, k_prime: int,
     return cand
 
 
+def bq_candidate_lists(
+    q_dense: jax.Array,
+    seg,
+    spec: FilterSpec,
+    cand_np: np.ndarray,
+    qt: np.ndarray | None = None,
+    qw: np.ndarray | None = None,
+    *,
+    k_prime: int,
+) -> tuple[tuple[np.ndarray, np.ndarray],
+           tuple[np.ndarray, np.ndarray] | None]:
+    """Phase 2 (host): exact rescore of phase-1 candidates, as CANDIDATE
+    LISTS ((dense_vals [B, kp], rows), (sparse_vals, rows) | None) with
+    segment-LOCAL row ids (-1 invalid).
+
+    The candidate form feeds the composed IVF x BQ path's candidate-space
+    fusion (index/store.py::_search_cold_ivf) directly; the flat cold path
+    scatters it back to [B, cap] score shape via :func:`bq_finish_segment`.
+    """
+    cap = seg.capacity
+    kp = min(k_prime, cap)
+    q_np = np.asarray(q_dense, np.float32)
+    b = q_np.shape[0]
+    scales_host = (np.asarray(seg.scales)
+                   if getattr(seg, "scales", None) is not None else None)
+    # seg.vecs stays in its storage dtype (int8 / ml_dtypes bf16 / f32):
+    # rerank_exact_host gathers only the B*K' candidate rows and casts just
+    # that block to f32 — never the whole segment.
+    vals, rows = rerank_exact_host(q_np, cand_np, seg.vecs, scales_host,
+                                   limit=kp)
+
+    sparse = None
+    if qt is not None:
+        # offload(bq=True) sets bq_packed and host_postings together; a
+        # segment with only the dense shadow would return a sparse block
+        # narrower than the dense one and fusion's indices would map to
+        # wrong gids. Fail loudly instead of corrupting the gid mapping.
+        assert seg.host_postings is not None, (
+            "cold-BQ segment has bq_packed but no host_postings")
+        qt_np = np.asarray(qt)
+        qw_np = np.asarray(qw, np.float32)
+        bq = qt_np.shape[0]
+        # One sparse query broadcasts across the dense batch (the store's
+        # B=1 serving contract); a full [B, Qt] batch is scored per query —
+        # each host-postings pass touches only that query's term runs, so
+        # the cold hybrid serves full batch width (not just batch 1).
+        assert bq in (1, b), f"sparse batch {bq} vs dense batch {b}"
+        mask = eval_mask_host(spec, seg.cols)
+        s_rows = np.full((b, kp), -1, np.int32)
+        s_vals = np.full((b, kp), NEG_INF, np.float32)
+        for i in range(bq):
+            s_host = seg.host_postings.scores(qt_np[i], qw_np[i])  # [cap]
+            s_host = np.where(mask, s_host, NEG_INF).astype(np.float32)
+            top = np.argpartition(-s_host, kp - 1)[:kp].astype(np.int32)
+            sv = s_host[top]
+            keep = sv > NEG_INF / 2
+            top = np.where(keep, top, -1)
+            sv = np.where(keep, sv, NEG_INF)
+            if bq == 1:
+                s_rows[:] = top
+                s_vals[:] = sv
+            else:
+                s_rows[i] = top
+                s_vals[i] = sv
+        sparse = (s_vals, s_rows)
+    return (vals, rows), sparse
+
+
 def bq_finish_segment(
     q_dense: jax.Array,
     seg,
@@ -120,46 +188,16 @@ def bq_finish_segment(
     *,
     k_prime: int,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """Phase 2 (host + scatter): exact rescore of phase-1 candidates."""
+    """Phase 2 (host + scatter): exact rescore of phase-1 candidates,
+    scattered back to the [B, cap] score shape the flat search path
+    concatenates (index/store.py::_score_all_segments)."""
     cap = seg.capacity
-    kp = min(k_prime, cap)
-    q_np = np.asarray(q_dense, np.float32)
-    scales_host = (np.asarray(seg.scales)
-                   if getattr(seg, "scales", None) is not None else None)
-    # seg.vecs stays in its storage dtype (int8 / ml_dtypes bf16 / f32):
-    # rerank_exact_host gathers only the B*K' candidate rows and casts just
-    # that block to f32 — never the whole segment.
-    vals, gids = rerank_exact_host(q_np, cand_np, seg.vecs, scales_host,
-                                   limit=kp)
-    dense = _scatter_scores(jnp.asarray(gids), jnp.asarray(vals), cap)
-
+    (vals, rows), sp = bq_candidate_lists(
+        q_dense, seg, spec, cand_np, qt, qw, k_prime=k_prime)
+    dense = _scatter_scores(jnp.asarray(rows), jnp.asarray(vals), cap)
     sparse = None
-    if qt is not None:
-        # offload(bq=True) sets bq_packed and host_postings together; a
-        # segment with only the dense shadow would return a sparse block
-        # narrower than the dense one and fusion's indices would map to
-        # wrong gids. Fail loudly instead of corrupting the gid mapping.
-        assert seg.host_postings is not None, (
-            "cold-BQ segment has bq_packed but no host_postings")
-        # One sparse query broadcast across the dense batch — the store's
-        # serving contract (sparse_scan_scores takes [1, Qt] and fusion
-        # broadcasts it). A true multi-sparse-query batch would need a
-        # per-row loop here; reshape(-1) on [>1, Qt] would silently merge
-        # queries' terms, so refuse it.
-        assert np.asarray(qt).shape[0] == 1, "bq sparse side expects 1 query"
-        qt_np = np.asarray(qt).reshape(-1)
-        qw_np = np.asarray(qw, np.float32).reshape(-1)
-        s_host = seg.host_postings.scores(qt_np, qw_np)      # [cap]
-        mask = eval_mask_host(spec, seg.cols)
-        s_host = np.where(mask, s_host, NEG_INF).astype(np.float32)
-        b = q_np.shape[0]
-        rows = np.argpartition(-s_host, kp - 1)[:kp].astype(np.int32)
-        svals = s_host[rows]
-        keep = svals > NEG_INF / 2
-        rows = np.where(keep, rows, -1)
-        svals = np.where(keep, svals, NEG_INF)
-        rows_b = np.broadcast_to(rows, (b, kp))
-        svals_b = np.broadcast_to(svals, (b, kp))
-        sparse = _scatter_scores(jnp.asarray(rows_b), jnp.asarray(svals_b),
+    if sp is not None:
+        s_vals, s_rows = sp
+        sparse = _scatter_scores(jnp.asarray(s_rows), jnp.asarray(s_vals),
                                  cap)
     return dense, sparse

@@ -87,6 +87,11 @@ class TpuVectorStore:
             self._n_shards = max(1, self._n_shards // self._n_replicas)
         # IVF snapshot (read-optimized; invalidated by any mutation).
         self._ivf = None
+        # Composed cold IVF: probe-limited coarse scans over the cold
+        # segments' BQ sketches + exact host rescore (index/ivf_bq.py);
+        # built by build_ivf when the store is beyond-HBM. Shares
+        # _ivf_dirty's staleness contract.
+        self._cold_ivf = None
         self._ivf_nprobe = settings.ivf_nprobe
         self._ivf_select = settings.ivf_select
         self._ivf_dirty = True
@@ -522,10 +527,34 @@ class TpuVectorStore:
                 self._ivf_dirty = False
                 return info
             if self.cold_tier_active:
-                raise ValueError(
-                    "IVF snapshot requires a fully device-resident store; "
-                    "this store serves beyond-HBM segments via streaming "
-                    "scans (VOITTA_DEVICE_ROWS_BUDGET)")
+                # Composed path: IVF probing over the cold segments' BQ
+                # sketches (index/ivf_bq.py) — the three scale mechanisms
+                # (IVF x cold tier x quantized serving) in ONE query path,
+                # matching the reference engine's composed mmap + ANN +
+                # quantized-rescore store (vector_store.py:88-115). The
+                # resident tail (the open write segment) stays flat-scanned
+                # exactly; searches fuse both in candidate space
+                # (_search_cold_ivf).
+                from voitta_rag_tpu.index.ivf_bq import ColdIvf
+
+                self._cold_ivf = ColdIvf.build(
+                    self._segments, n_cells, kmeans_iters=kmeans_iters,
+                    assign_k=settings.ivf_assign_k,
+                    assign_margin=settings.ivf_assign_margin)
+                if nprobe:
+                    self._ivf_nprobe = nprobe
+                self._ivf = None
+                self._ivf_dirty = False
+                shadows = self._cold_ivf.shadows
+                return {"cells": n_cells, "cold_segments": len(shadows),
+                        "rows": sum(int((sh.row3 >= 0).sum())
+                                    for sh in shadows.values()),
+                        "cell_cap": max(sh.cell_cap
+                                        for sh in shadows.values()),
+                        "residual": sum(int((sh.rest_row >= 0).sum())
+                                        for sh in shadows.values()),
+                        "sketch_bytes": sum(sh.nbytes_device()
+                                            for sh in shadows.values())}
             # Gather live rows ON DEVICE (only the row-index vectors cross
             # the host boundary — segments can be GBs, indices are MBs).
             import jax.numpy as jnp
@@ -553,6 +582,7 @@ class TpuVectorStore:
                 raise ValueError(
                     f"need >= max(n_cells, 256) rows for IVF "
                     f"(have {len(dense)}, n_cells={n_cells})")
+            self._cold_ivf = None
             self._ivf = IVFIndex.build(dense, cols, gids, n_cells,
                                        kmeans_iters=kmeans_iters,
                                        assign_k=settings.ivf_assign_k,
@@ -571,7 +601,8 @@ class TpuVectorStore:
     def ivf_active(self) -> bool:
         if self._sharded is not None:
             return self._sharded.ivf is not None and not self._ivf_dirty
-        return self._ivf is not None and not self._ivf_dirty
+        return ((self._ivf is not None or self._cold_ivf is not None)
+                and not self._ivf_dirty)
 
     # -- sparse postings snapshot (index/postings.py) ------------------------
     def build_postings(self) -> dict:
@@ -744,6 +775,11 @@ class TpuVectorStore:
             return self._search_sharded(q, spec, qt, qw, limit,
                                         sparse_weight, has_sparse)
 
+        if (self._cold_ivf is not None and not self._ivf_dirty
+                and self.cold_tier_active):
+            return self._search_cold_ivf(q, spec, qt, qw, limit,
+                                         sparse_weight, has_sparse, fusion)
+
         if self.ivf_active or (has_sparse and self.postings_active):
             return self._search_snapshot(q, spec, qt, qw, limit,
                                          sparse_weight, has_sparse, fusion)
@@ -784,6 +820,101 @@ class TpuVectorStore:
         # race is possible here.
         return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
 
+    def _search_cold_ivf(self, q, spec, qt, qw, limit, sparse_weight,
+                         has_sparse, fusion):
+        """Composed beyond-HBM serving — IVF x cold tier x BQ in ONE path.
+
+        Per cold segment: IVF-probed coarse scan over the cell-major BQ
+        sketch (index/ivf_bq.py; phase 1, ALL segments enqueued before the
+        first host sync so their device work overlaps), then exact host
+        rescore of the over-fetched candidates (phase 2). The resident
+        tail (the open write segment) is exact-flat-scanned on device.
+        Everything fuses in CANDIDATE space — O(candidates), not O(rows),
+        so a 100M-row store never materializes a [B, N] score array.
+        Matches the reference engine's composed mmap + ANN + quantized
+        rescore serving (vector_store.py:88-115)."""
+        from voitta_rag_tpu.index.bq_serve import bq_candidate_lists
+        from voitta_rag_tpu.ops.fusion import (
+            hybrid_fuse_candidates, rrf_fuse_candidates,
+        )
+
+        gen = self._generation
+        civf = self._cold_ivf
+        qj = jnp.asarray(q)
+        b = qj.shape[0]
+        p = limit * self.prefetch_multiplier
+        bq_k = p * self._bq_oversample
+        base = self.segment_capacity
+        qt_j = jnp.asarray(qt) if qt is not None else None
+        qw_j = jnp.asarray(qw) if qw is not None else None
+
+        # Phase 1 (device, async): every cold segment's probe + select.
+        phase1: dict[int, object] = {}
+        # Resident tail scans, also enqueued before any sync.
+        res_parts: list[tuple[int, tuple, tuple | None]] = []
+        for i, seg in enumerate(self._segments):
+            if not seg.resident:
+                phase1[i] = civf.coarse_candidates(
+                    qj, i, spec, k_prime=bq_k, nprobe=self._ivf_nprobe,
+                    select=self._bq_select)
+                continue
+            d = dense_scan_scores(qj, seg.vecs, seg.cols, spec, seg.scales)
+            d_pair = masked_topk(d, min(p, d.shape[-1]))
+            s_pair = None
+            if has_sparse:
+                s = sparse_scan_scores(qt_j, qw_j, seg.terms, seg.weights,
+                                       seg.cols, spec)
+                s = jnp.broadcast_to(s, (b, s.shape[-1]))
+                s_pair = masked_topk(s, min(p, s.shape[-1]))
+            res_parts.append((i, d_pair, s_pair))
+
+        # Phase 2 (host): exact rescore; gids = seg_index * cap + row.
+        d_vals, d_gids, s_vals, s_gids = [], [], [], []
+        for i, seg in enumerate(self._segments):
+            if seg.resident:
+                continue
+            (dv, dr), sp2 = bq_candidate_lists(
+                qj, seg, spec, np.asarray(phase1[i]), qt, qw, k_prime=bq_k)
+            d_vals.append(dv)
+            d_gids.append(np.where(dr >= 0, dr + i * base, -1))
+            if sp2 is not None:
+                sv, sr = sp2
+                s_vals.append(sv)
+                s_gids.append(np.where(sr >= 0, sr + i * base, -1))
+        for i, d_pair, s_pair in res_parts:
+            dv, dp_ = np.asarray(d_pair[0]), np.asarray(d_pair[1])
+            d_vals.append(dv)
+            d_gids.append(np.where(dp_ >= 0, dp_ + i * base, -1))
+            if s_pair is not None:
+                sv, sp_ = np.asarray(s_pair[0]), np.asarray(s_pair[1])
+                s_vals.append(sv)
+                s_gids.append(np.where(sp_ >= 0, sp_ + i * base, -1))
+
+        dva = jnp.asarray(np.concatenate(d_vals, axis=1))
+        dga = jnp.asarray(np.concatenate(d_gids, axis=1))
+        if has_sparse and s_vals:
+            sva = jnp.asarray(np.concatenate(s_vals, axis=1))
+            sga = jnp.asarray(np.concatenate(s_gids, axis=1))
+            if fusion == "rrf":
+                scores, gids = rrf_fuse_candidates(
+                    dva, dga, sva, sga, limit=limit,
+                    prefetch_multiplier=self.prefetch_multiplier)
+            else:
+                scores, gids = hybrid_fuse_candidates(
+                    dva, dga, sva, sga, sparse_weight, limit=limit,
+                    prefetch_multiplier=self.prefetch_multiplier)
+        else:
+            from voitta_rag_tpu.ops.pallas_utils import NEG_INF
+
+            masked = jnp.where(dga >= 0, dva, NEG_INF)
+            scores, pos = masked_topk(masked, min(limit, masked.shape[-1]))
+            gids = jnp.where(pos >= 0,
+                             jnp.take_along_axis(
+                                 dga, jnp.maximum(pos, 0), axis=1), -1)
+        return self._materialize(np.asarray(scores)[0],
+                                 np.asarray(gids)[0],
+                                 expected_generation=gen)
+
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
         """Read-optimized path: dense candidates from the IVF probe (or flat
@@ -798,7 +929,7 @@ class TpuVectorStore:
 
         qj = jnp.asarray(q)
         p = limit * self.prefetch_multiplier
-        if self.ivf_active:
+        if self.ivf_active and self._ivf is not None:
             d_vals, d_gids = self._ivf.search_candidates(
                 qj, spec, nprobe=self._ivf_nprobe, limit=p,
                 select=self._ivf_select)

@@ -326,7 +326,11 @@ class SearchService:
                         fusion)
 
             gen = store.generation  # detect gid reuse racing this search
-            use_ivf = store.ivf_active
+            # ivf_active may reflect a COLD IVF snapshot (ivf_bq.py); the
+            # fused path only knows the exact-tier IVF layout. Cold stores
+            # were routed to the store path above, so this only differs in
+            # the (transient) all-segments-rewarmed-while-clean state.
+            use_ivf = store.ivf_active and store._ivf is not None
             use_postings = store.postings_active
             if (use_ivf and not has_sparse) or (has_sparse and use_postings):
                 # Snapshot hot path: encode + probe-limited dense + inverted-
