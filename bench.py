@@ -728,7 +728,11 @@ def main():
             cache_dir = Path(__file__).resolve().parent / "bench_cache"
             h = None
             n_sub = 0
-            for n_try in (100_000, 50_000, 25_000):
+            # 1M first: matched corpus size vs the TPU sections (round-3
+            # weakness: the headline multiplier divided QPS measured on a
+            # 100k CPU corpus vs a 1M TPU corpus). Built offline in 9285s
+            # single-thread via scripts/build_hnsw_cache.py.
+            for n_try in (1_000_000, 100_000, 50_000, 25_000):
                 cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v2.bin"
                 if cp.exists():
                     h = HnswBaseline.load_graph(cp, vecs_np[:n_try])
