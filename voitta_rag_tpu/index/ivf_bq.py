@@ -290,7 +290,31 @@ def _bq_ivf_candidates(q, centroids, qmat, packed3, cols3, row3, scales3,
                        spec: FilterSpec, *, nprobe: int, k_prime: int,
                        bits: int, assign_k: int, select: str,
                        use_pallas: bool):
-    """Probe -> gather -> coarse scan -> select, one jitted program.
+    """Jit wrapper over :func:`bq_ivf_select` returning candidate rows only
+    (the flat store path rescores and therefore never needs coarse values).
+    """
+    _, cand = bq_ivf_select(
+        q, centroids, qmat, packed3, cols3, row3, scales3, rest_packed,
+        rest_cols, rest_row, rest_scales, spec, nprobe=nprobe,
+        k_prime=k_prime, bits=bits, assign_k=assign_k, select=select,
+        use_pallas=use_pallas)
+    return cand
+
+
+def bq_ivf_select(q, centroids, qmat, packed3, cols3, row3, scales3,
+                  rest_packed, rest_cols, rest_row, rest_scales,
+                  spec: FilterSpec, *, nprobe: int, k_prime: int,
+                  bits: int, assign_k: int, select: str,
+                  use_pallas: bool, q_coarse=None):
+    """Probe -> gather -> coarse scan -> select, as one traceable body.
+
+    Pure (un-jitted) so the mesh-sharded cold tier can inline it per chip
+    under ``shard_map`` (parallel/sharded_cold.py) — there the coarse VALUES
+    are needed too, for the hierarchical candidate cut before the DCN hop,
+    and the whitened query ``q_coarse`` arrives pre-transformed (shared
+    mesh-wide whitening; ``qmat`` is then None).
+    Returns ``(vals [B, k_prime] f32, cand [B, k_prime] int32)`` with
+    segment-local candidate rows (-1 invalid).
 
     The gathered cells reshape DIRECTLY into bitq_scan_scores's flat
     [T, bits*W] layout (cell-major storage is chosen for exactly this), so
@@ -304,7 +328,8 @@ def _bq_ivf_candidates(q, centroids, qmat, packed3, cols3, row3, scales3,
     qf = q.astype(jnp.float32)
     # Cell probe in the ORIGINAL embedding space; coarse scan with the
     # segment's whitened query (ops/bitq.py asymmetric-estimate contract).
-    q_coarse = qf @ qmat.T
+    if q_coarse is None:
+        q_coarse = qf @ qmat.T
 
     cell_sims = qf @ centroids.T                              # [B, C]
     _, cells = jax.lax.top_k(cell_sims, nprobe)               # [B, nprobe]
@@ -345,4 +370,4 @@ def _bq_ivf_candidates(q, centroids, qmat, packed3, cols3, row3, scales3,
                      -1).astype(jnp.int32)
     if assign_k > 1:
         vals, cand = dedup_candidates(vals, cand)
-    return cand[:, :k_prime]
+    return vals[:, :k_prime], cand[:, :k_prime]

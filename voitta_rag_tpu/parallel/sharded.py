@@ -518,6 +518,10 @@ class ShardedIndex:
         # contract as the IVF snapshot.
         self.postings: tuple | None = None
         self._postings_placeholder: tuple | None = None
+        # Cold tier (offload(bq=True)): device keeps only the per-chip
+        # quantized sketch + filter cols; exact rows live in host RAM
+        # (parallel/sharded_cold.py). None while resident.
+        self.cold = None
 
     # -- allocation: waterfill so shards stay evenly loaded (balanced scans) -
     def _allocate(self, count: int) -> tuple[np.ndarray, np.ndarray]:
@@ -573,6 +577,9 @@ class ShardedIndex:
     def write_rows(self, dense: np.ndarray, col_rows: np.ndarray,
                    terms: np.ndarray, weights: np.ndarray) -> np.ndarray:
         """Insert n rows; returns their global ids (shard * cap + row)."""
+        assert self.cold is None, (
+            "write_rows on an offloaded (cold) sharded index — "
+            "ensure_resident() first (index/segment.py's write contract)")
         n = len(dense)
         shard_idx, rows = self._allocate(n)
         b = self._bucket(n)
@@ -610,6 +617,10 @@ class ShardedIndex:
     def tombstone_doc(self, doc_id: int) -> None:
         """Tombstone every row of a document across all shards."""
         self.cols = _tombstone_matching(self.cols, COL_DOC, doc_id)
+        if self.cold is not None:
+            hc = self.cold.host_cols
+            hit = hc[:, COL_DOC, :] == doc_id
+            hc[:, COL_VALID, :] = np.where(hit, 0, hc[:, COL_VALID, :])
 
     def gather_terms(self, gids: np.ndarray) -> np.ndarray:
         """Sparse term ids of the given rows → host int32 [len(gids), S].
@@ -621,6 +632,10 @@ class ShardedIndex:
         """
         if len(gids) == 0:
             return np.empty((0, self.sparse_slots), np.int32)
+        if self.cold is not None:  # terms live on host while cold
+            return self.cold.host_terms[
+                (gids // self.cap).astype(np.int64), :,
+                (gids % self.cap).astype(np.int64)]
         si = jnp.asarray((gids // self.cap).astype(np.int32))
         ri = jnp.asarray((gids % self.cap).astype(np.int32))
         return np.asarray(_gather_terms_sharded(self.terms, si, ri))
@@ -636,11 +651,32 @@ class ShardedIndex:
         si[: len(gids)], ri[: len(gids)] = shard_idx, rows
         self.cols = _tombstone_rows_sharded(self.cols, jnp.asarray(si),
                                             jnp.asarray(ri))
+        if self.cold is not None:
+            self.cold.host_cols[shard_idx, COL_VALID, rows] = 0
         for s, r in zip(shard_idx, rows):
             self._free[int(s)].append(int(r))
 
     # -- persistence (host spill/restore, mirrors Segment.to_host) ----------
     def to_host(self) -> dict:
+        if self.cold is not None:
+            # The exact tier is already host-resident; cols come from the
+            # device copy (carries tombstones applied while cold).
+            c = self.cold
+            vecs = np.asarray(c.host_vecs, np.float32)
+            return {
+                "n_shards": self.n_shards, "cap": self.cap, "dim": self.dim,
+                "sparse_slots": self.sparse_slots, "dtype": self.dtype,
+                "vecs": vecs,
+                "scales": (c.host_scales if c.host_scales is not None
+                           else np.zeros((self.n_shards, 1, self.cap),
+                                         np.float32)),
+                "terms": c.host_terms, "weights": c.host_weights,
+                "cols": np.asarray(self.cols),
+                "next": self._next,
+                "free": np.asarray(
+                    [[s, r] for s in range(self.n_shards)
+                     for r in self._free[s]], np.int64).reshape(-1, 2),
+            }
         vecs = self.vecs
         if self.dtype == "bfloat16":
             vecs = vecs.astype(jnp.float32)
@@ -679,6 +715,53 @@ class ShardedIndex:
         return int(np.asarray(
             (self.cols[:, COL_VALID, :] > 0).sum()))
 
+    # -- cold tier: device sketch + host exact rows (sharded_cold.py) -------
+    def offload(self, bq: bool = True, bits: int | None = None) -> dict:
+        """Move the exact tier to host RAM, leaving a per-chip quantized
+        sketch (+ filter cols) in HBM — the sharded twin of
+        index/segment.py::offload(bq=True). Device memory drops from
+        ~cap*(D + 8S + ...) bytes/shard to the sketch's ~bits*W + 4 bytes/row.
+
+        Only the BQ-coarse serving mode exists for sharded indexes (the
+        flat store's per-query PCIe streaming alternative has no sensible
+        mesh analogue — every chip would stream every block)."""
+        assert bq, "sharded cold tier requires the BQ sketch (bq=True)"
+        if self.cold is not None:
+            return {"already": True}
+        from voitta_rag_tpu.config import get_settings
+        from voitta_rag_tpu.parallel.sharded_cold import offload_sharded
+
+        b = bits if bits is not None else get_settings().bq_bits
+        self.cold = offload_sharded(self, b)
+        # Free the exact device tier (the sketch + cols stay in HBM); the
+        # read-optimized snapshots are rebuilt cold via build_ivf.
+        self.vecs = self.scales = self.terms = self.weights = None
+        self.ivf = None
+        self.postings = None
+        return {"bits": b, "device_bytes": self.cold.nbytes_device(),
+                "host_bytes": self.cold.host_vecs.nbytes}
+
+    def ensure_resident(self) -> None:
+        """Re-upload the host exact tier and drop the cold state."""
+        if self.cold is None:
+            return
+        cold = self.cold
+        sh = NamedSharding(self.mesh, _index_spec(self.mesh))
+        put = lambda x, dt=None: jax.device_put(
+            jnp.asarray(np.asarray(x), dt) if dt else
+            jnp.asarray(np.asarray(x)), sh)
+        store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                    "int8": jnp.int8}[self.dtype]
+        self.vecs = put(cold.host_vecs, store_dt)
+        self.scales = (put(cold.host_scales) if cold.host_scales is not None
+                       else jax.device_put(
+                           jnp.zeros((self.n_shards, 1, self.cap),
+                                     jnp.float32), sh))
+        self.terms = put(cold.host_terms)
+        self.weights = put(cold.host_weights)
+        # The device cols carry tombstones applied while cold — keep them.
+        self.cold = None
+
     def build_ivf(self, n_cells: int, *, kmeans_iters: int = 25,
                   skew_factor: float = 2.0, seed: int = 0, assign_k: int = 1,
                   assign_margin: float | None = None,
@@ -693,6 +776,19 @@ class ShardedIndex:
         ``assign_margin`` gates secondary replicas to boundary rows, same
         semantics as the flat build (index/ivf.py).
         """
+        if self.cold is not None:
+            # Cold composition: permute each chip's SKETCH cell-major behind
+            # shared centroids (parallel/sharded_cold.py) — the 100M path.
+            from voitta_rag_tpu.parallel.sharded_cold import (
+                build_cold_ivf_sharded,
+            )
+
+            return build_cold_ivf_sharded(
+                self, self.cold, n_cells, kmeans_iters=kmeans_iters,
+                assign_k=assign_k, assign_margin=assign_margin,
+                skew_factor=skew_factor, spill_levels=spill_levels,
+                train_sample=train_sample, seed=seed)
+
         from voitta_rag_tpu.index.ivf import (
             _assign_topk_cells, _block_rows_for, _kmeans_train,
             pack_permutation,
@@ -801,6 +897,9 @@ class ShardedIndex:
     def build_postings(self) -> dict:
         """Build the per-chip inverted-postings snapshot (device-side sorts
         under shard_map; nothing crosses ICI)."""
+        assert self.cold is None, (
+            "cold sharded indexes serve sparse from exact host postings "
+            "already (sharded_cold.py) — no device snapshot to build")
         t, g, w = _build_postings_sharded(self.mesh, self.terms,
                                           self.weights, self.cols)
         self.postings = (t, g, w)
@@ -823,7 +922,14 @@ class ShardedIndex:
 
     def search(self, q, spec, qt=None, qw=None, sparse_weight=0.1, *,
                limit=10, prefetch_multiplier=3, fusion=True, nprobe=None,
-               use_postings=False, max_postings=4096):
+               use_postings=False, max_postings=4096, oversample=None):
+        if self.cold is not None:
+            from voitta_rag_tpu.parallel.sharded_cold import search_cold
+
+            return search_cold(
+                self, q, spec, qt, qw, sparse_weight, limit=limit,
+                prefetch_multiplier=prefetch_multiplier, fusion=fusion,
+                nprobe=nprobe, oversample=oversample)
         # Replica-parallel serving: the query batch is sharded across
         # replica groups, so it must divide evenly — pad with the first
         # query (cheap; identical work profile) and trim the rows after.
