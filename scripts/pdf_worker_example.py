@@ -14,7 +14,10 @@ to the in-process extractor for that bucket — workers can fail safely.
 
 Behavior:
 
-- Pages with text operators use the in-process extractor (fast path).
+- Pages with text operators use the in-process extractor (fast path) —
+  layout-aware by default: multi-column pages come out in reading order
+  and aligned rows come out as `` | ``-separated table rows
+  (services/parsers/pdf_layout.py, the layout half of MinerU's value).
 - Image-only pages are OCRed when an OCR engine is available: the worker
   pulls each page's raster XObjects out of the PDF (JPEG/DCTDecode streams
   verbatim; Flate-compressed 8-bit gray/RGB rasters re-wrapped as PNM) and

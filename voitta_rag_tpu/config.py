@@ -109,6 +109,11 @@ class Settings:
         self.pdf_worker_cmd: str = os.getenv("VOITTA_PDF_WORKER_CMD", "")
         self.pdf_worker_timeout: int = int(
             os.getenv("VOITTA_PDF_WORKER_TIMEOUT", "3600"))
+        # Layout-aware extraction for text PDFs (multi-column reading
+        # order + table rows, services/parsers/pdf_layout.py — the layout
+        # half of the reference's MinerU worker). Pages where no structure
+        # is detected keep the cheaper stream-order extraction.
+        self.pdf_layout: bool = _env_bool("VOITTA_PDF_LAYOUT", "true")
 
         # Indexing worker (reference config.py:49-50)
         self.indexing_poll_interval: int = int(os.getenv("INDEXING_POLL_INTERVAL", "10"))

@@ -695,20 +695,46 @@ class PdfDocument:
         self._font_cache[page_num] = fonts
         return fonts
 
-    def page_text(self, index: int) -> str:
+    def page_text(self, index: int, layout: bool | None = None) -> str:
+        """Extracted text of one page.
+
+        With ``layout`` (default VOITTA_PDF_LAYOUT): positioned spans are
+        analyzed for multi-column / table structure (pdf_layout.py) and,
+        when found, the page renders in READING order instead of content-
+        stream order — the layout half of the reference's MinerU worker
+        (pdf_parser.py:110-164). Unstructured pages keep the stream-order
+        extractor (identical output, cheaper).
+        """
+        if layout is None:
+            layout = get_settings().pdf_layout
         page_num = self.pages[index]
         body = self.objects.get(page_num, b"")
         d = _dict_of(body)
         fonts = self._page_fonts(page_num)
-        parts = []
+        streams = []
         for ref in _refs(d, b"/Contents"):
             obj = self.objects.get(ref)
             if obj is None:
                 continue
             stream = _decode_stream(obj)
             if stream:
-                parts.append(_extract_page_text(stream, fonts))
-        return "\n".join(p for p in parts if p)
+                streams.append(stream)
+        if layout and streams:
+            from voitta_rag_tpu.services.parsers.pdf_layout import (
+                extract_spans, layout_text,
+            )
+
+            try:
+                spans = []
+                for stream in streams:
+                    spans.extend(extract_spans(stream, fonts))
+                text, structured = layout_text(spans)
+                if structured and text:
+                    return text
+            except Exception:  # malformed positioning: stream order below
+                pass
+        return "\n".join(
+            p for p in (_extract_page_text(s, fonts) for s in streams) if p)
 
     def page_has_images(self, index: int) -> bool:
         """True if the page draws raster images (XObject or inline).
