@@ -85,6 +85,8 @@ N_FOLDERS = 64
 INCLUDE = [1, 2, 3, 5, 8, 13, 21, 34]  # folder-scope filter
 SPARSE_W = 0.1
 N_ITERS = 20
+# Tokenized real corpus handoff: bench_real_corpus -> bench_real10m.
+_REAL10M_STASH = None
 VOCAB = 100_000
 IVF_CELLS = 4096
 MAX_POST = 512
@@ -283,6 +285,19 @@ def main():
 
     def time_left() -> float:
         return deadline - (time.time() - t_start)
+
+    def checkpoint_extra(extra):
+        """Spill the metric set so far: a driver-killed run must still
+        leave evidence on disk (round-3 lost its headline to a truncated
+        tail; a hard kill would lose everything)."""
+        from pathlib import Path
+
+        try:
+            p = Path(__file__).resolve().parent / "BENCH_PARTIAL.json"
+            p.write_text(json.dumps(extra, indent=1, sort_keys=True,
+                                    default=str))
+        except Exception:
+            pass
 
     on_tpu = jax.default_backend() == "tpu"
     extra = {"backend": jax.default_backend(),
@@ -659,9 +674,28 @@ def main():
             big = ids_stack = None
             gc.collect()
             extra.update(bench_real_corpus(rng, time_left))
+            checkpoint_extra(extra)
         except Exception as e:
             extra["real_corpus_error"] = str(e)[:300]
             log(f"real corpus failed: {e}")
+
+    # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
+    # distribution): 10 pooling views per harvested chunk, streamed
+    # straight into the cell-major IVF layout ----
+    if on_tpu and time_left() < 900:
+        extra["real10m_skipped"] = (
+            f"deadline: {time_left():.0f}s left, section needs ~900s")
+        log(extra["real10m_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_real10m(time_left, rng))
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["real10m_error"] = str(e)[:300]
+            log(f"real-10M section failed: {e}")
 
     # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
     if on_tpu and time_left() < 1000:
@@ -686,6 +720,7 @@ def main():
             gc.collect()
             ten_m = bench_10m(extra, rng)
             extra.update(ten_m)
+            checkpoint_extra(extra)
         except Exception as e:
             extra["scale10M_error"] = str(e)[:300]
 
@@ -699,9 +734,43 @@ def main():
 
             gc.collect()
             extra.update(bench_bq_cold())
+            checkpoint_extra(extra)
         except Exception as e:
             extra["bq_error"] = str(e)[:300]
             log(f"bq section failed: {e}")
+
+    # ---- tail latency under mutation (the serving proof Qdrant is
+    # trusted for): p50/p95/p99 with a concurrent writer + compaction ----
+    if on_tpu and time_left() < 400:
+        extra["mutation_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["mutation_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_mutation_latency(time_left))
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["mutation_error"] = str(e)[:300]
+            log(f"mutation-latency section failed: {e}")
+
+    # ---- learned retrieval end-to-end: train -> embed -> index -> search
+    # (models/retrieval_proof.py) — held-out recall of the TRAINED encoder
+    # vs BM25-only and random init, all through the production kernels ----
+    if on_tpu and time_left() < 700:
+        extra["trained_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["trained_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_trained_retrieval(time_left))
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["trained_error"] = str(e)[:300]
+            log(f"trained-retrieval section failed: {e}")
 
     # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
     # HNSW; here a from-scratch C++ HNSW, single-thread on this host).
@@ -842,7 +911,8 @@ def main():
         "bq_coarse_qps", "bq_recall10_exactsel_os4",
         "p50_query_ms_device", "p50_query_ms_device_ivf",
         "p50_query_ms_tunnel", "p99_under_mutation_ms", "p99_idle_ms",
-        "trained_recall10", "bm25_only_recall10", "randinit_recall10",
+        "trained_recall10", "trained_hybrid_recall10",
+        "bm25_only_recall10", "randinit_recall10",
         "hnsw_rows", "hnsw_recall10_ef64", "hnsw_qps_ef64",
         "hnsw_recall10_ef128", "hnsw_qps_ef128",
         "vs_baseline_definition", "backend",
@@ -1046,71 +1116,138 @@ def bench_real_corpus(rng, time_left):
     DR = 768
     LTOK, BE = 96, 256
     CR = 8192  # IVF cells
-    log(f"real-corpus section: harvesting text (target {NR} chunks, "
-        f"{time_left():.0f}s left)")
+    ecfg = PRESETS["intfloat/e5-base-v2"]
 
-    # --- harvest + chunk (production chunker) ---
-    chunker = ChunkingService(chunk_size=800, chunk_overlap=200)
-    roots = [pathlib.Path(p) for p in site.getsitepackages()]
-    roots.append(pathlib.Path("/usr/share/doc"))
-    exts = {".py", ".md", ".rst", ".txt", ".cfg", ".toml", ".json"}
-    texts: list[str] = []
-    files = 0
-    total_bytes = 0
-    t0 = time.time()
-    for root in roots:
-        if len(texts) >= NR + 64:
-            break
-        if not root.exists():
-            continue
-        for p in sorted(root.rglob("*")):
+    # --- host-side inputs, cached: harvest + tokenize + BM25 cost ~8-10
+    # CPU-bound minutes on this 1-vCPU host and are deterministic for a
+    # given image; a cache hit (bench_cache/, uncommitted, rebuilt when
+    # absent) returns them in seconds so the TPU sections own the deadline.
+    from pathlib import Path as _Path
+
+    cache_dir = _Path(__file__).resolve().parent / "bench_cache"
+    cached = sorted(cache_dir.glob(f"real_corpus_*x{LTOK}.v1.npz"),
+                    key=lambda p: -int(p.name.split("_")[2].split("x")[0]))
+    all_ids = None
+    for cp in cached:
+        n_c = int(cp.name.split("_")[2].split("x")[0])
+        if 262144 <= n_c <= NR:
+            try:
+                z = np.load(cp)
+                all_ids, q_ids = z["ids"], z["q_ids"]
+                termsR_np, weightsR_np = z["terms"], z["weights"]
+                qtR, qwR = z["qt"], z["qw"]
+                NR = len(all_ids)
+                out["real_chunks"] = NR
+                out["real_files"] = int(z["files"])
+                out["real_text_mb"] = float(z["text_mb"])
+                out["real_cache"] = cp.name
+                log(f"real-corpus inputs: loaded cached {cp.name}")
+                break
+            except Exception as e:
+                log(f"real-corpus cache {cp.name} unreadable ({e}); "
+                    "regenerating")
+                all_ids = None
+    if all_ids is None:
+        log(f"real-corpus section: harvesting text (target {NR} chunks, "
+            f"{time_left():.0f}s left)")
+        # --- harvest + chunk (production chunker) ---
+        chunker = ChunkingService(chunk_size=800, chunk_overlap=200)
+        roots = [pathlib.Path(p) for p in site.getsitepackages()]
+        roots.append(pathlib.Path("/usr/share/doc"))
+        exts = {".py", ".md", ".rst", ".txt", ".cfg", ".toml", ".json"}
+        texts: list[str] = []
+        files = 0
+        total_bytes = 0
+        t0 = time.time()
+        for root in roots:
             if len(texts) >= NR + 64:
                 break
-            if not (p.is_file() and (p.suffix in exts
-                                     or p.name in ("LICENSE", "copyright"))):
+            if not root.exists():
                 continue
-            try:
-                txt = p.read_text(errors="ignore")
-            except OSError:
+            for p in sorted(root.rglob("*")):
+                if len(texts) >= NR + 64:
+                    break
+                if not (p.is_file()
+                        and (p.suffix in exts
+                             or p.name in ("LICENSE", "copyright"))):
+                    continue
+                try:
+                    txt = p.read_text(errors="ignore")
+                except OSError:
+                    continue
+                if len(txt) < 200:
+                    continue
+                files += 1
+                total_bytes += len(txt)
+                texts.extend(c.text for c in chunker.chunk_text(txt))
+        n_q = 64
+        # The host may hold slightly less text than the target (measured:
+        # 1.038M chunks vs the 1.049M ask) — size the corpus to the
+        # harvest, lane-aligned, reserving the tail as held-out queries.
+        if len(texts) < NR + n_q:
+            NR = ((len(texts) - n_q) // 1024) * 1024
+        q_texts = texts[NR:NR + n_q]
+        texts = texts[:NR]
+        out["real_chunks"] = len(texts)
+        out["real_files"] = files
+        out["real_text_mb"] = round(total_bytes / 1e6, 1)
+        log(f"real corpus: {len(texts)} chunks from {files} files "
+            f"({out['real_text_mb']} MB) in {time.time() - t0:.0f}s")
+        if NR < 262144 or len(q_texts) < n_q:
+            out["real_corpus_error"] = f"only {len(texts)} chunks harvested"
+            return out
+
+        # --- tokenize (CRC-hashed vocab; deterministic across runs) ---
+        vocab = ecfg.vocab_size
+        word_re = _re.compile(r"\w+|[^\w\s]")
+
+        def tok_ids(text: str) -> np.ndarray:
+            ids = np.zeros(LTOK, np.int32)
+            ids[0] = 1
+            for j, w in enumerate(word_re.findall(text.lower())[:LTOK - 1]):
+                ids[j + 1] = 2 + (zlib.crc32(w.encode()) % (vocab - 2))
+            return ids
+
+        t0 = time.time()
+        all_ids = np.stack([tok_ids(t) for t in texts])
+        q_ids = np.stack([tok_ids(t) for t in q_texts])
+        log(f"tokenized in {time.time() - t0:.0f}s")
+
+        # --- real BM25 sparse (production pipeline, slot-major top-S) ---
+        t0 = time.time()
+        svc = SparseEmbeddingService()
+        termsR_np = np.full((S, NR), TERM_PAD, np.int32)
+        weightsR_np = np.zeros((S, NR), np.float32)
+        for i, sv in enumerate(svc.embed(texts)):
+            if not sv.indices:
                 continue
-            if len(txt) < 200:
-                continue
-            files += 1
-            total_bytes += len(txt)
-            texts.extend(c.text for c in chunker.chunk_text(txt))
-    n_q = 64
-    # The host may hold slightly less text than the target (measured:
-    # 1.038M chunks vs the 1.049M ask) — size the corpus to the harvest,
-    # lane-aligned, reserving the tail as held-out queries.
-    if len(texts) < NR + n_q:
-        NR = ((len(texts) - n_q) // 1024) * 1024
-    q_texts = texts[NR:NR + n_q]
-    texts = texts[:NR]
-    out["real_chunks"] = len(texts)
-    out["real_files"] = files
-    out["real_text_mb"] = round(total_bytes / 1e6, 1)
-    log(f"real corpus: {len(texts)} chunks from {files} files "
-        f"({out['real_text_mb']} MB) in {time.time() - t0:.0f}s")
-    if NR < 262144 or len(q_texts) < n_q:
-        out["real_corpus_error"] = f"only {len(texts)} chunks harvested"
-        return out
+            o = np.argsort(-np.asarray(sv.values))[:S]
+            termsR_np[: len(o), i] = np.asarray(sv.indices, np.int64)[o]
+            weightsR_np[: len(o), i] = np.asarray(sv.values, np.float32)[o]
+        log(f"real BM25 vectors in {time.time() - t0:.0f}s")
+        q_sv = svc.embed_query(" ".join(q_texts[0].split()[:24]))
+        qtR = np.full((1, QT), TERM_PAD, np.int32)
+        qwR = np.zeros((1, QT), np.float32)
+        qtR[0, : min(QT, len(q_sv.indices))] = q_sv.indices[:QT]
+        qwR[0, : min(QT, len(q_sv.indices))] = q_sv.values[:QT]
+        texts = q_texts = None
 
-    # --- tokenize (CRC-hashed vocab; deterministic across runs) ---
-    ecfg = PRESETS["intfloat/e5-base-v2"]
-    vocab = ecfg.vocab_size
-    word_re = _re.compile(r"\w+|[^\w\s]")
+        try:
+            cache_dir.mkdir(exist_ok=True)
+            cp = cache_dir / f"real_corpus_{NR}x{LTOK}.v1.npz"
+            np.savez(cp, ids=all_ids, q_ids=q_ids, terms=termsR_np,
+                     weights=weightsR_np, qt=qtR, qw=qwR,
+                     files=out["real_files"], text_mb=out["real_text_mb"])
+            log(f"real-corpus inputs cached to {cp.name} "
+                f"({cp.stat().st_size / 1e6:.0f} MB)")
+        except Exception as e:
+            log(f"could not cache real-corpus inputs: {e}")
 
-    def tok_ids(text: str) -> np.ndarray:
-        ids = np.zeros(LTOK, np.int32)
-        ids[0] = 1
-        for j, w in enumerate(word_re.findall(text.lower())[:LTOK - 1]):
-            ids[j + 1] = 2 + (zlib.crc32(w.encode()) % (vocab - 2))
-        return ids
-
-    t0 = time.time()
-    all_ids = np.stack([tok_ids(t) for t in texts])
-    q_ids = np.stack([tok_ids(t) for t in q_texts])
-    log(f"tokenized in {time.time() - t0:.0f}s")
+    # Stash the tokenized corpus for the real-10M section (bench_real10m):
+    # it re-encodes these SAME real chunks with 10 pooling views each at
+    # the 10M x 768 north-star geometry — no second harvest/tokenize pass.
+    global _REAL10M_STASH
+    _REAL10M_STASH = {"ids": all_ids, "q_ids": q_ids}
 
     # --- encode on-chip (bf16), quantize to int8 on device ---
     eparams = init_params(jax.random.PRNGKey(7), ecfg)
@@ -1146,25 +1283,8 @@ def bench_real_corpus(rng, time_left):
     qR = qv8.astype(jnp.float32) * qsc[:, None]
     qR = qR / jnp.clip(jnp.linalg.norm(qR, axis=1, keepdims=True), 1e-9)
     all_ids = q_ids = eparams = None
+    n_q = qR.shape[0]
     gc.collect()
-
-    # --- real BM25 sparse (production pipeline, slot-major top-S) ---
-    t0 = time.time()
-    svc = SparseEmbeddingService()
-    termsR_np = np.full((S, NR), TERM_PAD, np.int32)
-    weightsR_np = np.zeros((S, NR), np.float32)
-    for i, sv in enumerate(svc.embed(texts)):
-        if not sv.indices:
-            continue
-        o = np.argsort(-np.asarray(sv.values))[:S]
-        termsR_np[: len(o), i] = np.asarray(sv.indices, np.int64)[o]
-        weightsR_np[: len(o), i] = np.asarray(sv.values, np.float32)[o]
-    log(f"real BM25 vectors in {time.time() - t0:.0f}s")
-    q_sv = svc.embed_query(" ".join(q_texts[0].split()[:24]))
-    qtR = np.full((1, QT), TERM_PAD, np.int32)
-    qwR = np.zeros((1, QT), np.float32)
-    qtR[0, : min(QT, len(q_sv.indices))] = q_sv.indices[:QT]
-    qwR[0, : min(QT, len(q_sv.indices))] = q_sv.values[:QT]
 
     colsR = jnp.zeros((NUM_COLS, NR), jnp.int32).at[COL_VALID].set(1)
     scalesR = scR[None, :]
@@ -1593,6 +1713,543 @@ def bench_10m(extra_main, rng):
             f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
     except Exception as e:
         out["ivf10_approx_error"] = str(e)[:200]
+    return out
+
+
+def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
+                  probe_cap=2048, d10=768):
+    """REAL text at the north-star geometry: 10M x 768 int8 + IVF.
+
+    Round-3's 10M evidence was synthetic-only (recall saturated at 1.0);
+    the hard real-text evidence stopped at 1M. This section re-encodes the
+    1.04M harvested chunks (token ids stashed by bench_real_corpus) with
+    TEN pooling views each — the full attention-mask mean plus nine
+    random-token-subset means, a paraphrase-style augmentation computed in
+    the SAME encoder pass — yielding a 10.4M-row corpus with real-text
+    geometry (anisotropy, Zipfian cluster sizes, near-duplicate groups).
+
+    Index layout: variable-length inverted lists (index/ivf_flat.py) —
+    the padded cell layout measured 40% row overflow on this corpus's
+    Zipfian cell masses. Build is two streaming encoder passes (encode is
+    ~4s/M rows on-chip; the host never holds the corpus): pass A assigns
+    every view to its top-2 cells and folds the exact oracle (running
+    top-10 per held-out query), one host lexsort plans the flat positions
+    (probe-window shell rows and margin-boundary rows get runner-up-cell
+    replicas), pass B re-encodes and scatters straight into the flat
+    cell-major arrays. Mirrors BASELINE config 4 built the way a 100M
+    config must be.
+    """
+    import gc
+
+    from voitta_rag_tpu.index.ivf import (
+        _ivf_search_candidates, _kmeans_train,
+    )
+    from voitta_rag_tpu.models.encoder import (
+        PRESETS, encoder_forward, init_params,
+    )
+
+    global _REAL10M_STASH
+    out = {}
+    if not _REAL10M_STASH:
+        out["real10m_error"] = "no stashed corpus (real section skipped?)"
+        return out
+    ids_np = _REAL10M_STASH["ids"]
+    q_ids = _REAL10M_STASH["q_ids"]
+    NR = len(ids_np)
+    VIEWS = views
+    D10 = d10
+    C10 = c10
+    BE = be                        # chunks per block -> BE * views rows
+    NR -= NR % BE
+    N10 = NR * VIEWS
+    out["real10m_rows"] = N10
+    log(f"real-10M section: {NR} chunks x {VIEWS} views = {N10} rows "
+        f"({time_left():.0f}s left)")
+
+    ecfg = PRESETS["intfloat/e5-base-v2"]
+    eparams = init_params(jax.random.PRNGKey(7), ecfg)
+    eparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), eparams)
+
+    @functools.partial(jax.jit, static_argnames=("views",))
+    def encode_views(eparams, ids, key, views=VIEWS):
+        """[B, L] ids -> ([B*views, D] int8 views, [B*views] f32 scales).
+
+        View 0 is the production full-mask mean pool; views 1..9 pool over
+        random ~70% token subsets (at least one token kept) — distinct
+        embeddings of the same text, the multi-seed encoding the corpus
+        tiling needs. Rows are view-major per chunk (chunk i's views are
+        rows i*views..i*views+9) so gid // VIEWS recovers the chunk.
+        """
+        mask = (ids != 0).astype(jnp.int32)
+        h = encoder_forward(eparams, ecfg, ids, mask).astype(jnp.float32)
+        b, l, d = h.shape
+        keep = jax.random.bernoulli(key, 0.7, (views - 1, b, l))
+        m = jnp.concatenate(
+            [jnp.ones((1, b, l), bool), keep]) & (mask[None] > 0)
+        # Guard all-dropped rows: fall back to the full mask.
+        m = jnp.where(m.sum(-1, keepdims=True) > 0, m, mask[None] > 0)
+        mf = m.astype(jnp.float32)
+        v = jnp.einsum("vbl,bld->vbd", mf, h) / mf.sum(-1)[..., None]
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        v = v.transpose(1, 0, 2).reshape(b * views, d)  # view-major rows
+        sc = jnp.clip(jnp.max(jnp.abs(v), axis=1), 1e-9) / 127.0
+        v8 = jnp.clip(jnp.round(v / sc[:, None]), -127, 127).astype(jnp.int8)
+        return v8, sc
+
+    @jax.jit
+    def dequant(v8, sc):
+        return v8.astype(jnp.float32) * sc[:, None]
+
+    # --- centroids from a 32k-chunk (320k-view) sample ---
+    t0 = time.time()
+    pick = rng.choice(NR, min(NR, 32768 // BE * BE), replace=False)
+    parts = []
+    for lo in range(0, len(pick), BE):
+        v8s, scs = encode_views(eparams, jnp.asarray(ids_np[pick[lo:lo + BE]]),
+                                jax.random.fold_in(jax.random.PRNGKey(55), lo))
+        parts.append(dequant(v8s, scs))
+    sample = jnp.concatenate(parts)
+    parts = None
+    from voitta_rag_tpu.index.ivf import _block_rows_for
+
+    br = _block_rows_for(C10)
+    centroids = _kmeans_train(sample, None, C10, 20,
+                              max(1, sample.shape[0] // br), 0)
+    jax.block_until_ready(centroids)
+    sample = None
+    gc.collect()
+    out["real10m_kmeans_s"] = round(time.time() - t0, 1)
+    log(f"real-10M centroids trained ({out['real10m_kmeans_s']}s)")
+
+    # --- pass A: encode -> top-2 assignment + streaming exact oracle ---
+    # The padded cell layout measured 40% row overflow on this corpus
+    # (Zipfian cell masses; see index/ivf_flat.py docstring) — the flat
+    # variable-length-list layout holds every cell size in exactly M rows.
+    from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex, plan_layout
+
+    MARGIN = 0.05
+    PROBE_CAP = probe_cap
+    REPLICA_BUDGET = 2_500_000
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def assign_block(v8, sc, centroids, k=2):
+        sims = dequant(v8, sc) @ centroids.T
+        top, idx = jax.lax.top_k(sims, k)
+        return idx.astype(jnp.int32), top
+
+    n_oracle = 64
+
+    @jax.jit
+    def oracle_block(q, v8, sc, run_v, run_i, base):
+        s = q @ dequant(v8, sc).T                       # [nq, rows]
+        ids = base + jnp.arange(s.shape[1], dtype=jnp.int32)
+        v = jnp.concatenate([run_v, s], axis=1)
+        i = jnp.concatenate([run_i, jnp.broadcast_to(ids, s.shape)], axis=1)
+        vals, pos = jax.lax.top_k(v, LIMIT)
+        return vals, jnp.take_along_axis(i, pos, axis=1)
+
+    qv8, qsc = encode_views(eparams, jnp.asarray(q_ids),
+                            jax.random.PRNGKey(57))
+    q10 = dequant(qv8, qsc)[::VIEWS][:n_oracle]  # production full pool
+    run_v = jnp.full((n_oracle, LIMIT), NEG_INF, jnp.float32)
+    run_i = jnp.full((n_oracle, LIMIT), -1, jnp.int32)
+    a2 = np.empty((N10, 2), np.int32)
+    s2 = np.empty((N10, 2), np.float32)
+    t0 = time.time()
+    for bi, lo in enumerate(range(0, NR, BE)):
+        v8b, scb = encode_views(
+            eparams, jnp.asarray(ids_np[lo:lo + BE]),
+            jax.random.fold_in(jax.random.PRNGKey(56), bi))
+        a, s = assign_block(v8b, scb, centroids)
+        run_v, run_i = oracle_block(q10, v8b, scb, run_v, run_i,
+                                    jnp.int32(lo * VIEWS))
+        r0 = lo * VIEWS
+        a2[r0:r0 + BE * VIEWS] = np.asarray(a)
+        s2[r0:r0 + BE * VIEWS] = np.asarray(s)
+        if bi % 256 == 0:
+            log(f"  real-10M assign {lo}/{NR} chunks "
+                f"({time.time() - t0:.0f}s)")
+    ovals10 = np.asarray(run_v)
+    oracle10 = np.asarray(run_i)
+    out["real10m_assign_s"] = round(time.time() - t0, 1)
+
+    # --- plan the variable-length lists (host lexsort) ---
+    t0 = time.time()
+    primary_pos, replica_pos, starts, m = plan_layout(
+        a2, s2, n_cells=C10, probe_cap=PROBE_CAP, margin=MARGIN,
+        replica_budget=REPLICA_BUDGET)
+    a2 = s2 = None
+    gc.collect()
+    m_pad = round_up(m, 128)
+    sizes = np.diff(starts.astype(np.int64))
+    out["real10m_plan_s"] = round(time.time() - t0, 1)
+    out["real10m_replicas"] = int(m - N10)
+    out["real10m_truncated_cells"] = int((sizes > PROBE_CAP).sum())
+    out["real10m_truncated_rows"] = int(
+        np.maximum(sizes - PROBE_CAP, 0).sum())
+    log(f"real-10M lists planned in {out['real10m_plan_s']}s: {m} rows "
+        f"({out['real10m_replicas']} replicas), max cell {sizes.max()}, "
+        f"{out['real10m_truncated_cells']} cells past the "
+        f"{PROBE_CAP}-row probe window "
+        f"({out['real10m_truncated_rows']} windowed-out rows, shell-"
+        f"replicated)")
+
+    # --- pass B: re-encode (same keys -> identical vectors) + scatter ---
+    vecs_f = jnp.zeros((m_pad, D10), jnp.int8)
+    scales_f = jnp.zeros((m_pad,), jnp.float32)
+    gids_f = jnp.full((m_pad,), -1, jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def scatter_flat(vecs_f, scales_f, gids_f, v8b, scb, p1, p2, gids_b):
+        for pos in (p1, p2):
+            vecs_f = vecs_f.at[pos].set(v8b, mode="drop")
+            scales_f = scales_f.at[pos].set(scb, mode="drop")
+            gids_f = gids_f.at[pos].set(gids_b, mode="drop")
+        return vecs_f, scales_f, gids_f
+
+    t0 = time.time()
+    for bi, lo in enumerate(range(0, NR, BE)):
+        v8b, scb = encode_views(
+            eparams, jnp.asarray(ids_np[lo:lo + BE]),
+            jax.random.fold_in(jax.random.PRNGKey(56), bi))
+        r0 = lo * VIEWS
+        p1 = primary_pos[r0:r0 + BE * VIEWS]
+        p2 = replica_pos[r0:r0 + BE * VIEWS]
+        vecs_f, scales_f, gids_f = scatter_flat(
+            vecs_f, scales_f, gids_f, v8b, scb,
+            jnp.asarray(np.where(p1 >= 0, p1, m_pad)),
+            jnp.asarray(np.where(p2 >= 0, p2, m_pad)),
+            jnp.arange(r0, r0 + BE * VIEWS, dtype=jnp.int32))
+        if bi % 256 == 0:
+            log(f"  real-10M scatter {lo}/{NR} chunks "
+                f"({time.time() - t0:.0f}s)")
+    jax.block_until_ready(vecs_f)
+    out["real10m_build_s"] = round(time.time() - t0, 1)
+    log(f"real-10M flat lists built in {out['real10m_build_s']}s")
+    eparams = primary_pos = replica_pos = None
+    gc.collect()
+
+    cols_f = jnp.zeros((NUM_COLS, m_pad), jnp.int32)
+    cols_f = cols_f.at[COL_VALID].set((gids_f >= 0).astype(jnp.int32))
+    ivf = IVFFlatIndex(centroids=centroids, vecs=vecs_f, cols=cols_f,
+                       gids=gids_f, scales=scales_f[None],
+                       starts=jnp.asarray(starts))
+    pass10 = make_filter_spec()
+
+    qstack10 = jnp.concatenate([q10] * ((8 * B) // n_oracle))[: 8 * B]
+    qstack10 = qstack10.reshape(8, B, D10)
+    for nprobe in (8, 16, 32):
+        def ivf_top(q, nprobe=nprobe):
+            return ivf.search_candidates(q, pass10, nprobe=nprobe,
+                                         limit=LIMIT, probe_cap=PROBE_CAP)
+
+        vivf, giv = ivf_top(q10)
+        rec = recall_at10(np.asarray(giv), oracle10)
+        rec_t = recall_at10_scoreaware(np.asarray(vivf), ovals10)
+        qps_ivf, _ = queued_qps(ivf_top, qstack10)
+        out[f"real10m_ivf_qps_np{nprobe}"] = round(qps_ivf, 1)
+        out[f"real10m_ivf_recall10_np{nprobe}"] = round(rec, 3)
+        out[f"real10m_ivf_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
+        log(f"real-10M IVF-flat np={nprobe}: recall {rec:.3f} "
+            f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+    return out
+
+
+def bench_mutation_latency(time_left, n_rows=65536, dim=768, n_queries=300):
+    """Tail latency under concurrent mutation (VERDICT r3 task 7).
+
+    The serving property Qdrant is trusted for: queries keep their tail
+    while a writer upserts/deletes and a compaction rewrites segments.
+    store.search holds the store lock only for ref-capture + dispatch
+    (index/store.py:710-741 — mutation batches hold it "for milliseconds");
+    this MEASURES that claim instead of asserting it: p50/p95/p99 of b=1
+    hybrid queries through the production TpuVectorStore, idle vs with a
+    writer thread doing 512-row upserts, file deletes, and one mid-window
+    compaction.
+    """
+    import shutil
+    import tempfile
+    import threading
+    from datetime import datetime, timezone
+
+    from voitta_rag_tpu.core_types import ChunkMetadata, SparseVector
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    out = {}
+    NROWS, DIM_M = n_rows, dim
+    rng = np.random.default_rng(11)
+    tmp = tempfile.mkdtemp(prefix="voitta_mutbench_")
+    store = TpuVectorStore(index_dir=tmp, collection="mutbench",
+                           dimension=DIM_M)
+    now = datetime.now(timezone.utc).isoformat()
+
+    def meta_for(fp: str, i: int, total: int) -> ChunkMetadata:
+        return ChunkMetadata(
+            file_path=fp, folder_path="bench", index_folder="bench",
+            file_name=fp.rsplit("/", 1)[-1], chunk_index=i,
+            total_chunks=total, start_char=0, end_char=10, indexed_at=now)
+
+    def batch(fp: str, n: int):
+        emb = rng.standard_normal((n, DIM_M)).astype(np.float32)
+        svs = [SparseVector(
+            indices=rng.integers(0, 30000, 8).tolist(),
+            values=rng.random(8).astype(np.float32).tolist())
+            for _ in range(n)]
+        return ([f"chunk {fp} {i}" for i in range(n)], emb,
+                [meta_for(fp, i, n) for i in range(n)], svs)
+
+    log(f"mutation-latency: ingesting {NROWS} x {DIM_M} "
+        f"({time_left():.0f}s left)")
+    t0 = time.time()
+    BI = 4096
+    for lo in range(0, NROWS, BI):
+        texts, emb, metas, svs = batch(f"bench/base_{lo}.md", BI)
+        store.store_chunks(texts, emb, metas, svs)
+    out["mut_ingest_s"] = round(time.time() - t0, 1)
+
+    q = rng.standard_normal((DIM_M,)).astype(np.float32)
+    sq = ([int(x) for x in rng.integers(0, 30000, 8)],
+          [float(x) for x in rng.random(8)])
+
+    def run_queries(n: int) -> np.ndarray:
+        lat = np.empty(n)
+        for i in range(n):
+            t = time.perf_counter()
+            store.search(q, limit=10, sparse_query=sq, sparse_weight=0.1)
+            lat[i] = (time.perf_counter() - t) * 1000
+        return lat
+
+    run_queries(8)  # warm compiles
+    NQ = n_queries
+    idle = run_queries(NQ)
+    out["p50_idle_ms"] = round(float(np.percentile(idle, 50)), 2)
+    out["p95_idle_ms"] = round(float(np.percentile(idle, 95)), 2)
+    out["p99_idle_ms"] = round(float(np.percentile(idle, 99)), 2)
+
+    stop = threading.Event()
+    stats = {"writes": 0, "deletes": 0, "compactions": 0, "errors": 0}
+
+    def writer():
+        wi = 0
+        while not stop.is_set():
+            try:
+                texts, emb, metas, svs = batch(f"bench/w_{wi}.md", 512)
+                store.store_chunks(texts, emb, metas, svs)
+                stats["writes"] += 1
+                # Delete an earlier base file every other round: builds the
+                # waste fraction a compaction needs, and exercises the
+                # tombstone path under load.
+                if wi % 2 == 1:
+                    stats["deletes"] += store.delete_by_file(
+                        f"bench/base_{(wi // 2) * BI}.md")
+                if wi == 12:  # mid-window: a real compaction under queries
+                    info = store.compact(min_waste_fraction=0.01)
+                    stats["compactions"] += 1
+                    stats["compact_info"] = {
+                        k: info[k] for k in ("reclaimed", "segments")
+                        if k in info}
+                wi += 1
+            except Exception as e:  # pragma: no cover - diagnostics only
+                stats["errors"] += 1
+                stats["last_error"] = str(e)[:120]
+                stop.set()
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    mut = run_queries(NQ)
+    stop.set()
+    th.join(timeout=60)
+    out["p50_under_mutation_ms"] = round(float(np.percentile(mut, 50)), 2)
+    out["p95_under_mutation_ms"] = round(float(np.percentile(mut, 95)), 2)
+    out["p99_under_mutation_ms"] = round(float(np.percentile(mut, 99)), 2)
+    out["mut_writer_batches"] = stats["writes"]
+    out["mut_deleted_rows"] = stats["deletes"]
+    out["mut_compactions"] = stats["compactions"]
+    if stats["errors"]:
+        out["mut_writer_error"] = stats.get("last_error", "?")
+    out["mut_tail_ratio"] = round(
+        out["p99_under_mutation_ms"] / max(out["p99_idle_ms"], 1e-9), 2)
+    log(f"latency idle p50/p99 {out['p50_idle_ms']}/{out['p99_idle_ms']} ms;"
+        f" under mutation {out['p50_under_mutation_ms']}/"
+        f"{out['p99_under_mutation_ms']} ms (ratio "
+        f"{out['mut_tail_ratio']}x; {stats['writes']} write batches, "
+        f"{stats['compactions']} compaction)")
+    store.close()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def bench_trained_retrieval(time_left):
+    """Learned retrieval, end-to-end and offline (VERDICT r3 task 3).
+
+    Fine-tunes a MiniLM-geometry encoder from random init on self-supervised
+    (query, passage) pairs mined from the harvested real-text corpus
+    (models/retrieval_proof.py: title + neighbor-chunk words -> chunk), then
+    measures held-out recall@10 of four production serving paths over the
+    same int8 index: BM25-only, random-init dense, trained dense, trained
+    hybrid. The split is by document; a hit credits exact-duplicate chunks.
+
+    This is a capability the reference cannot demonstrate (it serves frozen
+    external e5 weights, services/embedding.py:24-42); here the training
+    stack is models/training.py's dp x tp InfoNCE step on the same chip.
+    """
+    import gc
+
+    from voitta_rag_tpu.models.encoder import PRESETS, init_params
+    from voitta_rag_tpu.models.retrieval_proof import (
+        build_task, crc_tokenize, encode_corpus, harvest_docs, recall_at10
+        as proof_recall, train_encoder_online,
+    )
+    from voitta_rag_tpu.search.sparse_text import SparseEmbeddingService
+
+    out = {}
+    t_sec = time.time()
+    target = 65536 if time_left() > 1100 else 32768
+    log(f"trained-retrieval: harvesting ~{target} chunks "
+        f"({time_left():.0f}s left)")
+    t0 = time.time()
+    docs = harvest_docs(target)
+    task = build_task(docs, max_eval=512, max_train_pairs=250_000)
+    n_corp = len(task.corpus)
+    out["trained_corpus_chunks"] = n_corp
+    out["trained_eval_queries"] = len(task.eval_queries)
+    out["trained_pairs"] = len(task.train_pairs)
+    log(f"task: {n_corp} chunks / {len(task.train_pairs)} pairs / "
+        f"{len(task.eval_queries)} held-out queries "
+        f"({time.time() - t0:.0f}s)")
+
+    cfg = PRESETS["sentence-transformers/all-MiniLM-L6-v2"]
+    LT = 72
+    steps = 3500 if time_left() > 900 else (
+        2000 if time_left() > 700 else 800)
+    t0 = time.time()
+    params, losses = train_encoder_online(
+        docs, task.train_refs, cfg, steps=steps, batch=256, max_len=LT,
+        lr=3e-4, log=log, time_left=time_left)
+    out["trained_steps"] = steps
+    out["trained_train_s"] = round(time.time() - t0, 1)
+    out["trained_loss_first"] = round(losses[0], 3)
+    out["trained_loss_last"] = round(losses[-1], 3)
+    log(f"trained {steps} steps in {out['trained_train_s']}s "
+        f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})")
+
+    # --- encode + index (production int8 serving arrays; rows padded to
+    # the scan kernels' 128-lane alignment, pad rows filter-masked) ---
+    ids = crc_tokenize(task.corpus, cfg.vocab_size, LT)
+    q_ids = crc_tokenize(task.eval_queries, cfg.vocab_size, LT)
+    n_pad = round_up(n_corp, 128)
+
+    def int8_index(p):
+        emb = encode_corpus(p, cfg, ids)
+        sc = jnp.clip(jnp.max(jnp.abs(emb), axis=1), 1e-9) / 127.0
+        v8 = jnp.clip(jnp.round(emb / sc[:, None]), -127,
+                      127).astype(jnp.int8)
+        v8 = jnp.concatenate(
+            [v8, jnp.zeros((n_pad - n_corp, v8.shape[1]), jnp.int8)])
+        sc = jnp.concatenate([sc, jnp.ones((n_pad - n_corp,), jnp.float32)])
+        return v8, sc[None, :]
+
+    v8_t, sc_t = int8_index(params)
+    q_t = encode_corpus(params, cfg, q_ids)
+    p0 = init_params(jax.random.PRNGKey(0), cfg)
+    v8_r, sc_r = int8_index(p0)
+    q_r = encode_corpus(p0, cfg, q_ids)
+    p0 = None
+    gc.collect()
+
+    # --- production BM25 over the corpus + per-query sparse vectors ---
+    t0 = time.time()
+    svc = SparseEmbeddingService()
+    terms_np = np.full((S, n_pad), TERM_PAD, np.int32)
+    weights_np = np.zeros((S, n_pad), np.float32)
+    for i, sv in enumerate(svc.embed(task.corpus)):
+        if not sv.indices:
+            continue
+        o = np.argsort(-np.asarray(sv.values))[:S]
+        terms_np[: len(o), i] = np.asarray(sv.indices, np.int64)[o]
+        weights_np[: len(o), i] = np.asarray(sv.values, np.float32)[o]
+    nq = len(task.eval_queries)
+    qt_np = np.full((nq, QT), TERM_PAD, np.int32)
+    qw_np = np.zeros((nq, QT), np.float32)
+    for i, qtext in enumerate(task.eval_queries):
+        sv = svc.embed_query(qtext)
+        k = min(QT, len(sv.indices))
+        if k:
+            o = np.argsort(-np.asarray(sv.values))[:k]
+            qt_np[i, :k] = np.asarray(sv.indices, np.int64)[o]
+            qw_np[i, :k] = np.asarray(sv.values, np.float32)[o]
+    log(f"BM25 vectors in {time.time() - t0:.0f}s")
+
+    cols_c = jnp.zeros((NUM_COLS, n_pad), jnp.int32).at[
+        COL_VALID, :n_corp].set(1)
+    spec_c = make_filter_spec()
+    terms_c, weights_c = jnp.asarray(terms_np), jnp.asarray(weights_np)
+    terms_np = weights_np = None
+
+    W_SWEEP = (0.1, 0.3, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+    @jax.jit
+    def eval_block(qd, qt, qw, v8, sc):
+        d = dense_scan_scores(qd, v8, cols_c, spec_c, sc)
+        _, d_ids = masked_topk(d, LIMIT)
+        # sparse_scan_scores scores ONE query; vmap it per eval query
+        # (the XLA path — pure jnp — vmaps cleanly).
+        s = jax.vmap(lambda t, w: sparse_scan_scores(
+            t[None], w[None], terms_c, weights_c, cols_c, spec_c,
+            use_pallas=False)[0])(qt, qw)
+        _, s_ids = masked_topk(s, LIMIT)
+        h_ids = tuple(hybrid_fuse(d, s, w, limit=LIMIT)[1]
+                      for w in W_SWEEP)
+        return d_ids, s_ids, h_ids
+
+    BQ = 32
+    d_t, d_r, s_only = [], [], []
+    h_t = [[] for _ in W_SWEEP]
+    for lo in range(0, nq, BQ):
+        hiq = min(lo + BQ, nq)
+        qt_b = jnp.asarray(qt_np[lo:hiq])
+        qw_b = jnp.asarray(qw_np[lo:hiq])
+        dt, st, ht = eval_block(q_t[lo:hiq], qt_b, qw_b, v8_t, sc_t)
+        dr, _, _ = eval_block(q_r[lo:hiq], qt_b, qw_b, v8_r, sc_r)
+        d_t.append(np.asarray(dt))
+        d_r.append(np.asarray(dr))
+        s_only.append(np.asarray(st))
+        for k, h in enumerate(ht):
+            h_t[k].append(np.asarray(h))
+    tgt = task.eval_targets
+    corp = task.corpus
+    d_t, d_r, s_only = (np.concatenate(x) for x in (d_t, d_r, s_only))
+    h_t = [np.concatenate(x) for x in h_t]
+    # The hybrid weight is TUNED on a validation half of the held-out
+    # docs and REPORTED on the disjoint test half (tuning on the reported
+    # split would leak). Split by document parity.
+    q_doc = task.chunk_doc[tgt]
+    is_val = (q_doc % 2) == 0
+    val, test = np.nonzero(is_val)[0], np.nonzero(~is_val)[0]
+
+    def rec(ids, sel):
+        return proof_recall(ids[sel], tgt[sel], corp)
+
+    best_w, best_v = SPARSE_W, -1.0
+    for w, ids in zip(W_SWEEP, h_t):
+        v = rec(ids, val)
+        out[f"trained_hybrid_val_recall10_w{w}"] = round(v, 3)
+        if v > best_v:
+            best_w, best_v = w, v
+    k_best = W_SWEEP.index(best_w)
+    out["trained_hybrid_w"] = best_w
+    out["trained_recall10"] = round(rec(d_t, test), 3)
+    out["randinit_recall10"] = round(rec(d_r, test), 3)
+    out["bm25_only_recall10"] = round(rec(s_only, test), 3)
+    out["trained_hybrid_recall10"] = round(rec(h_t[k_best], test), 3)
+    out["trained_hybrid_recall10_w0.1"] = round(rec(h_t[0], test), 3)
+    out["trained_test_queries"] = int(len(test))
+    out["trained_section_s"] = round(time.time() - t_sec, 1)
+    log(f"held-out (test split) recall@10: trained {out['trained_recall10']}"
+        f" / hybrid(w={best_w}) {out['trained_hybrid_recall10']} vs "
+        f"bm25-only {out['bm25_only_recall10']} / "
+        f"randinit {out['randinit_recall10']} "
+        f"({out['trained_section_s']}s total)")
     return out
 
 

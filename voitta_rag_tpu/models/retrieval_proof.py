@@ -1,0 +1,337 @@
+"""Learned-retrieval proof: train -> embed -> index -> search, offline.
+
+Every recall number the bench reports for real text is measured on a
+RANDOM-INIT encoder (no pretrained checkpoint exists in this offline image —
+the reference gets its semantics from frozen intfloat/e5-base-v2 weights,
+/root/reference/src/voitta/config.py:33-36 + services/embedding.py:24-42).
+This module converts that disclaimer into a demonstrated capability the
+reference does not have: the in-repo dp x tp contrastive stack
+(models/training.py) fine-tunes an encoder ON the harvested real-text corpus,
+and held-out recall@10 of the trained dense (and trained hybrid) path through
+the production scan kernels is compared against BM25-only and the random-init
+encoder.
+
+Task construction (self-supervised, zero annotations):
+  * documents = real files chunked by the production chunker, grouped by file
+  * a training/eval example pairs a synthesized QUERY — the document's title
+    line plus a few content words sampled from the chunk's NEIGHBOR — with
+    the chunk itself as the positive PASSAGE. Neighbor-sourced query words
+    make the task topical rather than copy-matching: BM25's best lexical
+    match for the query words is the neighbor, not the target, so beating
+    BM25 requires learning document-level co-occurrence structure.
+  * the split is BY DOCUMENT: eval queries target chunks of documents the
+    encoder never saw in training.
+
+Scoring: recall@10 where a hit is retrieving the target chunk or any chunk
+with byte-identical text (real corpora carry duplicated licenses/boilerplate;
+crediting exact duplicates avoids punishing a correct retrieval for picking
+the other copy).
+
+The trained encoder's serving path is the production one: int8-quantized
+rows, the fused masked dense-scan kernel, and hybrid fusion with the
+production BM25 pipeline (search/sparse_text.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import site
+import time
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+WORD_RE = re.compile(r"\w+|[^\w\s]")
+# Harvest roots: installed package sources + system docs (same as
+# bench.py::bench_real_corpus — deterministic on a given image).
+HARVEST_EXTS = {".py", ".md", ".rst", ".txt", ".cfg", ".toml", ".json"}
+
+
+def harvest_docs(target_chunks: int, *, chunk_size: int = 800,
+                 chunk_overlap: int = 200,
+                 min_doc_chunks: int = 2) -> list[list[str]]:
+    """Real files -> production-chunked documents (list of chunk texts).
+
+    Stops once ``target_chunks`` chunks are collected. Documents shorter
+    than ``min_doc_chunks`` are dropped (no neighbor to mine a query from).
+    """
+    from voitta_rag_tpu.services.chunking import ChunkingService
+
+    chunker = ChunkingService(chunk_size=chunk_size,
+                              chunk_overlap=chunk_overlap)
+    roots = [pathlib.Path(p) for p in site.getsitepackages()]
+    roots.append(pathlib.Path("/usr/share/doc"))
+    docs: list[list[str]] = []
+    n = 0
+    for root in roots:
+        if n >= target_chunks:
+            break
+        if not root.exists():
+            continue
+        for p in sorted(root.rglob("*")):
+            if n >= target_chunks:
+                break
+            if not (p.is_file() and (p.suffix in HARVEST_EXTS
+                                     or p.name in ("LICENSE", "copyright"))):
+                continue
+            try:
+                text = p.read_text(errors="ignore")
+            except OSError:
+                continue
+            if not (256 <= len(text) <= 2_000_000):
+                continue
+            chunks = [c.text for c in chunker.chunk_text(text)]
+            if len(chunks) < min_doc_chunks:
+                continue
+            docs.append(chunks)
+            n += len(chunks)
+    return docs
+
+
+def _title_of(doc: list[str]) -> str:
+    for line in doc[0].splitlines():
+        line = line.strip().strip("#=*- ")
+        if len(line) >= 4:
+            return " ".join(WORD_RE.findall(line.lower())[:8])
+    return ""
+
+
+def synth_query(doc: list[str], i: int, rng: np.random.Generator,
+                n_words: int = 6) -> str:
+    """Title words + content words sampled from the chunk's NEIGHBOR."""
+    nb = doc[i - 1] if i > 0 else doc[i + 1]
+    words = [w for w in WORD_RE.findall(nb.lower())
+             if len(w) > 3 and not w.isdigit()]
+    if words:
+        pick = rng.choice(len(words), min(n_words, len(words)),
+                          replace=False)
+        sampled = " ".join(words[j] for j in sorted(pick))
+    else:
+        sampled = ""
+    return (_title_of(doc) + " " + sampled).strip()
+
+
+@dataclass
+class RetrievalTask:
+    """Doc-split self-supervised retrieval task over a real corpus."""
+
+    corpus: list[str]            # all chunks (the searchable index)
+    chunk_doc: np.ndarray        # [N] doc id per chunk
+    train_pairs: list[tuple[str, str]]   # (query, passage)
+    eval_queries: list[str]
+    eval_targets: np.ndarray     # [Q] corpus row of each target chunk
+    eval_doc_ids: frozenset[int] = frozenset()  # held-out documents
+    # (doc, chunk) refs of the training passages — the ONLINE trainer
+    # resynthesizes a fresh query per (ref, step), so no two epochs see
+    # the same query for a passage (the static train_pairs memorize).
+    train_refs: tuple = ()
+
+
+def build_task(docs: list[list[str]], *, eval_docs_frac: float = 0.1,
+               max_eval: int = 512, max_train_pairs: int = 300_000,
+               seed: int = 0) -> RetrievalTask:
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(docs))
+    n_eval_docs = max(8, int(len(docs) * eval_docs_frac))
+    eval_ids = set(order[:n_eval_docs].tolist())
+
+    corpus: list[str] = []
+    chunk_doc: list[int] = []
+    train_pairs: list[tuple[str, str]] = []
+    train_refs: list[tuple[int, int]] = []
+    eval_queries: list[str] = []
+    eval_targets: list[int] = []
+    for d, doc in enumerate(docs):
+        base = len(corpus)
+        corpus.extend(doc)
+        chunk_doc.extend([d] * len(doc))
+        is_eval = d in eval_ids
+        for i in range(len(doc)):
+            q = synth_query(doc, i, rng)
+            if len(q.split()) < 3:
+                continue
+            if is_eval:
+                eval_queries.append(q)
+                eval_targets.append(base + i)
+            elif len(train_pairs) < max_train_pairs:
+                train_pairs.append((q, doc[i]))
+                train_refs.append((d, i))
+    if len(eval_queries) > max_eval:
+        keep = rng.choice(len(eval_queries), max_eval, replace=False)
+        keep = np.sort(keep)
+        eval_queries = [eval_queries[j] for j in keep]
+        eval_targets = [eval_targets[j] for j in keep]
+    perm = rng.permutation(len(train_pairs))
+    train_pairs = [train_pairs[j] for j in perm]
+    train_refs = [train_refs[j] for j in perm]
+    return RetrievalTask(corpus=corpus,
+                         chunk_doc=np.asarray(chunk_doc, np.int32),
+                         train_pairs=train_pairs,
+                         eval_queries=eval_queries,
+                         eval_targets=np.asarray(eval_targets, np.int64),
+                         eval_doc_ids=frozenset(eval_ids),
+                         train_refs=tuple(train_refs))
+
+
+def crc_tokenize(texts: list[str], vocab_size: int, max_len: int,
+                 pad_id: int = 0) -> np.ndarray:
+    """CRC-hashed word->id tokenizer (bench.py's deterministic vocab)."""
+    out = np.full((len(texts), max_len), pad_id, np.int32)
+    for i, t in enumerate(texts):
+        out[i, 0] = 1
+        for j, w in enumerate(WORD_RE.findall(t.lower())[:max_len - 1]):
+            out[i, j + 1] = 2 + (zlib.crc32(w.encode())
+                                 % (vocab_size - 2))
+    return out
+
+
+def train_encoder(pairs: list[tuple[str, str]], cfg, *, steps: int,
+                  batch: int, max_len: int = 72, lr: float = 3e-4,
+                  dp: int | None = None, tp: int = 1, seed: int = 0,
+                  log=None, time_left=None):
+    """dp x tp contrastive fine-tune (models/training.py) from random init.
+
+    Returns (params, losses). One pass tokenizes all pairs up front (the
+    CRC vocab needs no trained tokenizer); batches cycle with reshuffles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voitta_rag_tpu.models.encoder import init_params
+    from voitta_rag_tpu.models.training import (
+        make_optimizer, make_sharded_train_step,
+    )
+    from voitta_rag_tpu.parallel.mesh import train_mesh
+
+    q_ids = crc_tokenize([q for q, _ in pairs], cfg.vocab_size, max_len)
+    p_ids = crc_tokenize([p for _, p in pairs], cfg.vocab_size, max_len)
+    mesh = train_mesh(dp=dp, tp=tp)
+    dp_n = mesh.shape["dp"]
+    batch -= batch % dp_n or 0
+    tx = make_optimizer(lr=lr, warmup_steps=min(100, steps // 10 + 1),
+                        total_steps=steps)
+    params, opt_state, step_fn = make_sharded_train_step(
+        mesh, cfg, tx, init_params(jax.random.PRNGKey(seed), cfg))
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(pairs))
+    pos = 0
+    losses = []
+    for s in range(steps):
+        if pos + batch > len(order):
+            order = rng.permutation(len(pairs))
+            pos = 0
+        take = order[pos:pos + batch]
+        pos += batch
+        qb = jnp.asarray(q_ids[take])
+        pb = jnp.asarray(p_ids[take])
+        params, opt_state, loss = step_fn(
+            params, opt_state, qb, (qb != 0).astype(jnp.int32),
+            pb, (pb != 0).astype(jnp.int32))
+        if s % 50 == 0 or s == steps - 1:
+            losses.append(float(loss))
+            if log:
+                log(f"train step {s}: loss {losses[-1]:.4f}")
+            if time_left is not None and time_left() < 60 and s < steps - 1:
+                if log:
+                    log(f"training stopped early at step {s} (deadline)")
+                break
+    return params, losses
+
+
+def train_encoder_online(docs: list[list[str]], refs, cfg, *, steps: int,
+                         batch: int, max_len: int = 72, lr: float = 3e-4,
+                         dp: int | None = None, tp: int = 1, seed: int = 0,
+                         log=None, time_left=None):
+    """Contrastive training with ONLINE query synthesis (no memorization).
+
+    Each step draws a fresh batch of (doc, chunk) refs and synthesizes a
+    NEW query for every passage (different neighbor-word sample each time),
+    so the model never sees the same (query, passage) pair twice — the
+    static-pair trainer measured 0.05 train loss and flat held-out recall
+    (classic memorization at ~9 epochs over fixed pairs). Passage tokens
+    are pre-tokenized once; query tokenization is CRC hashing, ~ms/batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voitta_rag_tpu.models.encoder import init_params
+    from voitta_rag_tpu.models.training import (
+        make_optimizer, make_sharded_train_step,
+    )
+    from voitta_rag_tpu.parallel.mesh import train_mesh
+
+    p_texts = [docs[d][i] for d, i in refs]
+    p_ids = crc_tokenize(p_texts, cfg.vocab_size, max_len)
+    mesh = train_mesh(dp=dp, tp=tp)
+    dp_n = mesh.shape["dp"]
+    batch -= batch % dp_n or 0
+    tx = make_optimizer(lr=lr, warmup_steps=min(100, steps // 10 + 1),
+                        total_steps=steps)
+    params, opt_state, step_fn = make_sharded_train_step(
+        mesh, cfg, tx, init_params(jax.random.PRNGKey(seed), cfg))
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    for s in range(steps):
+        take = rng.choice(len(refs), batch, replace=False)
+        q_texts = [synth_query(docs[refs[j][0]], refs[j][1], rng)
+                   for j in take]
+        q_ids = crc_tokenize(q_texts, cfg.vocab_size, max_len)
+        qb = jnp.asarray(q_ids)
+        pb = jnp.asarray(p_ids[take])
+        params, opt_state, loss = step_fn(
+            params, opt_state, qb, (qb != 0).astype(jnp.int32),
+            pb, (pb != 0).astype(jnp.int32))
+        if s % 50 == 0 or s == steps - 1:
+            losses.append(float(loss))
+            if log:
+                log(f"train step {s}: loss {losses[-1]:.4f}")
+            if time_left is not None and time_left() < 60 and s < steps - 1:
+                if log:
+                    log(f"training stopped early at step {s} (deadline)")
+                break
+    return params, losses
+
+
+def encode_corpus(params, cfg, ids: np.ndarray, *, block: int = 256):
+    """Unit-normalized embeddings of pre-tokenized rows, blocked on device.
+
+    Returns a device f32 [N, H] array (caller quantizes for serving).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voitta_rag_tpu.models.encoder import encode_tokens
+
+    @jax.jit
+    def enc(params, ids):
+        mask = (ids != 0).astype(jnp.int32)
+        return encode_tokens(params, cfg, ids, mask).astype(jnp.float32)
+
+    n = len(ids)
+    pad = (-n) % block
+    if pad:
+        ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), np.int32)])
+        ids[n:, 0] = 1  # non-empty rows keep the mask well-formed
+    parts = [enc(params, jnp.asarray(ids[lo:lo + block]))
+             for lo in range(0, len(ids), block)]
+    return jnp.concatenate(parts, axis=0)[:n]
+
+
+def recall_at10(retrieved: np.ndarray, targets: np.ndarray,
+                corpus: list[str]) -> float:
+    """Hit = target row retrieved, or any row with byte-identical text."""
+    text_hash = np.asarray([zlib.crc32(t.encode()) for t in corpus],
+                           np.int64)
+    hits = 0
+    for b in range(len(targets)):
+        want = int(targets[b])
+        rows = [int(r) for r in retrieved[b] if r >= 0]
+        if want in rows or any(
+                text_hash[r] == text_hash[want]
+                and corpus[r] == corpus[want] for r in rows):
+            hits += 1
+    return hits / max(len(targets), 1)
