@@ -679,66 +679,6 @@ def main():
             extra["real_corpus_error"] = str(e)[:300]
             log(f"real corpus failed: {e}")
 
-    # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
-    # distribution): 10 pooling views per harvested chunk, streamed
-    # straight into the cell-major IVF layout ----
-    if on_tpu and time_left() < 900:
-        extra["real10m_skipped"] = (
-            f"deadline: {time_left():.0f}s left, section needs ~900s")
-        log(extra["real10m_skipped"])
-    elif on_tpu:
-        try:
-            import gc
-
-            gc.collect()
-            extra.update(bench_real10m(time_left, rng))
-            checkpoint_extra(extra)
-        except Exception as e:
-            extra["real10m_error"] = str(e)[:300]
-            log(f"real-10M section failed: {e}")
-
-    # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
-    if on_tpu and time_left() < 1000:
-        extra["scale10M_skipped"] = (
-            f"deadline: {time_left():.0f}s left of "
-            f"VOITTA_BENCH_DEADLINE_S={deadline:.0f}, section needs ~1000s "
-            "(warm compile cache)")
-        log(extra["scale10M_skipped"])
-    elif on_tpu:
-        try:
-            # Free every 1M-section buffer first: the 10M section needs the
-            # whole 16 GB of HBM (7.7 GB corpus + 8 GB cell-major copy,
-            # staged) and the 1M arrays above hold ~4-5 GB.
-            import gc
-
-            vecs_dev = vecs = v8 = scales = scale = w16 = cols = None
-            terms = weights = qt_j = qw_j = qstack = q_oracle = None
-            oracle_scores = oracle_ids = ivf = post = None
-            # vecs_np/qpool stay: the HNSW baseline (last section) reads them.
-            weights_np = terms_np = cols_np = None
-            big = xs = ids_stack = istacks = qts = qws = eparams = None
-            gc.collect()
-            ten_m = bench_10m(extra, rng)
-            extra.update(ten_m)
-            checkpoint_extra(extra)
-        except Exception as e:
-            extra["scale10M_error"] = str(e)[:300]
-
-    # ---- cold-tier BQ shadow (VOITTA_COLD_BQ serving pipeline) ----
-    if on_tpu and time_left() < 420:
-        extra["bq_skipped"] = f"deadline ({time_left():.0f}s left)"
-        log(extra["bq_skipped"])
-    elif on_tpu:
-        try:
-            import gc
-
-            gc.collect()
-            extra.update(bench_bq_cold())
-            checkpoint_extra(extra)
-        except Exception as e:
-            extra["bq_error"] = str(e)[:300]
-            log(f"bq section failed: {e}")
-
     # ---- tail latency under mutation (the serving proof Qdrant is
     # trusted for): p50/p95/p99 with a concurrent writer + compaction ----
     if on_tpu and time_left() < 400:
@@ -771,6 +711,66 @@ def main():
         except Exception as e:
             extra["trained_error"] = str(e)[:300]
             log(f"trained-retrieval section failed: {e}")
+
+    # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
+    # distribution): 10 pooling views per harvested chunk, streamed
+    # straight into the cell-major IVF layout ----
+    if on_tpu and time_left() < 900:
+        extra["real10m_skipped"] = (
+            f"deadline: {time_left():.0f}s left, section needs ~900s")
+        log(extra["real10m_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_real10m(time_left, rng))
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["real10m_error"] = str(e)[:300]
+            log(f"real-10M section failed: {e}")
+
+    # ---- cold-tier BQ shadow (VOITTA_COLD_BQ serving pipeline) ----
+    if on_tpu and time_left() < 420:
+        extra["bq_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["bq_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_bq_cold())
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["bq_error"] = str(e)[:300]
+            log(f"bq section failed: {e}")
+
+    # ---- 10M x 768 int8 (BASELINE config 4 geometry on ONE chip) ----
+    if on_tpu and time_left() < 1000:
+        extra["scale10M_skipped"] = (
+            f"deadline: {time_left():.0f}s left of "
+            f"VOITTA_BENCH_DEADLINE_S={deadline:.0f}, section needs ~1000s "
+            "(warm compile cache)")
+        log(extra["scale10M_skipped"])
+    elif on_tpu:
+        try:
+            # Free every 1M-section buffer first: the 10M section needs the
+            # whole 16 GB of HBM (7.7 GB corpus + 8 GB cell-major copy,
+            # staged) and the 1M arrays above hold ~4-5 GB.
+            import gc
+
+            vecs_dev = vecs = v8 = scales = scale = w16 = cols = None
+            terms = weights = qt_j = qw_j = qstack = q_oracle = None
+            oracle_scores = oracle_ids = ivf = post = None
+            # vecs_np/qpool stay: the HNSW baseline (last section) reads them.
+            weights_np = terms_np = cols_np = None
+            big = xs = ids_stack = istacks = qts = qws = eparams = None
+            gc.collect()
+            ten_m = bench_10m(extra, rng)
+            extra.update(ten_m)
+            checkpoint_extra(extra)
+        except Exception as e:
+            extra["scale10M_error"] = str(e)[:300]
 
     # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
     # HNSW; here a from-scratch C++ HNSW, single-thread on this host).
@@ -1716,8 +1716,8 @@ def bench_10m(extra_main, rng):
     return out
 
 
-def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
-                  probe_cap=2048, d10=768):
+def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
+                  probe_cap=2048, d10=768, keep_frac=0.55):
     """REAL text at the north-star geometry: 10M x 768 int8 + IVF.
 
     Round-3's 10M evidence was synthetic-only (recall saturated at 1.0);
@@ -1755,6 +1755,16 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
         return out
     ids_np = _REAL10M_STASH["ids"]
     q_ids = _REAL10M_STASH["q_ids"]
+    # Deduplicate exact-duplicate chunks (17.7% of the harvest, groups up
+    # to ~2000 copies): the production store content-addresses chunks, and
+    # duplicate blobs x views otherwise produce degenerate 30k-row cells
+    # no clustering can split (identical vectors share one nearest
+    # centroid). Views are raised to keep the corpus >= 10M rows.
+    v_struct = np.ascontiguousarray(ids_np).view(
+        [("", ids_np.dtype)] * ids_np.shape[1])
+    _, uniq_idx = np.unique(v_struct, return_index=True)
+    ids_np = ids_np[np.sort(uniq_idx)]
+    v_struct = None
     NR = len(ids_np)
     VIEWS = views
     D10 = d10
@@ -1774,16 +1784,17 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
     def encode_views(eparams, ids, key, views=VIEWS):
         """[B, L] ids -> ([B*views, D] int8 views, [B*views] f32 scales).
 
-        View 0 is the production full-mask mean pool; views 1..9 pool over
-        random ~70% token subsets (at least one token kept) — distinct
-        embeddings of the same text, the multi-seed encoding the corpus
-        tiling needs. Rows are view-major per chunk (chunk i's views are
-        rows i*views..i*views+9) so gid // VIEWS recovers the chunk.
+        View 0 is the production full-mask mean pool; the other views pool
+        over random ~keep_frac token subsets (at least one token kept) —
+        distinct embeddings of the same text, the multi-seed encoding the
+        corpus tiling needs (keep_frac 0.55: strong enough that a chunk's
+        views spread within a cell instead of forming an exact-tie blob).
+        Rows are view-major per chunk: gid // VIEWS recovers the chunk.
         """
         mask = (ids != 0).astype(jnp.int32)
         h = encoder_forward(eparams, ecfg, ids, mask).astype(jnp.float32)
         b, l, d = h.shape
-        keep = jax.random.bernoulli(key, 0.7, (views - 1, b, l))
+        keep = jax.random.bernoulli(key, keep_frac, (views - 1, b, l))
         m = jnp.concatenate(
             [jnp.ones((1, b, l), bool), keep]) & (mask[None] > 0)
         # Guard all-dropped rows: fall back to the full mask.
@@ -1839,20 +1850,22 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
 
     n_oracle = 64
 
+    ORACLE_K = LIMIT + 6  # 11th+ scores expose the tie structure
+
     @jax.jit
     def oracle_block(q, v8, sc, run_v, run_i, base):
         s = q @ dequant(v8, sc).T                       # [nq, rows]
         ids = base + jnp.arange(s.shape[1], dtype=jnp.int32)
         v = jnp.concatenate([run_v, s], axis=1)
         i = jnp.concatenate([run_i, jnp.broadcast_to(ids, s.shape)], axis=1)
-        vals, pos = jax.lax.top_k(v, LIMIT)
+        vals, pos = jax.lax.top_k(v, ORACLE_K)
         return vals, jnp.take_along_axis(i, pos, axis=1)
 
     qv8, qsc = encode_views(eparams, jnp.asarray(q_ids),
                             jax.random.PRNGKey(57))
     q10 = dequant(qv8, qsc)[::VIEWS][:n_oracle]  # production full pool
-    run_v = jnp.full((n_oracle, LIMIT), NEG_INF, jnp.float32)
-    run_i = jnp.full((n_oracle, LIMIT), -1, jnp.int32)
+    run_v = jnp.full((n_oracle, ORACLE_K), NEG_INF, jnp.float32)
+    run_i = jnp.full((n_oracle, ORACLE_K), -1, jnp.int32)
     a2 = np.empty((N10, 2), np.int32)
     s2 = np.empty((N10, 2), np.float32)
     t0 = time.time()
@@ -1869,30 +1882,36 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
         if bi % 256 == 0:
             log(f"  real-10M assign {lo}/{NR} chunks "
                 f"({time.time() - t0:.0f}s)")
-    ovals10 = np.asarray(run_v)
-    oracle10 = np.asarray(run_i)
+    ovals_full = np.asarray(run_v)
+    ovals10 = ovals_full[:, :LIMIT]
+    oracle10 = np.asarray(run_i)[:, :LIMIT]
+    # Tie ceiling of the ID metric: views of near-duplicate chunks score
+    # within eps of the oracle's 10th place, so WHICH of them an exact
+    # retriever returns is arbitrary. The strict fraction is the share of
+    # oracle rows any retriever is guaranteed to match by id; the
+    # score-aware recall (ANN-benchmarks definition) is the metric that
+    # ignores that arbitrariness.
+    strict = float(np.mean(ovals_full[:, :LIMIT]
+                           > ovals_full[:, LIMIT][:, None] + 1e-3))
+    out["real10m_oracle_strict_frac"] = round(strict, 3)
     out["real10m_assign_s"] = round(time.time() - t0, 1)
 
     # --- plan the variable-length lists (host lexsort) ---
     t0 = time.time()
-    primary_pos, replica_pos, starts, m = plan_layout(
+    primary_pos, replica_pos, starts, m, cell_map = plan_layout(
         a2, s2, n_cells=C10, probe_cap=PROBE_CAP, margin=MARGIN,
         replica_budget=REPLICA_BUDGET)
     a2 = s2 = None
     gc.collect()
     m_pad = round_up(m, 128)
-    sizes = np.diff(starts.astype(np.int64))
     out["real10m_plan_s"] = round(time.time() - t0, 1)
-    out["real10m_replicas"] = int(m - N10)
-    out["real10m_truncated_cells"] = int((sizes > PROBE_CAP).sum())
-    out["real10m_truncated_rows"] = int(
-        np.maximum(sizes - PROBE_CAP, 0).sum())
+    out["real10m_replicas"] = int(m - N10)   # margin replicas + tile pad
+    out["real10m_virtual_cells"] = int(len(cell_map))
+    out["real10m_split_cells"] = int(len(cell_map) - C10)
     log(f"real-10M lists planned in {out['real10m_plan_s']}s: {m} rows "
-        f"({out['real10m_replicas']} replicas), max cell {sizes.max()}, "
-        f"{out['real10m_truncated_cells']} cells past the "
-        f"{PROBE_CAP}-row probe window "
-        f"({out['real10m_truncated_rows']} windowed-out rows, shell-"
-        f"replicated)")
+        f"({out['real10m_replicas']} replicas+pad), "
+        f"{len(cell_map)} virtual cells "
+        f"({out['real10m_split_cells']} hot-cell windows)")
 
     # --- pass B: re-encode (same keys -> identical vectors) + scatter ---
     vecs_f = jnp.zeros((m_pad, D10), jnp.int8)
@@ -1931,14 +1950,15 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=10,
 
     cols_f = jnp.zeros((NUM_COLS, m_pad), jnp.int32)
     cols_f = cols_f.at[COL_VALID].set((gids_f >= 0).astype(jnp.int32))
-    ivf = IVFFlatIndex(centroids=centroids, vecs=vecs_f, cols=cols_f,
+    centroids_v = jnp.take(centroids, jnp.asarray(cell_map), axis=0)
+    ivf = IVFFlatIndex(centroids=centroids_v, vecs=vecs_f, cols=cols_f,
                        gids=gids_f, scales=scales_f[None],
                        starts=jnp.asarray(starts))
     pass10 = make_filter_spec()
 
     qstack10 = jnp.concatenate([q10] * ((8 * B) // n_oracle))[: 8 * B]
     qstack10 = qstack10.reshape(8, B, D10)
-    for nprobe in (8, 16, 32):
+    for nprobe in (4, 8, 16):
         def ivf_top(q, nprobe=nprobe):
             return ivf.search_candidates(q, pass10, nprobe=nprobe,
                                          limit=LIMIT, probe_cap=PROBE_CAP)

@@ -54,9 +54,15 @@ def test_layout_holds_all_rows(built):
     gids = np.asarray(idx.gids)
     present = np.unique(gids[gids >= 0])
     assert len(present) == N, "every row must appear in some cell"
-    # The mega-cluster makes at least one cell larger than probe_cap —
-    # the exact situation the padded layout misplaces.
-    assert (np.diff(starts) > PROBE_CAP).any()
+    # The mega-cluster splits into several probe-window-sized VIRTUAL
+    # cells sharing one centroid (the situation the padded layout
+    # misplaces): more cells than k-means trained, none past the window.
+    assert len(starts) - 1 > C
+    assert (np.diff(starts) <= PROBE_CAP).all()
+    # Duplicated centroids mark the split windows.
+    cents = np.asarray(idx.centroids)
+    assert len(cents) == len(starts) - 1
+    assert len(np.unique(cents[:, 0])) <= C
 
 
 def test_recall_vs_oracle_on_skewed_corpus(built):
@@ -129,16 +135,29 @@ def test_plan_layout_shell_replicas():
     sims = np.zeros((n, 2), np.float32)
     sims[:, 0] = np.linspace(1.0, 0.5, n)   # distinct ranks
     sims[:, 1] = 0.1                  # far: no margin replicas
-    pp, rp, starts, m = plan_layout(a2, sims, n_cells=cells, probe_cap=256,
-                                    margin=0.05)
-    # 600 - 256 shell rows replicate into cell 1.
+    pp, rp, starts, m, cmap = plan_layout(
+        a2, sims, n_cells=cells, probe_cap=256, margin=0.05, align=1,
+        split_hot=False)
+    # 600 - 256 shell rows replicate into cell 1 (split_hot=False keeps
+    # the window-truncation semantics that need shell replicas).
     assert (rp >= 0).sum() == n - 256
     shell_rows = np.flatnonzero(rp >= 0)
     assert (np.linspace(1.0, 0.5, n)[shell_rows] <
             np.sort(sims[:, 0])[::-1][255]).all()
     assert starts[-1] == m == n + (n - 256)
+    assert list(cmap) == [0, 1]
     # Within-cell order is sim-descending: position 0 = best sim.
     assert pp[0] == 0 and pp[n - 1] > pp[0]
+    # Default: 128-aligned starts + hot cells split into probe-window
+    # virtual cells sharing the home centroid.
+    pa, ra, st_a, m_a, cm_a = plan_layout(a2, sims, n_cells=cells,
+                                          probe_cap=256, margin=0.05)
+    st_a = np.asarray(st_a)
+    assert (st_a % 128 == 0).all()
+    assert m_a == 640  # 600 rows pad to 640; no shell replicas, cell 1 empty
+    # Cell 0 (640 aligned rows) -> 3 windows of <= 256; cell 1 -> 1.
+    assert list(cm_a) == [0, 0, 0, 1]
+    assert (np.diff(st_a) <= 256).all()
 
 
 def test_dedup_keeps_single_copy(built):
