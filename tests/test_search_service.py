@@ -223,3 +223,37 @@ def test_select_policy_env_validation(monkeypatch):
         assert s.ivf_select == want, (raw, s.ivf_select)
         assert s.bq_select == want
     get_settings.cache_clear()
+
+
+def test_fused_path_serves_both_ivf_layouts(service, monkeypatch):
+    """The fused snapshot program dispatches per layout (flat -> windowed
+    gather over variable-length lists, padded -> fixed cell blocks); both
+    must serve dense and hybrid queries end-to-end with identical top hits
+    at full probe."""
+    from voitta_rag_tpu.config import get_settings
+
+    svc = service
+    sparse = get_sparse_embedding_service()
+    rng = np.random.default_rng(11)
+    texts = [f"corpus entry {i} theme {i % 5}" for i in range(300)]
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    metas = [ChunkMetadata(
+        file_path=f"b2/f{i}.md", folder_path="b2", index_folder="b2",
+        file_name=f"f{i}.md", chunk_index=0, total_chunks=1,
+        start_char=0, end_char=10,
+        indexed_at=datetime.now(timezone.utc).isoformat())
+        for i in range(300)]
+    svc.store.store_chunks(texts, vecs, metas, sparse.embed(texts))
+    got = {}
+    for layout in ("flat", "padded"):
+        monkeypatch.setenv("VOITTA_IVF_LAYOUT", layout)
+        get_settings.cache_clear()
+        svc.store.build_ivf(n_cells=4, nprobe=4)
+        svc.store.build_postings()
+        dense = svc.search("corpus entry theme", limit=5, hybrid=False)
+        hybrid = svc.search("corpus entry 42 theme", limit=5)
+        assert dense and hybrid
+        got[layout] = [r.id for r in dense]
+    get_settings.cache_clear()
+    # nprobe = n_cells: both layouts probe everything -> exact -> equal.
+    assert got["flat"] == got["padded"]

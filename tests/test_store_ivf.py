@@ -95,3 +95,35 @@ def test_build_requires_enough_rows(store):
     store.store_chunks([f"t{i}" for i in range(10)], v, metas)
     with pytest.raises(ValueError):
         store.build_ivf(n_cells=4)
+
+
+def test_layout_knob_parity(store, monkeypatch):
+    """VOITTA_IVF_LAYOUT selects the device layout; at full probe both the
+    flat (variable-length lists, index/ivf_flat.py) and padded (fixed cell
+    blocks, index/ivf.py) layouts are exact vs the flat-scan oracle, so
+    their results agree. Stats dicts carry layout-specific keys."""
+    from voitta_rag_tpu.config import get_settings
+
+    v = fill(store, seed=4)
+    store._ivf_dirty = True  # exact flat-scan oracle
+    oracle = [r.id for r in store.search(v[7], limit=5)]
+
+    monkeypatch.setenv("VOITTA_IVF_LAYOUT", "flat")
+    get_settings.cache_clear()
+    info_flat = store.build_ivf(n_cells=8, nprobe=8, kmeans_iters=4)
+    assert info_flat["layout"] == "flat"
+    assert info_flat["rows"] == N
+    assert info_flat["probe_cap"] > 0
+    assert info_flat["virtual_cells"] >= 8
+    got_flat = [r.id for r in store.search(v[7], limit=5)]
+
+    monkeypatch.setenv("VOITTA_IVF_LAYOUT", "padded")
+    get_settings.cache_clear()
+    info_pad = store.build_ivf(n_cells=8, nprobe=8, kmeans_iters=4)
+    assert info_pad["layout"] == "padded"
+    assert "cell_cap" in info_pad and "residual" in info_pad
+    got_pad = [r.id for r in store.search(v[7], limit=5)]
+
+    get_settings.cache_clear()
+    assert got_flat == oracle
+    assert got_pad == oracle

@@ -36,6 +36,20 @@ def _clamped_int(name: str, default: int, lo: int, hi: int) -> int:
     return raw
 
 
+def _choice(name: str, default: str, choices: tuple[str, ...]) -> str:
+    """Enumerated env knob; unknown values warn and fall back to default
+    (same policy as _select_policy: a typo must not silently change the
+    serving path)."""
+    raw = os.getenv(name, default).strip().lower()
+    if raw in choices:
+        return raw
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s=%r is not one of %s; using %r", name, raw, choices, default)
+    return default
+
+
 def _select_policy(name: str) -> str:
     """Candidate-selection env knob: "exact" | "approx" (case-insensitive).
 
@@ -179,6 +193,21 @@ class Settings:
         # selection throughput for ~1% real recall; measured trade in
         # index/ivf.py::_ivf_search_candidates).
         self.ivf_select: str = _select_policy("VOITTA_IVF_SELECT")
+        # IVF device layout: "flat" (variable-length inverted lists over a
+        # cell-major flat corpus — memory exactly M rows, hot cells split
+        # positionally into virtual probe windows; index/ivf_flat.py) or
+        # "padded" (fixed cell blocks [C, cap, D] + residual tier;
+        # index/ivf.py). Flat is the default: on Zipf-skewed real corpora
+        # a padded cap either overflows rows into the residual or pads a
+        # multiple of the corpus (measured on the harvested 10M real-text
+        # corpus: 40% row overflow at any HBM-affordable cap).
+        self.ivf_layout: str = _choice(
+            "VOITTA_IVF_LAYOUT", "flat", ("flat", "padded"))
+        # Flat-layout probe window rows per probed cell. 0 = auto: cover
+        # the longest cell on small corpora (full probes stay exact), cap
+        # at max(1024, 4x mean cell) on skewed ones (hot cells split).
+        self.ivf_probe_cap: int = _clamped_int(
+            "VOITTA_IVF_PROBE_CAP", 0, 0, 1 << 20)
         # Multi-assignment: replicate rows into their top-k cells. With a
         # margin (cosine points), only boundary rows — whose 2nd centroid is
         # within the margin of the 1st — get replicas. Default ON: the

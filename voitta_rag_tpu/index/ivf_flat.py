@@ -158,14 +158,16 @@ class IVFFlatIndex:
     gids: jax.Array        # [M_pad] int32 store-global ids (-1 pad)
     scales: jax.Array      # [1, M_pad] f32 (int8 rows)
     starts: jax.Array      # [C+1] int32 prefix offsets into the flat rows
+    probe_cap: int = 0     # window rows per probed cell (build() sets it)
 
     @property
     def n_cells(self) -> int:
         return self.centroids.shape[0]
 
     @classmethod
-    def build(cls, vecs, cols, gids, *, n_cells: int, probe_cap: int,
-              scales=None, kmeans_iters: int = 20, margin: float = 0.05,
+    def build(cls, vecs, cols, gids, *, n_cells: int, probe_cap: int = 0,
+              scales=None, kmeans_iters: int = 20,
+              margin: float | None = 0.05,
               replica_budget: int | None = None, train_sample: int = 262144,
               seed: int = 0) -> "IVFFlatIndex":
         """In-memory build (tests / moderate corpora; the 10M bench builds
@@ -191,6 +193,19 @@ class IVFFlatIndex:
         if a2.shape[1] == 1:  # n_cells == 1 degenerate
             a2 = np.repeat(a2, 2, axis=1)
             s2 = np.repeat(s2, 2, axis=1)
+        if probe_cap <= 0:
+            # Auto window: cover the longest cell outright on small/even
+            # corpora (full-probe searches stay exact vs the flat oracle);
+            # on skewed corpora cap at max(1024, 4x mean) and let hot-cell
+            # splitting keep truncated rows reachable via virtual cells.
+            counts_all = np.bincount(
+                np.concatenate([
+                    a2[:, 0],
+                    a2[(s2[:, 0] - s2[:, 1]) <= (margin or 0.0), 1],
+                ]).astype(np.int64), minlength=n_cells)
+            max_al = round_up(max(int(counts_all.max()), 1), 128)
+            mean = max(int(counts_all.sum()) // max(n_cells, 1), 1)
+            probe_cap = min(max_al, max(1024, round_up(4 * mean, 128)))
         primary_pos, replica_pos, starts, m, cell_map = plan_layout(
             a2, s2, n_cells=n_cells, probe_cap=probe_cap, margin=margin,
             replica_budget=replica_budget)
@@ -215,16 +230,18 @@ class IVFFlatIndex:
                        else jnp.ones((1, m_pad), jnp.float32))
         return cls(centroids=centroids, vecs=flat_vecs, cols=flat_cols,
                    gids=flat_gids, scales=flat_scales,
-                   starts=jnp.asarray(starts))
+                   starts=jnp.asarray(starts), probe_cap=probe_cap)
 
     def search_candidates(self, q, spec: FilterSpec, *, nprobe: int,
-                          limit: int, probe_cap: int,
+                          limit: int, probe_cap: int | None = None,
                           prefetch_multiplier: int = 3):
+        cap = probe_cap or self.probe_cap
+        assert cap > 0, "probe_cap unset (index not built via build()?)"
         return _ivf_flat_candidates(
             q, self.centroids, self.vecs, self.cols, self.gids,
             self.scales, self.starts, spec,
             nprobe=min(nprobe, self.n_cells), limit=limit,
-            probe_cap=probe_cap, prefetch_multiplier=prefetch_multiplier)
+            probe_cap=cap, prefetch_multiplier=prefetch_multiplier)
 
 
 @functools.partial(

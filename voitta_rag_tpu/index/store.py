@@ -583,6 +583,29 @@ class TpuVectorStore:
                     f"need >= max(n_cells, 256) rows for IVF "
                     f"(have {len(dense)}, n_cells={n_cells})")
             self._cold_ivf = None
+            if settings.ivf_layout == "flat":
+                # Variable-length inverted lists (index/ivf_flat.py): the
+                # corpus stays flat cell-major, cells are unconstrained, a
+                # probe gathers a fixed window of each probed cell's core.
+                from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
+
+                self._ivf = IVFFlatIndex.build(
+                    dense.astype(jnp.bfloat16)
+                    if self.segment_dtype == "int8" else dense,
+                    cols.T, np.asarray(gids),
+                    n_cells=n_cells, probe_cap=settings.ivf_probe_cap,
+                    kmeans_iters=kmeans_iters,
+                    margin=settings.ivf_assign_margin)
+                if nprobe:
+                    self._ivf_nprobe = nprobe
+                self._ivf_dirty = False
+                n_rows = int(len(dense))
+                return {"layout": "flat", "cells": n_cells,
+                        "virtual_cells": self._ivf.n_cells,
+                        "rows": n_rows,
+                        "probe_cap": self._ivf.probe_cap,
+                        "replicas": int((np.asarray(self._ivf.gids) >= 0)
+                                        .sum()) - n_rows}
             self._ivf = IVFIndex.build(dense, cols, gids, n_cells,
                                        kmeans_iters=kmeans_iters,
                                        assign_k=settings.ivf_assign_k,
@@ -593,7 +616,7 @@ class TpuVectorStore:
             if nprobe:
                 self._ivf_nprobe = nprobe
             self._ivf_dirty = False
-            return {"cells": n_cells, "rows": len(dense),
+            return {"layout": "padded", "cells": n_cells, "rows": len(dense),
                     "cell_cap": self._ivf.cell_cap,
                     "residual": int(np.asarray(self._ivf.rest_gid >= 0).sum())}
 
@@ -930,9 +953,18 @@ class TpuVectorStore:
         qj = jnp.asarray(q)
         p = limit * self.prefetch_multiplier
         if self.ivf_active and self._ivf is not None:
-            d_vals, d_gids = self._ivf.search_candidates(
-                qj, spec, nprobe=self._ivf_nprobe, limit=p,
-                select=self._ivf_select)
+            from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
+
+            if isinstance(self._ivf, IVFFlatIndex):
+                # limit=p is already the prefetch-expanded candidate count;
+                # prefetch_multiplier=1 keeps the in-probe top-k at p+8.
+                d_vals, d_gids = self._ivf.search_candidates(
+                    qj, spec, nprobe=self._ivf_nprobe, limit=p,
+                    prefetch_multiplier=1)
+            else:
+                d_vals, d_gids = self._ivf.search_candidates(
+                    qj, spec, nprobe=self._ivf_nprobe, limit=p,
+                    select=self._ivf_select)
         else:
             dense_scores, _ = self._score_all_segments(
                 qj, spec, bq_k=p * self._bq_oversample)

@@ -126,7 +126,7 @@ def fused_query(
     jax.jit,
     static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
                      "fusion", "nprobe", "assign_k", "max_postings",
-                     "use_ivf", "ivf_select"),
+                     "use_ivf", "ivf_select", "ivf_layout", "ivf_probe_cap"),
 )
 def fused_snapshot_query(
     params,
@@ -157,6 +157,8 @@ def fused_snapshot_query(
     max_postings: int,
     use_ivf: bool,
     ivf_select: str = "exact",
+    ivf_layout: str = "padded",
+    ivf_probe_cap: int = 0,
 ):
     """Encode + snapshot retrieval + fusion as ONE device program.
 
@@ -173,7 +175,15 @@ def fused_snapshot_query(
 
     q = encode_tokens(params, cfg, input_ids, attention_mask)  # [1, D]
     p = limit * prefetch_multiplier
-    if use_ivf:
+    if use_ivf and ivf_layout == "flat":
+        from voitta_rag_tpu.index.ivf_flat import _ivf_flat_candidates
+
+        # limit=p is already prefetch-expanded; prefetch_multiplier=1
+        # keeps the in-probe top-k at p+8 (see store._search_snapshot).
+        d_vals, d_gids = _ivf_flat_candidates(
+            q, *ivf_ops, spec, nprobe=nprobe, limit=p,
+            probe_cap=ivf_probe_cap, prefetch_multiplier=1)
+    elif use_ivf:
         d_vals, d_gids = _ivf_search_candidates(
             q, *ivf_ops, spec, nprobe=nprobe, limit=p, assign_k=assign_k,
             select=ivf_select)
@@ -336,11 +346,22 @@ class SearchService:
                 # Snapshot hot path: encode + probe-limited dense + inverted-
                 # postings sparse + fusion, ONE jitted dispatch.
                 ivf_ops = None
+                ivf_layout = "padded"
+                ivf_probe_cap = 0
                 if use_ivf:
+                    from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
+
                     ivf = store._ivf
-                    ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3, ivf.gid3,
-                               ivf.rest_vecs, ivf.rest_cols, ivf.rest_gid,
-                               ivf.scales3, ivf.rest_scales)
+                    if isinstance(ivf, IVFFlatIndex):
+                        ivf_layout = "flat"
+                        ivf_probe_cap = ivf.probe_cap
+                        ivf_ops = (ivf.centroids, ivf.vecs, ivf.cols,
+                                   ivf.gids, ivf.scales, ivf.starts)
+                    else:
+                        ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3,
+                                   ivf.gid3, ivf.rest_vecs, ivf.rest_cols,
+                                   ivf.rest_gid, ivf.scales3,
+                                   ivf.rest_scales)
                 if use_postings:
                     post = store._postings
                     post_arrays = (post.terms, post.gids, post.weights,
@@ -365,10 +386,14 @@ class SearchService:
                         has_sparse=has_sparse, fusion=fusion,
                         nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
                                 if use_ivf else 0),
-                        assign_k=store._ivf.assign_k if use_ivf else 1,
+                        assign_k=(store._ivf.assign_k
+                                  if use_ivf and ivf_layout == "padded"
+                                  else 1),
                         max_postings=store._sparse_max_postings,
                         use_ivf=use_ivf,
-                        ivf_select=store._ivf_select)
+                        ivf_select=store._ivf_select,
+                        ivf_layout=ivf_layout,
+                        ivf_probe_cap=ivf_probe_cap)
                 with trace("search.materialize"):
                     return store._materialize(np.asarray(scores)[0],
                                               np.asarray(gids)[0],
