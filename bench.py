@@ -95,7 +95,15 @@ CORPUS_KEY = jax.random.PRNGKey(0)
 
 
 def build_corpus(seed=0):
-    """Clustered corpus ON DEVICE + host copies for the CPU oracle."""
+    """Clustered corpus ON DEVICE + host copies for the CPU oracle.
+
+    The host copies are REGENERATED on the in-process CPU backend from the
+    same PRNG keys instead of pulled from the device: JAX's threefry PRNG
+    is backend-deterministic, and the remote-TPU tunnel moves ~1.2 MB/s —
+    pulling the ~1 GB of host copies cost 733 s of the round-3 bench
+    deadline. A 4096-row device sample cross-checks the regeneration
+    (erf_inv/rsqrt may differ by ulps across backends); divergence beyond
+    f16 resolution falls back to the full pull."""
     vecs, _cid = clustered_unit_vectors(
         CORPUS_KEY, N, D, n_clusters=TRUE_CLUSTERS, intra_cos=INTRA_COS)
     k = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
@@ -105,10 +113,65 @@ def build_corpus(seed=0):
     terms = jax.random.randint(k[1], (S, N), 0, VOCAB, jnp.int32)
     weights = jax.random.uniform(k[2], (S, N), jnp.float32)
     rng = np.random.default_rng(seed)
-    vecs_np = np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
-    weights_np = np.asarray(weights.astype(jnp.float16)).astype(np.float32).T
+
+    vecs_np = cols_np = terms_np = weights_np = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu0):
+                vecs_c, _ = clustered_unit_vectors(
+                    CORPUS_KEY, N, D, n_clusters=TRUE_CLUSTERS,
+                    intra_cos=INTRA_COS)
+                kc = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+                folder_c = jax.random.randint(kc[0], (N,), 0, N_FOLDERS,
+                                              jnp.int32)
+                terms_c = jax.random.randint(kc[1], (S, N), 0, VOCAB,
+                                             jnp.int32)
+                weights_c = jax.random.uniform(kc[2], (S, N), jnp.float32)
+            vecs_np = np.asarray(vecs_c.astype(jnp.float16)) \
+                .astype(np.float32)
+            cols_np = np.zeros((NUM_COLS, N), np.int32)
+            cols_np[COL_VALID] = 1
+            cols_np[COL_FOLDER] = np.asarray(folder_c)
+            terms_np = np.asarray(terms_c).T
+            weights_np = np.asarray(weights_c.astype(jnp.float16)) \
+                .astype(np.float32).T
+            # Cross-check a random row sample against the device arrays
+            # (own rng: the returned `rng` stream must not depend on
+            # which path produced the host copies).
+            idx = np.sort(np.random.default_rng(seed + 777)
+                          .choice(N, 4096, replace=False))
+            idx_j = jnp.asarray(idx)
+            dv = np.asarray(
+                jnp.take(vecs, idx_j, axis=0).astype(jnp.float16))
+            dt = np.asarray(jnp.take(terms, idx_j, axis=1)).T
+            dw = np.asarray(
+                jnp.take(weights, idx_j, axis=1).astype(jnp.float16)).T
+            df = np.asarray(jnp.take(folder, idx_j))
+            vdiff = float(np.abs(dv.astype(np.float32)
+                                 - vecs_np[idx]).max())
+            ok = (vdiff <= 2e-3
+                  and np.array_equal(dt, terms_np[idx])
+                  and np.array_equal(df, cols_np[COL_FOLDER, idx])
+                  and np.abs(dw - weights_np[idx]).max() <= 2e-3)
+            if ok:
+                log(f"host corpus regenerated on CPU backend "
+                    f"(sample max |dvec| {vdiff:.2e}; tunnel pull skipped)")
+            else:
+                log(f"CPU regeneration diverged (max |dvec| {vdiff:.2e}); "
+                    f"falling back to device pull")
+                vecs_np = None
+        except Exception as e:  # no cpu backend / OOM: pull as before
+            log(f"CPU-backend regeneration unavailable ({e}); pulling")
+            vecs_np = None
+    if vecs_np is None:
+        vecs_np = np.asarray(vecs.astype(jnp.float16)).astype(np.float32)
+        cols_np = np.asarray(cols)
+        terms_np = np.asarray(terms).T
+        weights_np = (np.asarray(weights.astype(jnp.float16))
+                      .astype(np.float32).T)
     return (vecs, cols, terms, weights,
-            vecs_np, np.asarray(cols), np.asarray(terms).T, weights_np, rng)
+            vecs_np, cols_np, terms_np, weights_np, rng)
 
 
 @jax.jit

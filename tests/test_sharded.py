@@ -299,3 +299,43 @@ def test_sharded_ivf_margin_multi_assign(rmesh):
     # Probe-limited search on the replicated layout still returns valid rows.
     s2, g2 = idx.search(jnp.asarray(dense[:B]), spec, limit=10, nprobe=2)
     assert (np.asarray(g2)[:, 0] >= 0).all()
+
+
+def test_sharded_layout_knob_parity(mesh):
+    """build_ivf(layout=...) selects the per-chip device layout; at full
+    probe both the flat (ShardedIVFFlat: variable-length lists, per-shard
+    virtual centroids) and padded (ShardedIVF: fixed cell blocks +
+    residual) layouts are exact, so results agree bit-for-bit."""
+    idx, dense, cols, terms, weights, gids = build(mesh, seed=17,
+                                                   n_rows=1200)
+    spec = make_filter_spec()
+    B = 3
+    qt = np.full((1, 4), TERM_PAD, np.int32)
+    qt[0, :2] = [7, 40]
+    qw = np.zeros((1, 4), np.float32)
+    qw[0, :2] = [1.0, 0.6]
+
+    info_f = idx.build_ivf(8, kmeans_iters=5, layout="flat")
+    assert info_f["layout"] == "flat" and info_f["shards"] == 8
+    assert info_f["probe_cap"] % 128 == 0
+    assert info_f["virtual_cells"] >= 8
+    sf, gf = idx.search(jnp.asarray(dense[:B]), spec, limit=10, nprobe=8)
+    hf, hgf = idx.search(jnp.asarray(dense[:B]), spec, qt=qt, qw=qw,
+                         sparse_weight=0.3, limit=10, nprobe=8)
+
+    info_p = idx.build_ivf(8, kmeans_iters=5, layout="padded")
+    assert info_p["layout"] == "padded" and "cell_cap" in info_p
+    sp_, gp = idx.search(jnp.asarray(dense[:B]), spec, limit=10, nprobe=8)
+    hp, hgp = idx.search(jnp.asarray(dense[:B]), spec, qt=qt, qw=qw,
+                         sparse_weight=0.3, limit=10, nprobe=8)
+
+    assert np.asarray(gf).tolist() == np.asarray(gp).tolist()
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sp_), atol=1e-5)
+    assert np.asarray(hgf).tolist() == np.asarray(hgp).tolist()
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hp), atol=1e-5)
+
+    # Probe-limited self-retrieval through the flat program.
+    idx.build_ivf(8, kmeans_iters=5, layout="flat")
+    _, g2 = idx.search(jnp.asarray(dense[:B]), spec, limit=10, nprobe=2)
+    for b in range(B):
+        assert int(np.asarray(g2)[b, 0]) == int(gids[b])

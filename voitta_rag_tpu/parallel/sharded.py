@@ -338,6 +338,135 @@ def sharded_ivf_search(
               jnp.asarray(sparse_weight, jnp.float32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "nprobe", "limit", "probe_cap",
+                     "prefetch_multiplier", "has_sparse", "use_fusion",
+                     "use_postings", "max_postings"),
+)
+def sharded_ivf_flat_search(
+    mesh: Mesh,
+    q: jax.Array,
+    spec: FilterSpec,
+    centroids3: jax.Array,
+    fvecs: jax.Array,
+    fcols: jax.Array,
+    fgids: jax.Array,
+    fscales: jax.Array,
+    fstarts: jax.Array,
+    terms: jax.Array,
+    weights: jax.Array,
+    cols_flat: jax.Array,
+    post_terms: jax.Array,
+    post_gids: jax.Array,
+    post_weights: jax.Array,
+    qt: jax.Array,
+    qw: jax.Array,
+    sparse_weight: jax.Array,
+    *,
+    nprobe: int,
+    limit: int,
+    probe_cap: int,
+    prefetch_multiplier: int = 3,
+    has_sparse: bool = True,
+    use_fusion: bool = True,
+    use_postings: bool = False,
+    max_postings: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Probe-limited sharded search over per-chip variable-length lists.
+
+    The flat-layout twin of :func:`sharded_ivf_search`: each chip probes its
+    OWN virtual centroids (``centroids3`` is SHARDED, not replicated — hot
+    cells split positionally per shard, so virtual cell sets differ across
+    chips) and gathers fixed ``probe_cap``-row windows of its local
+    cell-major corpus (index/ivf_flat.py). Candidates carry store-global
+    gids, so the ICI merge and fusion are identical to the padded path.
+    """
+    from voitta_rag_tpu.index.ivf_flat import _ivf_flat_candidates
+
+    cap = cols_flat.shape[2]
+    p = limit * prefetch_multiplier
+
+    def body(q, params, inc, exc, excif, centroids3, fvecs, fcols, fgids,
+             fscales, fstarts, terms, weights, cols_flat, post_terms,
+             post_gids, post_weights, qt, qw, w):
+        local_spec = FilterSpec(params, inc, exc, excif)
+        # limit=p is already the prefetch-expanded candidate count;
+        # prefetch_multiplier=1 keeps the in-probe top-k at p+8.
+        d_vals, d_gids = _ivf_flat_candidates(
+            q, centroids3[0], fvecs[0], fcols[0], fgids[0], fscales[0],
+            fstarts[0], local_spec, nprobe=nprobe, limit=p,
+            probe_cap=probe_cap, prefetch_multiplier=1)
+        s_vals, s_gids = _local_sparse_candidates(
+            q, qt, qw, terms, weights, cols_flat, post_terms, post_gids,
+            post_weights, local_spec, d_vals, d_gids, p, cap,
+            _global_shard(mesh),
+            has_sparse=has_sparse, use_postings=use_postings,
+            max_postings=max_postings)
+        # ---- candidate merge: ICI all-gather (+ DCN hop on a pod mesh) ----
+        d_vals, d_gids = _gather_pairs(d_vals, d_gids, p, mesh)
+        s_vals, s_gids = _gather_pairs(s_vals, s_gids, p, mesh)
+        if has_sparse and use_fusion:
+            return hybrid_fuse_candidates(
+                d_vals, d_gids, s_vals, s_gids, w,
+                limit=limit, prefetch_multiplier=prefetch_multiplier)
+
+        def row(dv, di):
+            vals, ids, valid = _candidates_from_lists(dv, di, limit)
+            return jnp.where(valid, vals, NEG_INF), jnp.where(valid, ids, -1)
+
+        return jax.vmap(row)(d_vals, d_gids)
+
+    shard_spec = _index_spec(mesh)
+    rep = P()
+    qspec = _query_spec(mesh)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            qspec,                   # q (batch-sharded over replica groups)
+            rep, rep, rep, rep,      # FilterSpec fields
+            shard_spec,              # centroids3 (per-shard virtual cells)
+            shard_spec, shard_spec, shard_spec, shard_spec,  # flat arrays
+            shard_spec,              # starts
+            shard_spec, shard_spec, shard_spec,  # terms, weights, cols_flat
+            shard_spec, shard_spec, shard_spec,  # postings
+            rep, rep, rep,           # qt, qw, sparse_weight
+        ),
+        out_specs=(qspec, qspec),
+        check_vma=False,
+    )
+    return fn(q, spec.params, spec.inc_ids, spec.exc_ids, spec.exc_if_ids,
+              centroids3, fvecs, fcols, fgids, fscales, fstarts,
+              terms, weights, cols_flat, post_terms, post_gids, post_weights,
+              qt, qw, jnp.asarray(sparse_weight, jnp.float32))
+
+
+@dataclass
+class ShardedIVFFlat:
+    """Per-chip variable-length inverted lists over a ShardedIndex.
+
+    The flat-layout twin of :class:`ShardedIVF` (index/ivf_flat.py
+    rationale: padded cell blocks overflow 40% of rows on Zipf-skewed real
+    corpora at any affordable cap). Every array is stacked ``[n_shards,
+    ...]`` and sharded on axis 0; ``centroids3`` holds each shard's VIRTUAL
+    cells (hot cells split positionally per shard, zero-padded to the mesh
+    max), so it is sharded rather than replicated — each chip probes its
+    own cell set, which costs no communication either.
+    """
+
+    centroids3: jax.Array  # [n, Cv_max, D] f32 per-shard virtual centroids
+    vecs: jax.Array        # [n, M_pad, D] cell-major flat rows
+    cols: jax.Array        # [n, NUM_COLS, M_pad] int32
+    gids: jax.Array        # [n, M_pad] int32 store-global ids (-1 pad)
+    scales: jax.Array      # [n, 1, M_pad] f32 (int8 rows)
+    starts: jax.Array      # [n, Cv_max + 1] int32 prefix offsets
+    probe_cap: int = 0     # window rows per probed cell (static)
+
+    @property
+    def n_cells(self) -> int:
+        return self.centroids3.shape[1]
+
+
 @dataclass
 class ShardedIVF:
     """Per-chip IVF snapshot over a ShardedIndex (read-optimized).
@@ -453,6 +582,43 @@ def _pack_ivf_sharded(mesh, vecs, scales, cols, dest, rest_dest, *,
     return jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 5,
                          out_specs=(sp,) * 8, check_vma=False)(
         vecs, scales, cols, dest, rest_dest)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "m_pad"))
+def _pack_flat_sharded(mesh, vecs, scales, cols, dest, *, m_pad: int):
+    """Scatter each shard's rows into its flat cell-major layout ON DEVICE.
+
+    The flat-layout twin of :func:`_pack_ivf_sharded`: ``dest`` [n, 2, cap]
+    int32 carries the host-planned primary (slot 0) and replica (slot 1)
+    positions per row (OOB = dropped / no replica / tombstoned); the bulk
+    vector data never leaves HBM.
+    """
+
+    def body(vecs, scales, cols, dest):
+        shard = _global_shard(mesh)
+        v = vecs[0]               # [cap, D]
+        sc = scales[0, 0]         # [cap]
+        ct = cols[0].T            # [cap, NUM_COLS]
+        cap = v.shape[0]
+        d = v.shape[1]
+        gid_local = (shard * cap + jnp.arange(cap)).astype(jnp.int32)
+        fv = jnp.zeros((m_pad, d), v.dtype)
+        fs = jnp.zeros((m_pad,), jnp.float32)
+        fc = jnp.zeros((m_pad, NUM_COLS), jnp.int32)
+        fg = jnp.full((m_pad,), -1, jnp.int32)
+        for j in range(2):
+            dj = dest[0, j]
+            fv = fv.at[dj].set(v, mode="drop")
+            fs = fs.at[dj].set(sc, mode="drop")
+            fc = fc.at[dj].set(ct, mode="drop")
+            fg = fg.at[dj].set(gid_local, mode="drop")
+        return (fv[None], fs.reshape(1, 1, m_pad),
+                fc.T[None], fg[None])
+
+    sp = _index_spec(mesh)
+    return jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 4,
+                         out_specs=(sp,) * 4, check_vma=False)(
+        vecs, scales, cols, dest)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -766,7 +932,8 @@ class ShardedIndex:
                   skew_factor: float = 2.0, seed: int = 0, assign_k: int = 1,
                   assign_margin: float | None = None,
                   train_sample: int = 262144,
-                  spill_levels: int = 2) -> dict:
+                  spill_levels: int = 2, layout: str | None = None,
+                  probe_cap: int = 0) -> dict:
         """Build the per-chip IVF snapshot from live rows.
 
         Centroids train on a cross-shard device sample; the full assignment
@@ -775,6 +942,11 @@ class ShardedIndex:
         under ``shard_map`` so the vector data never leaves HBM.
         ``assign_margin`` gates secondary replicas to boundary rows, same
         semantics as the flat build (index/ivf.py).
+
+        ``layout`` (default: ``settings.ivf_layout``) selects the per-chip
+        device layout: "flat" variable-length lists (index/ivf_flat.py) or
+        "padded" fixed cell blocks + residual. The cold (sketch) build is
+        layout-independent (its permutation is over sketch words).
         """
         if self.cold is not None:
             # Cold composition: permute each chip's SKETCH cell-major behind
@@ -788,6 +960,15 @@ class ShardedIndex:
                 assign_k=assign_k, assign_margin=assign_margin,
                 skew_factor=skew_factor, spill_levels=spill_levels,
                 train_sample=train_sample, seed=seed)
+        if layout is None:
+            from voitta_rag_tpu.config import get_settings
+
+            layout = get_settings().ivf_layout
+        if layout == "flat":
+            return self._build_ivf_flat(
+                n_cells, kmeans_iters=kmeans_iters,
+                assign_margin=assign_margin, train_sample=train_sample,
+                seed=seed, probe_cap=probe_cap)
 
         from voitta_rag_tpu.index.ivf import (
             _assign_topk_cells, _block_rows_for, _kmeans_train,
@@ -890,8 +1071,117 @@ class ShardedIndex:
             centroids=centroids, vecs3=vecs3, cols3=cols3, gid3=gid3,
             scales3=scales3, rest_vecs=rest_vecs, rest_cols=rest_cols,
             rest_gid=rest_gid, rest_scales=rest_scales, assign_k=assign_k)
-        return {"cells": n_cells, "rows": n_live, "cell_cap": cell_cap,
+        return {"layout": "padded", "cells": n_cells, "rows": n_live,
+                "cell_cap": cell_cap,
                 "residual": int(np.asarray((rest_gid >= 0).sum())),
+                "shards": n}
+
+    def _build_ivf_flat(self, n_cells: int, *, kmeans_iters: int,
+                        assign_margin: float | None, train_sample: int,
+                        seed: int, probe_cap: int = 0) -> dict:
+        """Per-chip variable-length inverted lists (ShardedIVFFlat).
+
+        Shared k-means centroids (cross-shard sample, identical to the
+        padded build); each shard then plans its OWN flat cell-major layout
+        on the host (index/ivf_flat.py::plan_layout — hot-cell positional
+        splitting, margin-boundary replicas) and the packing scatter runs
+        under ``shard_map``. Per-shard memory is exactly its row count, so
+        Zipf-skewed real corpora neither overflow nor pad (the padded
+        layout measured 40% row overflow at any affordable cap on the
+        harvested 10M corpus). ``probe_cap`` is mesh-uniform (the search
+        program's window shape is static): auto-sized from the per-shard
+        cell-size distributions when 0.
+        """
+        from voitta_rag_tpu.index.ivf import (
+            _assign_topk_cells, _block_rows_for, _kmeans_train,
+        )
+        from voitta_rag_tpu.index.ivf_flat import plan_layout
+
+        n, cap = self.n_shards, self.cap
+        valid = np.asarray(self.cols[:, COL_VALID, :] > 0)   # [n, cap]
+        n_live = int(valid.sum())
+        if n_cells <= 1 or n_live < max(n_cells, 256):
+            raise ValueError(
+                f"need >= max(n_cells, 256) live rows for IVF "
+                f"(have {n_live}, n_cells={n_cells})")
+        is_int8 = self.dtype == "int8"
+
+        # --- shared centroids from a cross-shard sample (device gather) ---
+        flat_valid = np.flatnonzero(valid.reshape(-1))
+        rng = np.random.default_rng(seed)
+        ns = min(n_live, max(train_sample, n_cells * 4))
+        pick = rng.choice(flat_valid, ns, replace=False)
+        train_v = _gather_rows_f32(
+            self.vecs, self.scales,
+            jnp.asarray((pick // cap).astype(np.int32)),
+            jnp.asarray((pick % cap).astype(np.int32)), is_int8)
+        br = _block_rows_for(n_cells)
+        centroids = _kmeans_train(train_v, None, n_cells, kmeans_iters,
+                                  max(1, ns // br), seed)
+
+        # --- top-2 blocked assignment (host pulls [n*cap, 2] + sims) ---
+        flat_vecs = self.vecs.reshape(n * cap, self.dim)
+        flat_scales = self.scales.reshape(n * cap) if is_int8 else None
+        k2 = min(2, n_cells)
+        a2_d, s2_d = _assign_topk_cells(
+            flat_vecs, flat_scales, centroids, k2,
+            max(1, -(-(n * cap) // br)), with_sims=True)
+        a2 = np.asarray(a2_d).reshape(n, cap, k2)
+        s2 = np.asarray(s2_d).reshape(n, cap, k2)
+        if k2 == 1:  # n_cells == 1 degenerate
+            a2 = np.repeat(a2, 2, axis=2)
+            s2 = np.repeat(s2, 2, axis=2)
+        margin = 0.05 if assign_margin is None else assign_margin
+        if probe_cap <= 0:
+            # Auto window (same policy as IVFFlatIndex.build), sized by the
+            # worst shard so full probes of even cells stay exact.
+            max_c, total = 0, 0
+            for s in range(n):
+                aa, ss = a2[s][valid[s]], s2[s][valid[s]]
+                counts = np.bincount(np.concatenate([
+                    aa[:, 0],
+                    aa[(ss[:, 0] - ss[:, 1]) <= margin, 1],
+                ]).astype(np.int64), minlength=n_cells)
+                max_c = max(max_c, int(counts.max()) if counts.size else 0)
+                total += int(counts.sum())
+            mean = max(total // max(n * n_cells, 1), 1)
+            probe_cap = min(round_up(max(max_c, 1), 128),
+                            max(1024, round_up(4 * mean, 128)))
+
+        # --- per-shard host plans -> one mesh-wide scatter ---
+        plans = []
+        for s in range(n):
+            rows_v = np.flatnonzero(valid[s]).astype(np.int64)
+            plans.append((rows_v, *plan_layout(
+                a2[s][rows_v], s2[s][rows_v], n_cells=n_cells,
+                probe_cap=probe_cap, margin=margin)))
+        m_pad = round_up(max(max(pl[4] for pl in plans), 128), 128)
+        cv_max = max(len(pl[5]) for pl in plans)
+        dest_of = np.full((n, 2, cap), m_pad, np.int32)  # OOB → dropped
+        starts_pad = np.empty((n, cv_max + 1), np.int32)
+        cents_np = np.asarray(centroids)
+        cents3 = np.zeros((n, cv_max, cents_np.shape[1]), np.float32)
+        for s, (rows_v, ppos, rpos, starts_s, m_s, cmap) in enumerate(plans):
+            dest_of[s, 0, rows_v] = ppos
+            has_rep = rpos >= 0
+            dest_of[s, 1, rows_v[has_rep]] = rpos[has_rep]
+            cv = len(cmap)
+            starts_pad[s, :cv + 1] = starts_s
+            starts_pad[s, cv + 1:] = starts_s[-1]  # pad cells: empty windows
+            cents3[s, :cv] = cents_np[cmap]
+
+        sh = NamedSharding(self.mesh, _index_spec(self.mesh))
+        fvecs, fscales, fcols, fgids = _pack_flat_sharded(
+            self.mesh, self.vecs, self.scales, self.cols,
+            jax.device_put(jnp.asarray(dest_of), sh), m_pad=m_pad)
+        self.ivf = ShardedIVFFlat(
+            centroids3=jax.device_put(jnp.asarray(cents3), sh),
+            vecs=fvecs, cols=fcols, gids=fgids, scales=fscales,
+            starts=jax.device_put(jnp.asarray(starts_pad), sh),
+            probe_cap=probe_cap)
+        return {"layout": "flat", "cells": n_cells, "virtual_cells": cv_max,
+                "rows": n_live, "probe_cap": probe_cap,
+                "replicas": int(np.asarray((fgids >= 0).sum())) - n_live,
                 "shards": n}
 
     def build_postings(self) -> dict:
@@ -954,6 +1244,18 @@ class ShardedIndex:
         pt, pg, pw = self._postings_or_placeholder(use_postings)
         if nprobe is not None and self.ivf is not None:
             iv = self.ivf
+            if isinstance(iv, ShardedIVFFlat):
+                return sharded_ivf_flat_search(
+                    self.mesh, q, spec, iv.centroids3, iv.vecs, iv.cols,
+                    iv.gids, iv.scales, iv.starts,
+                    self.terms, self.weights, self.cols,
+                    pt, pg, pw,
+                    jnp.asarray(qt), jnp.asarray(qw), sparse_weight,
+                    nprobe=min(nprobe, iv.n_cells), limit=limit,
+                    probe_cap=iv.probe_cap,
+                    prefetch_multiplier=prefetch_multiplier,
+                    has_sparse=has_sparse, use_fusion=fusion,
+                    use_postings=use_postings, max_postings=max_postings)
             return sharded_ivf_search(
                 self.mesh, q, spec, iv.centroids, iv.vecs3, iv.cols3,
                 iv.gid3, iv.scales3, iv.rest_vecs, iv.rest_cols, iv.rest_gid,
