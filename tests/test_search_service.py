@@ -225,6 +225,19 @@ def test_select_policy_env_validation(monkeypatch):
     get_settings.cache_clear()
 
 
+def test_layout_env_validation(monkeypatch):
+    """VOITTA_IVF_LAYOUT is an enumerated knob (_choice): unknown values
+    warn and fall back to 'flat' rather than silently changing the
+    serving path; case-insensitive."""
+    from voitta_rag_tpu.config import get_settings
+    for raw, want in (("flat", "flat"), ("PADDED", "padded"),
+                      ("faltt", "flat"), ("", "flat")):
+        monkeypatch.setenv("VOITTA_IVF_LAYOUT", raw)
+        get_settings.cache_clear()
+        assert get_settings().ivf_layout == want, (raw,)
+    get_settings.cache_clear()
+
+
 def test_fused_path_serves_both_ivf_layouts(service, monkeypatch):
     """The fused snapshot program dispatches per layout (flat -> windowed
     gather over variable-length lists, padded -> fixed cell blocks); both
