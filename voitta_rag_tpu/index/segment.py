@@ -17,6 +17,17 @@ out-of-bounds row ids (dropped by the scatter) so only a handful of programs
 ever compile. Deletes are tombstones: ``COL_VALID=0`` rows that the scan
 kernels mask in-kernel; freed rows go on a host-side free list and are reused
 by later upserts (compaction is implicit through reuse).
+
+Write-through host mirrors: every device array has a full host-RAM twin
+(``vecs_np``/``scales_np``/``terms_np``/``weights_np``/``cols_np``), updated
+by the same mutations that update HBM. All the data arrives FROM the host
+(upserts) so the mirror costs a memcpy, never a transfer — and it makes
+spill (``to_host``), cold-tier offload, and compaction **pure host reads**:
+no device→host pull ever happens on the serving path, so none of them
+stalls searches for transfer time. This is the Qdrant storage split
+(RAM/mmap copy behind the in-memory index, reference docker-compose.yml:2-9)
+mapped to TPU: HBM holds the scan arrays, host RAM holds the durable twin.
+TPU hosts carry multiples of HBM in RAM, so the twin is capacity-free.
 """
 
 from __future__ import annotations
@@ -24,11 +35,12 @@ from __future__ import annotations
 import functools
 from typing import Any
 
+import ml_dtypes
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from voitta_rag_tpu.ops.filters import COL_VALID, NUM_COLS
+from voitta_rag_tpu.ops.filters import COL_DOC, COL_VALID, NUM_COLS
 
 UPDATE_BUCKETS = (256, 4096)
 
@@ -57,6 +69,70 @@ def _updaters(bucket: int):
         return scales.at[0, rows].set(vals, mode="drop")
 
     return set_rows, set_cols, set_scales
+
+
+class StagedRows:
+    """A chunk batch converted + uploaded, ready to scatter into a segment.
+
+    Built by :func:`stage_rows` outside the store lock: the host→device
+    transfer (the expensive part on a tunneled TPU — ~13 MB for a padded
+    4096-row 768-d batch) completes before the lock is taken, so the
+    under-lock work is scatter *dispatch* only. Device arrays are padded to
+    the scatter bucket; host copies feed the segment's write-through
+    mirrors."""
+
+    __slots__ = ("n", "bucket", "vecs_host", "scales_host", "terms_host",
+                 "weights_host", "cols_host", "vecs_dev", "scales_dev",
+                 "terms_dev", "weights_dev", "cols_dev")
+
+    def block_until_ready(self) -> "StagedRows":
+        jax.block_until_ready(self.cols_dev)
+        return self
+
+
+def stage_rows(dense: np.ndarray, col_rows: np.ndarray, terms: np.ndarray,
+               weights: np.ndarray, *, dim: int, sparse_slots: int,
+               dtype: str) -> StagedRows:
+    """Convert one ≤bucket-sized batch host-side and upload it padded.
+
+    dense [n, D] f32 (unit-norm), col_rows [n, NUM_COLS] int32, terms
+    [n, S] int32, weights [n, S] f32. int8 mode quantizes here (host), so
+    the upload is 1 byte/element; bfloat16 converts here (ml_dtypes), so
+    the upload is 2 bytes/element — the device never sees f32 rows."""
+    n = len(dense)
+    b = _bucket(n)
+    assert n <= b, "stage_rows takes one scatter bucket at most"
+    st = StagedRows()
+    st.n, st.bucket = n, b
+
+    if dtype == "int8":
+        scale = np.abs(dense).max(axis=1) / 127.0
+        scale = np.where(scale == 0, 1.0, scale)
+        q = np.clip(np.round(dense / scale[:, None]), -127, 127)
+        vals = np.zeros((b, dim), np.int8)
+        vals[:n] = q
+        sv = np.zeros(b, np.float32)
+        sv[:n] = scale
+        st.vecs_host, st.scales_host = vals[:n], sv[:n]
+        st.vecs_dev, st.scales_dev = jnp.asarray(vals), jnp.asarray(sv)
+    else:
+        np_dt = ml_dtypes.bfloat16 if dtype == "bfloat16" else np.float32
+        vals = np.zeros((b, dim), np_dt)
+        vals[:n] = dense.astype(np_dt)
+        st.vecs_host, st.scales_host = vals[:n], None
+        st.vecs_dev, st.scales_dev = jnp.asarray(vals), None
+
+    tv = np.full((b, sparse_slots), -1, np.int32)
+    tv[:n] = terms
+    wv = np.zeros((b, sparse_slots), np.float32)
+    wv[:n] = weights
+    cv = np.zeros((b, NUM_COLS), np.int32)
+    cv[:n] = col_rows
+    st.terms_host, st.weights_host, st.cols_host = tv[:n], wv[:n], cv[:n]
+    st.terms_dev = jnp.asarray(tv)
+    st.weights_dev = jnp.asarray(wv)
+    st.cols_dev = jnp.asarray(cv)
+    return st
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
@@ -115,15 +191,23 @@ class Segment:
         self.dtype = dtype
         store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                     "int8": jnp.int8}[dtype]
+        self.np_dtype = {"bfloat16": ml_dtypes.bfloat16,
+                         "float32": np.float32, "int8": np.int8}[dtype]
         self.vecs = jnp.zeros((capacity, dim), store_dt)
         self.scales = (jnp.zeros((1, capacity), jnp.float32)
                        if dtype == "int8" else None)
         self.terms = jnp.full((sparse_slots, capacity), -1, jnp.int32)
         self.weights = jnp.zeros((sparse_slots, capacity), jnp.float32)
         self.cols = jnp.zeros((NUM_COLS, capacity), jnp.int32)
-        # Host mirrors: allocation decisions + BM25 df bookkeeping on delete.
+        # Write-through host mirrors of every device array (module
+        # docstring): spill/offload/compaction read these, never the device.
+        self.vecs_np = np.zeros((capacity, dim), self.np_dtype)
+        self.scales_np = (np.zeros((1, capacity), np.float32)
+                          if dtype == "int8" else None)
+        self.weights_np = np.zeros((sparse_slots, capacity), np.float32)
+        self.cols_np = np.zeros((NUM_COLS, capacity), np.int32)
         self.valid_np = np.zeros(capacity, bool)
-        self.doc_np = np.full(capacity, -1, np.int32)
+        self.doc_np = self.cols_np[COL_DOC]  # view; writes go through cols_np
         self.terms_np = np.full((capacity, sparse_slots), -1, np.int32)
         self._next = 0
         self._free: list[int] = []
@@ -216,13 +300,16 @@ class Segment:
             self.bq_qmat = jnp.asarray(a_mat)  # [D, D]; query transform
             self.bq_cols = self.cols  # device copy stays for the scan
             jax.block_until_ready(self.bq_packed)
-        # Pull the full arrays to host (bf16 arrives as ml_dtypes numpy).
-        self.vecs = np.array(self.vecs)
+        # Adopt the write-through host mirrors as primary storage: offload
+        # frees HBM by DROPPING the device refs — zero device→host transfer
+        # (the mirrors already hold the settled state; the
+        # block_until_ready above drained pending scatters).
+        self.vecs = self.vecs_np
         if self.scales is not None:
-            self.scales = np.array(self.scales)
-        self.terms = np.array(self.terms)
-        self.weights = np.array(self.weights)
-        self.cols = np.array(self.cols)
+            self.scales = self.scales_np
+        self.terms = np.ascontiguousarray(self.terms_np.T)
+        self.weights = self.weights_np
+        self.cols = self.cols_np
         if bq:
             from voitta_rag_tpu.index.host_postings import HostPostings
 
@@ -230,18 +317,18 @@ class Segment:
         self._resident = False
 
     def ensure_resident(self) -> None:
-        """Bring an offloaded segment back into HBM (compaction/rebuild)."""
+        """Bring an offloaded segment back into HBM (compaction/rebuild).
+
+        Uploads from the host mirrors (which carried any tombstones applied
+        while cold — offload made them the primary storage)."""
         if self._resident:
             return
-        self.vecs = jnp.asarray(self.vecs)
+        self.vecs = jnp.asarray(self.vecs_np)
         if self.scales is not None:
-            self.scales = jnp.asarray(self.scales)
-        self.terms = jnp.asarray(self.terms)
-        self.weights = jnp.asarray(self.weights)
-        # The BQ shadow's cols carry any tombstones applied while cold;
-        # adopt them as the live device copy instead of re-uploading.
-        self.cols = (self.bq_cols if self.bq_cols is not None
-                     else jnp.asarray(self.cols))
+            self.scales = jnp.asarray(self.scales_np)
+        self.terms = jnp.asarray(np.ascontiguousarray(self.terms_np.T))
+        self.weights = jnp.asarray(self.weights_np)
+        self.cols = jnp.asarray(self.cols_np)
         self.bq_packed = self.bq_scales = self.bq_cols = None
         self.bq_qmat = None
         self.host_postings = None
@@ -293,43 +380,46 @@ class Segment:
                 self.write_rows(rows[s:e], dense[s:e], col_rows[s:e],
                                 terms[s:e], weights[s:e])
             return
-        b = _bucket(n)
+        self.write_staged(rows, stage_rows(
+            dense, col_rows, terms, weights, dim=self.dim,
+            sparse_slots=self.sparse_slots, dtype=self.dtype))
+
+    def write_staged(self, rows: np.ndarray, staged: "StagedRows",
+                     offset: int = 0) -> None:
+        """Scatter ``len(rows)`` staged rows (``staged`` rows
+        [offset, offset+len(rows))) into this segment.
+
+        The staged device arrays were uploaded (and host-converted) by
+        :func:`stage_rows` — OUTSIDE the store lock — so the critical
+        section here is scatter dispatch + host-mirror memcpy, never a
+        host→device transfer. The full staged batch is passed to every
+        scatter with non-selected positions mapped to an out-of-range row
+        (dropped), so a batch split across segments reuses the same staged
+        buffers with no reslicing."""
+        assert self._resident, "write_staged on an offloaded (cold) segment"
+        n = len(rows)
+        b = staged.bucket
+        assert offset + n <= b
         # Pad with out-of-range rows -> dropped by scatter mode='drop'.
         rows_p = np.full(b, self.capacity, np.int32)
-        rows_p[:n] = rows
+        rows_p[offset:offset + n] = rows
         set_rows, set_cols, set_scales = _updaters(b)
 
+        self.vecs = set_rows(self.vecs, rows_p, staged.vecs_dev)
         if self.dtype == "int8":
-            scale = np.abs(dense).max(axis=1) / 127.0
-            scale = np.where(scale == 0, 1.0, scale)
-            q = np.clip(np.round(dense / scale[:, None]), -127, 127).astype(np.int8)
-            vals = np.zeros((b, self.dim), np.int8)
-            vals[:n] = q
-            self.vecs = set_rows(self.vecs, rows_p, jnp.asarray(vals))
-            sv = np.zeros(b, np.float32)
-            sv[:n] = scale
-            self.scales = set_scales(self.scales, rows_p, jnp.asarray(sv))
-        else:
-            dt = self.vecs.dtype
-            vals = np.zeros((b, self.dim), np.float32)
-            vals[:n] = dense
-            self.vecs = set_rows(self.vecs, rows_p, jnp.asarray(vals, dt))
+            self.scales = set_scales(self.scales, rows_p, staged.scales_dev)
+        self.terms = set_cols(self.terms, rows_p, staged.terms_dev)
+        self.weights = set_cols(self.weights, rows_p, staged.weights_dev)
+        self.cols = set_cols(self.cols, rows_p, staged.cols_dev)
 
-        tv = np.full((b, self.sparse_slots), -1, np.int32)
-        tv[:n] = terms
-        self.terms = set_cols(self.terms, rows_p, jnp.asarray(tv))
-        wv = np.zeros((b, self.sparse_slots), np.float32)
-        wv[:n] = weights
-        self.weights = set_cols(self.weights, rows_p, jnp.asarray(wv))
-
-        cv = np.zeros((b, NUM_COLS), np.int32)
-        cv[:n] = col_rows
-        self.cols = set_cols(self.cols, rows_p, jnp.asarray(cv))
-
-        self.valid_np[rows] = col_rows[:, COL_VALID] > 0
-        self.terms_np[rows] = terms
-        from voitta_rag_tpu.ops.filters import COL_DOC
-        self.doc_np[rows] = col_rows[:, COL_DOC]
+        sl = slice(offset, offset + n)
+        self.vecs_np[rows] = staged.vecs_host[sl]
+        if self.scales_np is not None:
+            self.scales_np[0, rows] = staged.scales_host[sl]
+        self.weights_np[:, rows] = staged.weights_host[sl].T
+        self.cols_np[:, rows] = staged.cols_host[sl].T
+        self.valid_np[rows] = staged.cols_host[sl, COL_VALID] > 0
+        self.terms_np[rows] = staged.terms_host[sl]
 
     def tombstone_rows(self, rows: np.ndarray) -> None:
         if len(rows) == 0:
@@ -347,6 +437,7 @@ class Segment:
             rows_p = np.full(b, self.capacity, np.int32)
             rows_p[: len(chunk)] = chunk
             self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
+        self.cols_np[COL_VALID, rows] = 0
         self.valid_np[rows] = False
         self._free.extend(int(r) for r in rows)
 
@@ -364,11 +455,9 @@ class Segment:
 
     def tombstone_matching(self, col_idx: int, match_id: int) -> np.ndarray:
         """Tombstone all rows whose cols[col_idx] == match_id; returns rows."""
-        if col_idx == 5:  # COL_DOC — host mirror avoids a device pull
-            rows = np.nonzero(self.valid_np & (self.doc_np == match_id))[0]
-        else:
-            col_host = np.asarray(self.cols[col_idx])
-            rows = np.nonzero(self.valid_np & (col_host == match_id))[0]
+        # cols_np mirror: no device pull for ANY column.
+        rows = np.nonzero(self.valid_np
+                          & (self.cols_np[col_idx] == match_id))[0]
         if len(rows) == 0:
             return rows.astype(np.int32)
         if not self._resident:
@@ -377,24 +466,33 @@ class Segment:
             self._bq_tombstone(rows)
             return rows.astype(np.int32)
         self.cols = _tombstone_matching(self.cols, col_idx, match_id)
+        self.cols_np[COL_VALID, rows] = 0
         self.valid_np[rows] = False
         self._free.extend(int(r) for r in rows)
         return rows.astype(np.int32)
 
     # -- persistence --------------------------------------------------------
     def to_host(self) -> dict[str, Any]:
+        """Snapshot this segment as host arrays — PURE HOST READS.
+
+        Reads the write-through mirrors, never the device: spill and
+        compaction cost memcpy, not a device→host transfer under the store
+        lock. Arrays are COPIED because save() compresses them outside the
+        lock while mutations keep landing in the mirrors — the snapshot
+        must stay consistent-at-capture."""
         out = {
             "capacity": self.capacity, "dim": self.dim,
             "sparse_slots": self.sparse_slots, "dtype": self.dtype,
             "next": self._next, "free": np.asarray(self._free, np.int32),
-            "vecs": np.asarray(self.vecs.astype(jnp.float32))
-            if self.dtype == "bfloat16" else np.asarray(self.vecs),
-            "terms": np.asarray(self.terms),
-            "weights": np.asarray(self.weights),
-            "cols": np.asarray(self.cols),
+            # bf16 spills as f32 (npz has no bf16); int8/f32 spill as-is.
+            "vecs": self.vecs_np.astype(np.float32)
+            if self.dtype == "bfloat16" else self.vecs_np.copy(),
+            "terms": np.ascontiguousarray(self.terms_np.T),  # [S, cap]
+            "weights": self.weights_np.copy(),
+            "cols": self.cols_np.copy(),
         }
-        if self.scales is not None:
-            out["scales"] = np.asarray(self.scales)
+        if self.scales_np is not None:
+            out["scales"] = self.scales_np.copy()
         return out
 
     @classmethod
@@ -415,9 +513,13 @@ class Segment:
             seg.scales = jnp.asarray(data["scales"])
         seg._next = int(data["next"])
         seg._free = [int(x) for x in data["free"]]
-        cols_host = np.asarray(data["cols"])
-        seg.valid_np = cols_host[COL_VALID] > 0
+        # Rebuild the write-through host mirrors (doc_np stays the cols_np
+        # view set by __init__ — it must alias, not copy).
+        seg.vecs_np[:] = np.asarray(data["vecs"]).astype(seg.np_dtype)
+        if seg.scales_np is not None and "scales" in data:
+            seg.scales_np[:] = np.asarray(data["scales"])
+        seg.weights_np[:] = weights
+        seg.cols_np[:] = np.asarray(data["cols"], np.int32)
+        seg.valid_np = seg.cols_np[COL_VALID] > 0
         seg.terms_np = np.ascontiguousarray(terms.T)  # host mirror: [cap, S]
-        from voitta_rag_tpu.ops.filters import COL_DOC
-        seg.doc_np = cols_host[COL_DOC].astype(np.int32)
         return seg
