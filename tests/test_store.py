@@ -459,3 +459,129 @@ def test_capacity_change_on_reload_adopts_spill_capacity(temp_root, monkeypatch)
         assert st2.search(vecs[42], limit=3)[0].text == "text 42"
     finally:
         st2.close()
+
+
+def test_compaction_window_mutations(temp_root, monkeypatch):
+    """Seal-based compaction: the rebuild runs OUTSIDE the store lock, so
+    upserts and deletes land mid-compaction. Deletes journal into
+    _compact_deleted and re-apply to the rebuilt rows at commit; upserts
+    land in fresh (unsealed) segments that slide down after the rebuilt
+    ones with their gids remapped."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(7)
+    w_vecs = {}
+    try:
+        make_corpus_chunks(store, 1024, "a", rng)
+        make_corpus_chunks(store, 1024, "b", rng)
+        keep_vecs = make_corpus_chunks(store, 50, "c", rng)
+        d_vecs = make_corpus_chunks(store, 50, "d", rng)
+        store.delete_by_folder("a")
+        store.delete_by_folder("b")
+        assert store.count() == 100
+
+        real_savez = np.savez_compressed
+        fired = []
+
+        def savez_with_window_mutations(*args, **kwargs):
+            # First temp spill == we are inside the unlocked phase 2 of
+            # compact(): mutate the store like a concurrent writer would.
+            if not fired:
+                fired.append(True)
+                assert store.delete_by_folder("d") == 50
+                w_vecs["w"] = make_corpus_chunks(store, 30, "w", rng)
+            return real_savez(*args, **kwargs)
+
+        monkeypatch.setattr(np, "savez_compressed",
+                            savez_with_window_mutations)
+        info = store.compact()
+        monkeypatch.setattr(np, "savez_compressed", real_savez)
+
+        assert info["compacted"]
+        assert info["window_deletes"] == 50
+        assert info["window_segments"] == 1
+        assert store.count() == 80  # 100 - 50 deleted + 30 inserted
+        assert len(store.segments) == 2  # rebuilt + appended
+
+        # Survivors resolve their own payloads through the remap.
+        for i in (0, 23, 49):
+            hits = store.search(keep_vecs[i], limit=1)
+            assert hits and hits[0].metadata.file_path == f"c/{i}.md", i
+        # Window-deleted rows are gone even though the rebuild had
+        # snapshotted them as live.
+        for i in (0, 25, 49):
+            hits = store.search(d_vecs[i], limit=1)
+            assert not hits or not hits[0].metadata.file_path.startswith("d/")
+        # Window-inserted rows searchable with correct payloads after the
+        # appended segment's gid shift.
+        for i in (0, 15, 29):
+            hits = store.search(w_vecs["w"][i], limit=1)
+            assert hits and hits[0].metadata.file_path == f"w/{i}.md", i
+
+        # Window mutations flush on save; a reload serves the same state.
+        assert store._unsaved_mutations > 0
+        store.save()
+        store.close()
+        store = TpuVectorStore(dimension=64)
+        assert store.count() == 80
+        assert store.search(keep_vecs[23], limit=1)[0].metadata.file_path \
+            == "c/23.md"
+        assert store.search(w_vecs["w"][15], limit=1)[0].metadata.file_path \
+            == "w/15.md"
+        hits = store.search(d_vecs[25], limit=1)
+        assert not hits or not hits[0].metadata.file_path.startswith("d/")
+    finally:
+        store.close()
+        get_settings.cache_clear()
+
+
+def test_compaction_failure_unseals(temp_root, monkeypatch):
+    """A phase-2 failure (temp spill I/O error) must unseal the snapshotted
+    segments and disarm the delete journal so the store keeps serving and
+    a retry works."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(8)
+    try:
+        make_corpus_chunks(store, 1024, "a", rng)
+        keep_vecs = make_corpus_chunks(store, 40, "c", rng)
+        store.delete_by_folder("a")
+
+        real_savez = np.savez_compressed
+
+        def boom(*args, **kwargs):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(np, "savez_compressed", boom)
+        with pytest.raises(OSError):
+            store.compact()
+        monkeypatch.setattr(np, "savez_compressed", real_savez)
+
+        assert store._compact_deleted is None
+        assert not list(store.index_dir.glob("compact_*.tmp.npz"))
+        # Unsealed: new rows go into the existing segments, not a new one.
+        n_before = len(store.segments)
+        make_corpus_chunks(store, 10, "e", rng)
+        assert len(store.segments) == n_before
+        # Retry compacts cleanly.
+        info = store.compact()
+        assert info["compacted"]
+        assert store.search(keep_vecs[11], limit=1)[0].metadata.file_path \
+            == "c/11.md"
+    finally:
+        store.close()
+        get_settings.cache_clear()

@@ -211,6 +211,7 @@ class Segment:
         self.terms_np = np.full((capacity, sparse_slots), -1, np.int32)
         self._next = 0
         self._free: list[int] = []
+        self._sealed = False  # sealed by an in-flight compaction
         # Cold tier: an offloaded segment keeps the same arrays as numpy in
         # host RAM (beyond-HBM serving; the Qdrant-mmap analogue). Searches
         # stream it through device staging blocks (index/stream_scan.py);
@@ -339,9 +340,21 @@ class Segment:
     def live_count(self) -> int:
         return int(self.valid_np.sum())
 
+    def seal(self) -> None:
+        """Stop accepting new rows (tombstones still apply).
+
+        Compaction seals the segments it snapshotted so concurrent upserts
+        land in FRESH segments (whose rows carry over untouched) — the
+        snapshot→rebuild mapping stays stable while the rebuild runs
+        outside the store lock."""
+        self._sealed = True
+
+    def unseal(self) -> None:
+        self._sealed = False
+
     def rows_available(self) -> int:
-        if not self._resident:
-            return 0  # cold segments take no new writes
+        if not self._resident or self._sealed:
+            return 0  # cold/sealed segments take no new writes
         return (self.capacity - self._next) + len(self._free)
 
     def allocate(self, n: int) -> np.ndarray:

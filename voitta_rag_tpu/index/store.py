@@ -106,6 +106,9 @@ class TpuVectorStore:
         # deleted), so lock-free searches can detect that their scored gids
         # belong to a previous numbering (see _materialize).
         self._generation = 0
+        # Non-None while a seal-based compaction is in flight: gids deleted
+        # during its unlocked rebuild window, re-applied at commit.
+        self._compact_deleted: set[int] | None = None
 
     @staticmethod
     def _resolve_shards(setting: str) -> int:
@@ -424,6 +427,11 @@ class TpuVectorStore:
             self._postings_dirty = True
             self._unsaved_mutations += len(gids)
             return len(gids)
+        if self._compact_deleted is not None:
+            # An in-flight compaction rebuilt (or is rebuilding) these rows
+            # from its capture-time snapshot; record them so its commit
+            # phase re-applies the tombstones to the rebuilt segments.
+            self._compact_deleted.update(int(g) for g in gids)
         by_seg: dict[int, list[int]] = {}
         for g in gids:
             by_seg.setdefault(g // self.segment_capacity, []).append(
@@ -1153,137 +1161,211 @@ class TpuVectorStore:
         dead or a whole segment can be dropped. int8 segments re-quantize
         from their dequantized values (second-order error only).
 
+        SEAL-BASED: the store lock is held only for two brief phases.
+        Phase 1 snapshots live rows from the host mirrors (memcpy), SEALS
+        the snapshotted segments against new writes, and arms a delete
+        journal (``_compact_deleted``). Phase 2 — uploads of the packed
+        corpus and the zlib temp spills, the minutes-scale work that
+        previously held the lock for the whole rebuild — runs UNLOCKED
+        while searches, upserts (landing in fresh unsealed segments), and
+        deletes (tombstoning the sealed segments AND the journal) proceed.
+        Phase 3 re-applies journaled deletes to the rebuilt segments,
+        shifts segments appended during the window to follow the rebuilt
+        ones (their rows carry over; only their gids remap), and commits.
+
         Crash safety (journaled): new segments are spilled to temp files
         FIRST; the payload remap commits atomically with a bumped
         ``gid_generation`` stamp that a journal file also records; only
         then are temps renamed over the old spills. Recovery on open
         (:meth:`_recover_compaction`) uses the stamp to tell which side of
         the remap a crash landed on and rolls forward or discards temps.
+        Window mutations not yet respilled at a crash degrade exactly like
+        a crash before a routine autosave: tombstone-less rows with no
+        payload are dropped defensively (:meth:`_materialize`), appended
+        rows surface as payload/device divergence for the repair cycle.
 
         Lock order: ``_save_lock`` → ``_lock`` (same as save/close) — an
         autosave's UNLOCKED compression/write phase racing compact() would
         otherwise os.replace stale pre-compaction spills over the freshly
         renamed compacted ones (old numbering against remapped payloads).
+        ``_save_lock`` is held for the whole rebuild, so autosave/close
+        block until commit (background threads; acceptable by design).
         """
-        with self._save_lock, self._lock:
-            self._ensure_open()
-            if self._sharded is not None:
-                raise ValueError(
-                    "compaction applies to flat segments (sharded mode "
-                    "reuses tombstoned rows in place)")
-            if not self._segments:
-                return {"compacted": False, "reason": "empty store"}
-            cap = self.segment_capacity
-            live_total = sum(s.live_count for s in self._segments)
-            n_needed = max((live_total + cap - 1) // cap, 1)
-            allocated = sum(min(s._next, s.capacity) for s in self._segments)
-            dead = allocated - live_total
-            if allocated == 0 or (n_needed == len(self._segments)
-                                  and dead < allocated * min_waste_fraction):
-                return {"compacted": False, "reason": "below waste threshold",
-                        "live": live_total, "dead": dead}
+        with self._save_lock:
+            # ---- Phase 1 (locked): snapshot mirrors + seal --------------
+            with self._lock:
+                self._ensure_open()
+                if self._sharded is not None:
+                    raise ValueError(
+                        "compaction applies to flat segments (sharded mode "
+                        "reuses tombstoned rows in place)")
+                if not self._segments:
+                    return {"compacted": False, "reason": "empty store"}
+                cap = self.segment_capacity
+                live_total = sum(s.live_count for s in self._segments)
+                n_needed = max((live_total + cap - 1) // cap, 1)
+                allocated = sum(min(s._next, s.capacity)
+                                for s in self._segments)
+                dead = allocated - live_total
+                if allocated == 0 or (n_needed == len(self._segments)
+                                      and dead < allocated * min_waste_fraction):
+                    return {"compacted": False,
+                            "reason": "below waste threshold",
+                            "live": live_total, "dead": dead}
 
-            dense_l, cols_l, terms_l, weights_l, old_gids = [], [], [], [], []
-            for si, seg in enumerate(self._segments):
-                rows = np.nonzero(seg.valid_np)[0]
-                if not len(rows):
-                    continue
-                host = seg.to_host()
-                vecs = host["vecs"][rows]
-                if seg.dtype == "int8":
-                    vecs = (vecs.astype(np.float32)
-                            * host["scales"][0][rows][:, None])
-                dense_l.append(vecs)
-                cols_l.append(host["cols"][:, rows].T)
-                terms_l.append(host["terms"][:, rows].T)
-                weights_l.append(host["weights"][:, rows].T)
-                old_gids.append(rows + si * cap)
-            dense = np.concatenate(dense_l) if dense_l else np.zeros(
-                (0, self.dimension), np.float32)
-            cols_rows = np.concatenate(cols_l) if cols_l else None
-            terms_rows = np.concatenate(terms_l) if terms_l else None
-            weights_rows = np.concatenate(weights_l) if weights_l else None
-            old = np.concatenate(old_gids) if old_gids else np.zeros(
-                0, np.int64)
+                dense_l, cols_l, terms_l, weights_l, old_gids = \
+                    [], [], [], [], []
+                for si, seg in enumerate(self._segments):
+                    rows = np.nonzero(seg.valid_np)[0]
+                    if not len(rows):
+                        continue
+                    # Host mirrors, fancy-indexed → consistent copies.
+                    vecs = seg.vecs_np[rows].astype(np.float32)
+                    if seg.dtype == "int8":
+                        vecs *= seg.scales_np[0][rows][:, None]
+                    dense_l.append(vecs)
+                    cols_l.append(seg.cols_np[:, rows].T)
+                    terms_l.append(seg.terms_np[rows])
+                    weights_l.append(seg.weights_np[:, rows].T)
+                    old_gids.append(rows + si * cap)
+                n_sealed = len(self._segments)
+                for seg in self._segments:
+                    seg.seal()
+                self._compact_deleted = set()
 
-            new_segments = []
-            mapping: dict[int, int] = {}
-            pos = 0
-            for si in range(n_needed):
-                seg = Segment(cap, self.dimension, self.sparse_slots,
-                              self.segment_dtype)
-                n = min(cap, len(dense) - pos)
-                if n > 0:
-                    rows = seg.allocate(n)
-                    seg.write_rows(rows, dense[pos:pos + n],
-                                   cols_rows[pos:pos + n],
-                                   terms_rows[pos:pos + n],
-                                   weights_rows[pos:pos + n])
-                    for j, r in enumerate(rows):
-                        mapping[int(old[pos + j])] = si * cap + int(r)
-                    pos += n
-                new_segments.append(seg)
-                # Beyond-HBM stores: never hold more than the device budget
-                # resident while rebuilding — filled segments offload as
-                # they complete (the last stays resident for writes).
-                if (self._device_rows_budget and si < n_needed - 1
-                        and (si + 1) * cap > self._device_rows_budget):
-                    seg.offload(bq=self._cold_bq)
+            # ---- Phase 2 (UNLOCKED): rebuild + temp spills --------------
+            tmp_paths: list = []
+            try:
+                dense = np.concatenate(dense_l) if dense_l else np.zeros(
+                    (0, self.dimension), np.float32)
+                cols_rows = np.concatenate(cols_l) if cols_l else None
+                terms_rows = np.concatenate(terms_l) if terms_l else None
+                weights_rows = (np.concatenate(weights_l) if weights_l
+                                else None)
+                old = np.concatenate(old_gids) if old_gids else np.zeros(
+                    0, np.int64)
 
-            # ---- journaled commit ----
-            # 1. New spills under temp names (old finals stay valid).
-            tmp_paths = []
-            for i, seg in enumerate(new_segments):
-                tmp = self.index_dir / f"compact_{i:04d}.tmp.npz"
-                np.savez_compressed(tmp, **seg.to_host())
-                tmp_paths.append(tmp)
-            # 2. Journal records the generation the remap will stamp.
-            new_gen = self._generation + 1
-            journal = self.index_dir / "compaction.journal"
-            # Atomic journal write (write-then-rename): a torn journal at
-            # recovery time with a committed remap would discard the temps
-            # the roll-forward needs.
-            jtmp = journal.with_suffix(".journal.tmp")
-            jtmp.write_text(json.dumps(
-                {"generation": new_gen, "segments": n_needed}))
-            os.replace(jtmp, journal)
-            # 3. Drop orphan payload rows (lost/quarantined segments: their
-            #    device rows are gone and the repair cycle re-indexes the
-            #    files) so remap targets cannot collide, then remap + stamp
-            #    in ONE transaction.
-            orphans = set(self._payloads.all_gids()) - set(mapping)
-            if orphans:
-                self._payloads.delete_gids(sorted(orphans))
-                logger.info("compact: dropped %d orphan payload rows "
-                            "(pending repair)", len(orphans))
-            # In-memory generation bumps BEFORE the SQL remap commits: a
-            # reader that somehow observes the remapped payloads must also
-            # observe the bumped generation (its gen check then fails and
-            # it returns empty instead of wrong rows). With searches now
-            # under the store lock this is belt-and-braces, but the
-            # ordering keeps the guarantee independent of lock discipline.
-            self._generation = new_gen
-            self._payloads.remap_gids(
-                {o: nw for o, nw in mapping.items() if o != nw},
-                generation=new_gen)
-            # 4. Swap in memory + on disk, then clear the journal.
-            dropped = len(self._segments) - n_needed
-            self._segments = new_segments
-            self._enforce_device_budget()
-            self._ivf_dirty = True
-            self._postings_dirty = True
-            for i, tmp in enumerate(tmp_paths):
-                os.replace(tmp, self.index_dir / f"segment_{i:04d}.npz")
-            self._prune_spills(n_needed)
-            journal.unlink(missing_ok=True)
-            self._unsaved_mutations = 0
-            logger.info(
-                "Compacted %d live rows into %d segments (%d dead rows "
-                "reclaimed, %d segments dropped)", live_total, n_needed,
-                dead, dropped)
-            return {"compacted": True, "live": live_total,
-                    "reclaimed": dead, "segments": n_needed,
-                    "segments_dropped": dropped}
+                new_segments = []
+                mapping: dict[int, int] = {}
+                pos = 0
+                for si in range(n_needed):
+                    seg = Segment(cap, self.dimension, self.sparse_slots,
+                                  self.segment_dtype)
+                    n = min(cap, len(dense) - pos)
+                    if n > 0:
+                        rows = seg.allocate(n)
+                        seg.write_rows(rows, dense[pos:pos + n],
+                                       cols_rows[pos:pos + n],
+                                       terms_rows[pos:pos + n],
+                                       weights_rows[pos:pos + n])
+                        for j, r in enumerate(rows):
+                            mapping[int(old[pos + j])] = si * cap + int(r)
+                        pos += n
+                    new_segments.append(seg)
+                    # Beyond-HBM stores: never hold more than the device
+                    # budget resident while rebuilding — filled segments
+                    # offload as they complete (the last stays resident).
+                    if (self._device_rows_budget and si < n_needed - 1
+                            and (si + 1) * cap > self._device_rows_budget):
+                        seg.offload(bq=self._cold_bq)
+
+                # New spills under temp names (old finals stay valid).
+                for i, seg in enumerate(new_segments):
+                    tmp = self.index_dir / f"compact_{i:04d}.tmp.npz"
+                    np.savez_compressed(tmp, **seg.to_host())
+                    tmp_paths.append(tmp)
+            except BaseException:
+                with self._lock:
+                    for seg in (self._segments or [])[:n_sealed]:
+                        seg.unseal()
+                    self._compact_deleted = None
+                for tmp in tmp_paths:
+                    tmp.unlink(missing_ok=True)
+                raise
+
+            # ---- Phase 3 (locked): delta replay + journaled commit ------
+            with self._lock:
+                # Deletes that landed during the rebuild window: their
+                # tombstones hit the sealed segments (now discarded), so
+                # re-apply them to the rebuilt rows. pop: a dead row needs
+                # no payload remap (its payload row is already gone).
+                deleted = self._compact_deleted or set()
+                self._compact_deleted = None
+                del_by_seg: dict[int, list[int]] = {}
+                for g in deleted:
+                    ng = mapping.pop(int(g), None)
+                    if ng is not None:
+                        del_by_seg.setdefault(ng // cap, []).append(ng % cap)
+                for si, rows in del_by_seg.items():
+                    new_segments[si].tombstone_rows(
+                        np.asarray(sorted(rows), np.int32))
+                # Segments appended during the window keep their rows and
+                # slide down to follow the rebuilt ones; identity entries
+                # keep their payload rows out of the orphan sweep.
+                appended = self._segments[n_sealed:]
+                for j, seg in enumerate(appended):
+                    ob = (n_sealed + j) * cap
+                    nb = (n_needed + j) * cap
+                    for r in range(seg._next):
+                        mapping[ob + r] = nb + r
+                n_total = n_needed + len(appended)
+
+                # Journal records the generation the remap will stamp.
+                new_gen = self._generation + 1
+                journal = self.index_dir / "compaction.journal"
+                # Atomic journal write (write-then-rename): a torn journal
+                # at recovery time with a committed remap would discard the
+                # temps the roll-forward needs.
+                jtmp = journal.with_suffix(".journal.tmp")
+                jtmp.write_text(json.dumps(
+                    {"generation": new_gen, "segments": n_needed}))
+                os.replace(jtmp, journal)
+                # Drop orphan payload rows (lost/quarantined segments:
+                # their device rows are gone and the repair cycle
+                # re-indexes the files) so remap targets cannot collide,
+                # then remap + stamp in ONE transaction.
+                orphans = set(self._payloads.all_gids()) - set(mapping)
+                if orphans:
+                    self._payloads.delete_gids(sorted(orphans))
+                    logger.info("compact: dropped %d orphan payload rows "
+                                "(pending repair)", len(orphans))
+                # In-memory generation bumps BEFORE the SQL remap commits:
+                # a reader that somehow observes the remapped payloads must
+                # also observe the bumped generation (its gen check then
+                # fails and it returns empty instead of wrong rows).
+                self._generation = new_gen
+                self._payloads.remap_gids(
+                    {o: nw for o, nw in mapping.items() if o != nw},
+                    generation=new_gen)
+                # Swap in memory + on disk, then clear the journal.
+                dropped = n_sealed - n_needed
+                self._segments = new_segments + list(appended)
+                self._enforce_device_budget()
+                self._ivf_dirty = True
+                self._postings_dirty = True
+                for i, tmp in enumerate(tmp_paths):
+                    os.replace(tmp, self.index_dir / f"segment_{i:04d}.npz")
+                # Appended segments have no spill yet; stale pre-compaction
+                # spills must not be reloadable at their slots.
+                for idx in range(n_needed, n_total):
+                    (self.index_dir
+                     / f"segment_{idx:04d}.npz").unlink(missing_ok=True)
+                self._prune_spills(n_total)
+                journal.unlink(missing_ok=True)
+                # Window mutations (appended rows; journaled deletes, which
+                # postdate the temp spills) flush at the next autosave.
+                self._unsaved_mutations = (len(deleted) + sum(
+                    s.live_count for s in appended))
+                logger.info(
+                    "Compacted %d live rows into %d segments (%d dead rows "
+                    "reclaimed, %d segments dropped, %d window deletes, "
+                    "%d window segments)", live_total, n_needed, dead,
+                    dropped, len(deleted), len(appended))
+                return {"compacted": True, "live": live_total,
+                        "reclaimed": dead, "segments": n_needed,
+                        "segments_dropped": dropped,
+                        "window_deletes": len(deleted),
+                        "window_segments": len(appended)}
 
     def _recover_compaction(self) -> None:
         """Roll an interrupted compaction forward or back (called with the
