@@ -585,3 +585,49 @@ def test_compaction_failure_unseals(temp_root, monkeypatch):
     finally:
         store.close()
         get_settings.cache_clear()
+
+
+def test_compaction_device_repack_preserves_int8_codes(temp_root, monkeypatch):
+    """The device gather repack copies int8 codes verbatim — no
+    dequantize→requantize round-trip. Survivor rows must carry bit-equal
+    codes and scales across compaction."""
+    import numpy as np
+
+    monkeypatch.setenv("VOITTA_SEGMENT_CAPACITY", "1024")
+    monkeypatch.setenv("EMBEDDING_DIMENSION", "64")
+    monkeypatch.setenv("VOITTA_SEGMENT_DTYPE", "int8")
+    from voitta_rag_tpu.config import get_settings
+    get_settings.cache_clear()
+    from voitta_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dimension=64)
+    rng = np.random.default_rng(3)
+    try:
+        make_corpus_chunks(store, 1024, "x", rng)
+        keep = make_corpus_chunks(store, 60, "y", rng)
+        seg1 = store.segments[1]
+        rows1 = np.nonzero(seg1.valid_np)[0]
+        codes_before = seg1.vecs_np[rows1].copy()
+        scales_before = seg1.scales_np[0][rows1].copy()
+
+        store.delete_by_folder("x")
+        info = store.compact()
+        assert info["compacted"] and len(store.segments) == 1
+        seg = store.segments[0]
+        rows_new = np.nonzero(seg.valid_np)[0]
+        assert len(rows_new) == 60
+        # Match rows via payload texts: y-chunk i -> its code row.
+        hits = store.search(keep[13], limit=1)
+        assert hits[0].metadata.file_path == "y/13.md"
+        # Codes are a permutation-preserved verbatim copy (compare sets of
+        # row bytes; order may differ only by the left-pack, which is
+        # positional here: single source segment, ascending rows).
+        np.testing.assert_array_equal(seg.vecs_np[rows_new], codes_before)
+        np.testing.assert_array_equal(seg.scales_np[0][rows_new],
+                                      scales_before)
+        # Device copy agrees with the mirror.
+        np.testing.assert_array_equal(
+            np.asarray(seg.vecs)[rows_new], codes_before)
+    finally:
+        store.close()
+        get_settings.cache_clear()

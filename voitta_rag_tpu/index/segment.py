@@ -42,7 +42,11 @@ import jax.numpy as jnp
 
 from voitta_rag_tpu.ops.filters import COL_DOC, COL_VALID, NUM_COLS
 
-UPDATE_BUCKETS = (256, 4096)
+# Power-of-two ladder: a batch pads to the next bucket, so padding never
+# more than doubles the host→device transfer. (A 256→4096 two-rung ladder
+# made the watcher's 512-row upserts ship 8× their bytes through the
+# tunnel — measured as the p95 tail of concurrent searches.)
+UPDATE_BUCKETS = (256, 512, 1024, 2048, 4096)
 
 
 def _bucket(n: int) -> int:
@@ -133,6 +137,55 @@ def stage_rows(dense: np.ndarray, col_rows: np.ndarray, terms: np.ndarray,
     st.weights_dev = jnp.asarray(wv)
     st.cols_dev = jnp.asarray(cv)
     return st
+
+
+@functools.cache
+def _repackers(bucket: int):
+    """Device-side gather-scatter programs for compaction repack: copy
+    ``bucket`` rows from a source segment's buffers straight into a
+    destination segment's — HBM-to-HBM at memory bandwidth, ZERO bytes
+    through the host tunnel (the host-upload rebuild shipped the whole
+    corpus back through it). Out-of-range dst rows drop (padding); src
+    rows are pre-clamped by the caller."""
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def take_rows(dst, src, src_rows, dst_rows):
+        return dst.at[dst_rows].set(src[src_rows], mode="drop")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def take_cols(dst, src, src_rows, dst_rows):
+        return dst.at[:, dst_rows].set(src[:, src_rows], mode="drop")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def take_scales(dst, src, src_rows, dst_rows):
+        return dst.at[0, dst_rows].set(src[0, src_rows], mode="drop")
+
+    return take_rows, take_cols, take_scales
+
+
+def gather_rows_into(seg: "Segment", dst_rows: np.ndarray,
+                     src_vecs, src_scales, src_terms, src_weights,
+                     src_rows: np.ndarray) -> None:
+    """Copy src rows (device buffers of a sealed segment) into ``seg`` at
+    ``dst_rows``, entirely on device. int8 codes copy verbatim — the
+    host-upload path's dequantize→requantize round-trip (second-order
+    error) disappears."""
+    n = len(dst_rows)
+    max_b = UPDATE_BUCKETS[-1]
+    for s in range(0, n, max_b):
+        sc = src_rows[s:s + max_b]
+        dc = dst_rows[s:s + max_b]
+        b = _bucket(len(sc))
+        sr = np.zeros(b, np.int32)
+        sr[: len(sc)] = sc
+        dr = np.full(b, seg.capacity, np.int32)  # pad -> dropped
+        dr[: len(dc)] = dc
+        sr_j, dr_j = jnp.asarray(sr), jnp.asarray(dr)
+        take_rows, take_cols, take_scales = _repackers(b)
+        seg.vecs = take_rows(seg.vecs, src_vecs, sr_j, dr_j)
+        if seg.scales is not None:
+            seg.scales = take_scales(seg.scales, src_scales, sr_j, dr_j)
+        seg.terms = take_cols(seg.terms, src_terms, sr_j, dr_j)
+        seg.weights = take_cols(seg.weights, src_weights, sr_j, dr_j)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
@@ -434,7 +487,10 @@ class Segment:
         self.valid_np[rows] = staged.cols_host[sl, COL_VALID] > 0
         self.terms_np[rows] = staged.terms_host[sl]
 
-    def tombstone_rows(self, rows: np.ndarray) -> None:
+    def tombstone_rows(self, rows: np.ndarray, free: bool = True) -> None:
+        """Invalidate rows. ``free=False`` defers the free-list release
+        (see :meth:`release_rows`): the store's 3-phase delete must not
+        let an upsert reuse a row before its payload row is deleted."""
         if len(rows) == 0:
             return
         if not self._resident:
@@ -452,6 +508,14 @@ class Segment:
             self.cols = _tombstone_rows(self.cols, jnp.asarray(rows_p))
         self.cols_np[COL_VALID, rows] = 0
         self.valid_np[rows] = False
+        if free:
+            self._free.extend(int(r) for r in rows)
+
+    def release_rows(self, rows: np.ndarray) -> None:
+        """Put deferred-freed tombstoned rows on the free list (the second
+        locked phase of the store's 3-phase delete)."""
+        if not self._resident:
+            return
         self._free.extend(int(r) for r in rows)
 
     def _bq_tombstone(self, rows: np.ndarray) -> None:

@@ -25,6 +25,7 @@ import uuid
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from voitta_rag_tpu.config import get_settings
@@ -109,6 +110,8 @@ class TpuVectorStore:
         # Non-None while a seal-based compaction is in flight: gids deleted
         # during its unlocked rebuild window, re-applied at commit.
         self._compact_deleted: set[int] | None = None
+        # Scatter-bucket programs already compiled (outside the lock).
+        self._warmed_programs: set = set()
 
     @staticmethod
     def _resolve_shards(setting: str) -> int:
@@ -306,6 +309,46 @@ class TpuVectorStore:
     def _gid(self, seg: Segment, row: int) -> int:
         return self._segments.index(seg) * self.segment_capacity + int(row)
 
+    def _warm_mutation_programs(self, bucket: int) -> None:
+        """Compile the donated scatter/tombstone programs for ``bucket``
+        OUTSIDE the store lock. XLA compiles on first call; a multi-second
+        first-use compile inside the serving lock was the single worst
+        search stall under mutation (measured 3.9 s). One-time per
+        (bucket, segment shape); the dummy buffers free on return.
+        Best-effort: a failure (e.g. HBM pressure) just defers the compile
+        to the real call."""
+        key = (bucket, self.segment_capacity, self.dimension,
+               self.sparse_slots, self.segment_dtype)
+        if key in self._warmed_programs:
+            return
+        try:
+            from voitta_rag_tpu.index.segment import (
+                _tombstone_rows, _updaters,
+            )
+
+            cap, dim, s = (self.segment_capacity, self.dimension,
+                           self.sparse_slots)
+            store_dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                        "int8": jnp.int8}[self.segment_dtype]
+            rows = jnp.full((bucket,), cap, jnp.int32)  # all dropped
+            set_rows, set_cols, set_scales = _updaters(bucket)
+            set_rows(jnp.zeros((cap, dim), store_dt), rows,
+                     jnp.zeros((bucket, dim), store_dt))
+            cols = set_cols(jnp.zeros((NUM_COLS, cap), jnp.int32), rows,
+                            jnp.zeros((bucket, NUM_COLS), jnp.int32))
+            set_cols(jnp.zeros((s, cap), jnp.int32), rows,
+                     jnp.zeros((bucket, s), jnp.int32))
+            set_cols(jnp.zeros((s, cap), jnp.float32), rows,
+                     jnp.zeros((bucket, s), jnp.float32))
+            if self.segment_dtype == "int8":
+                set_scales(jnp.zeros((1, cap), jnp.float32), rows,
+                           jnp.zeros((bucket,), jnp.float32))
+            cols = _tombstone_rows(cols, rows)
+            jax.block_until_ready(cols)
+            self._warmed_programs.add(key)
+        except Exception:  # pragma: no cover - warmup must never fail ops
+            logger.debug("mutation-program warmup failed", exc_info=True)
+
     # -- upsert (reference vector_store.py:233-317) --------------------------
     def store_chunks(
         self,
@@ -371,6 +414,7 @@ class TpuVectorStore:
                     dim=self.dimension, sparse_slots=self.sparse_slots,
                     dtype=self.segment_dtype)))
             for _, st in staged:  # transfers settle BEFORE the lock
+                self._warm_mutation_programs(st.bucket)
                 st.block_until_ready()
 
         with self._lock:
@@ -407,87 +451,144 @@ class TpuVectorStore:
         return point_ids
 
     # -- deletes (reference vector_store.py:319-434) -------------------------
+    @staticmethod
+    def _df_drop_for(term_rows: np.ndarray) -> dict[int, int]:
+        """Per-term document-frequency decrements for dying rows [n, S].
+
+        Vectorized (sort each short row, mask pads and within-row
+        duplicates, one global unique): the per-row Python set() loop this
+        replaces held the store lock for ~100 ms per 4096-row file delete."""
+        if term_rows.size == 0:
+            return {}
+        ts = np.sort(term_rows, axis=1)
+        keep = ts != TERM_PAD
+        keep[:, 1:] &= ts[:, 1:] != ts[:, :-1]
+        vals, counts = np.unique(ts[keep], return_counts=True)
+        return {int(t): -int(c) for t, c in zip(vals, counts)}
+
     def _delete_gids(self, gids: list[int]) -> int:
+        """Delete rows by gid — takes the store lock ITSELF (3-phase).
+
+        Phase 1 (locked): filter to currently-valid rows (concurrent
+        duplicate deletes of the same file must not double-account df),
+        tombstone them WITHOUT freeing, and copy their term mirrors.
+        Phase 2 (unlocked): the SQLite work — payload row deletes across 5
+        secondary indexes plus the df upsert sweep, measured up to ~700 ms
+        for a 4096-row file — runs against the internally-locked payload
+        store without stalling searches or writers.
+        Phase 3 (locked): release the rows to the free list. Deferred so
+        an upsert cannot reuse a row before its payload delete commits
+        (the delete would then eat the NEW payload); skipped if a
+        compaction renumbered gids meanwhile (the rows no longer exist).
+        """
         if not gids:
             return 0
-        if self._sharded is not None:
-            # Sharded mode keeps no host term mirror: read the dying rows'
-            # terms back from the device (tiny gather) so document
-            # frequencies stay EXACT across sharded deletes.
-            gids_arr = np.asarray(gids, np.int64)
-            df_drop: dict[int, int] = {}
-            for t_row in self._sharded.gather_terms(gids_arr):
-                for t in set(int(x) for x in t_row if x != TERM_PAD):
-                    df_drop[t] = df_drop.get(t, 0) - 1
-            self._sharded.tombstone_gids(gids_arr)
-            self._payloads.delete_gids(gids)
-            if df_drop:
-                self._payloads.bump_term_dfs(df_drop)
+        if self._sharded is None:
+            # Tombstone scatters split per segment into ladder buckets;
+            # compile every bucket this delete could touch BEFORE the lock.
+            from voitta_rag_tpu.index.segment import _bucket
+
+            cover = _bucket(min(len(gids), UPDATE_BUCKETS[-1]))
+            for b in UPDATE_BUCKETS:
+                if b <= cover:
+                    self._warm_mutation_programs(b)
+        with self._lock:
+            self._ensure_open()
+            if self._sharded is not None:
+                # Sharded mode keeps no host term mirror and no free-list
+                # reuse race (rows are reused in place): single-phase,
+                # with the terms read back from the device (tiny gather)
+                # so document frequencies stay EXACT.
+                gids_arr = np.asarray(gids, np.int64)
+                df_drop = self._df_drop_for(
+                    np.asarray(self._sharded.gather_terms(gids_arr)))
+                self._sharded.tombstone_gids(gids_arr)
+                self._payloads.delete_gids(gids)
+                if df_drop:
+                    self._payloads.bump_term_dfs(df_drop)
+                self._ivf_dirty = True
+                self._postings_dirty = True
+                self._unsaved_mutations += len(gids)
+                return len(gids)
+
+            gen = self._generation
+            by_seg: dict[int, list[int]] = {}
+            for g in gids:
+                by_seg.setdefault(g // self.segment_capacity, []).append(
+                    g % self.segment_capacity)
+            term_parts: list[np.ndarray] = []
+            tombstoned: list[tuple[Segment, np.ndarray]] = []
+            live_gids: list[int] = []
+            for si, rows in by_seg.items():
+                if si >= len(self._segments):
+                    # Payload/device divergence (e.g. an unclean shutdown
+                    # spilled the SQLite payloads but not the device
+                    # segments): the rows exist only in the payload DB.
+                    # Deleting the payload rows below is the whole recovery
+                    # — there is no device data to tombstone or df-account.
+                    logger.warning(
+                        "delete: %d gids reference missing segment %d "
+                        "(payload-only rows; purging payloads)",
+                        len(rows), si)
+                    continue
+                seg = self._segments[si]
+                rows_arr = np.asarray(rows, np.int32)
+                rows_arr = rows_arr[seg.valid_np[rows_arr]]
+                if not len(rows_arr):
+                    continue
+                term_parts.append(seg.terms_np[rows_arr])  # mirror copy
+                seg.tombstone_rows(rows_arr, free=False)
+                tombstoned.append((seg, rows_arr))
+                live_gids.extend(
+                    int(si * self.segment_capacity + r) for r in rows_arr)
+            if self._compact_deleted is not None:
+                # An in-flight compaction rebuilt (or is rebuilding) these
+                # rows from its capture-time snapshot; record them so its
+                # commit phase re-applies the tombstones.
+                self._compact_deleted.update(live_gids)
             self._ivf_dirty = True
             self._postings_dirty = True
             self._unsaved_mutations += len(gids)
-            return len(gids)
-        if self._compact_deleted is not None:
-            # An in-flight compaction rebuilt (or is rebuilding) these rows
-            # from its capture-time snapshot; record them so its commit
-            # phase re-applies the tombstones to the rebuilt segments.
-            self._compact_deleted.update(int(g) for g in gids)
-        by_seg: dict[int, list[int]] = {}
-        for g in gids:
-            by_seg.setdefault(g // self.segment_capacity, []).append(
-                g % self.segment_capacity)
-        df_drop: dict[int, int] = {}
-        for si, rows in by_seg.items():
-            if si >= len(self._segments):
-                # Payload/device divergence (e.g. an unclean shutdown spilled
-                # the SQLite payloads but not the device segments): the rows
-                # exist only in the payload DB. Deleting the payload rows
-                # below is the whole recovery — there is no device data to
-                # tombstone or df-account.
-                logger.warning(
-                    "delete: %d gids reference missing segment %d "
-                    "(payload-only rows; purging payloads)", len(rows), si)
-                continue
-            seg = self._segments[si]
-            rows_arr = np.asarray(rows, np.int32)
-            for t_row in seg.terms_np[rows_arr]:
-                for t in set(int(x) for x in t_row if x != TERM_PAD):
-                    df_drop[t] = df_drop.get(t, 0) - 1
-            seg.tombstone_rows(rows_arr)
+
+        # Phase 2: SQL outside the store lock. The payload delete covers
+        # ALL requested gids (including payload-only divergence rows);
+        # df accounting covers only the rows this call tombstoned.
         self._payloads.delete_gids(gids)
-        if df_drop:
-            self._payloads.bump_term_dfs(df_drop)
-        self._ivf_dirty = True
-        self._postings_dirty = True
-        self._unsaved_mutations += len(gids)
+        if term_parts:
+            df_drop = self._df_drop_for(np.concatenate(term_parts))
+            if df_drop:
+                self._payloads.bump_term_dfs(df_drop)
+
+        # Phase 3: free-list release, now that no reuse can collide.
+        with self._lock:
+            if self._generation == gen and self._segments is not None:
+                for seg, rows_arr in tombstoned:
+                    seg.release_rows(rows_arr)
         return len(gids)
 
     def delete_by_file(self, file_path: str) -> int:
         """Delete all chunks of one file; returns count removed."""
-        with self._lock:
-            self._ensure_open()
-            return self._delete_gids(self._payloads.gids_where("file_path", file_path))
+        self._ensure_open()
+        return self._delete_gids(
+            self._payloads.gids_where("file_path", file_path))
 
     def delete_by_folder(self, folder_path: str) -> int:
         """Delete chunks under a folder subtree (reference delete_by_folder)."""
-        with self._lock:
-            self._ensure_open()
-            return self._delete_gids(
-                self._payloads.gids_where_prefix("folder_path", folder_path))
+        self._ensure_open()
+        return self._delete_gids(
+            self._payloads.gids_where_prefix("folder_path", folder_path))
 
     def delete_by_index_folder(self, index_folder: str) -> int:
-        with self._lock:
-            self._ensure_open()
-            return self._delete_gids(
-                self._payloads.gids_where("index_folder", index_folder))
+        self._ensure_open()
+        return self._delete_gids(
+            self._payloads.gids_where("index_folder", index_folder))
 
     def delete_by_point_ids(self, point_ids: list[str]) -> int:
-        with self._lock:
-            self._ensure_open()
-            gids = []
-            for pid in point_ids:
-                gids.extend(self._payloads.gids_where("point_id", pid))
-            return self._delete_gids(gids)
+        self._ensure_open()
+        gids = []
+        for pid in point_ids:
+            gids.extend(self._payloads.gids_where("point_id", pid))
+        return self._delete_gids(gids)
 
     # -- search (reference vector_store.py:560-697) --------------------------
     def _resolve_filter_ids(
@@ -772,20 +873,29 @@ class TpuVectorStore:
     ) -> list[StoredChunk]:
         """Dense or hybrid search (reference search signature + semantics).
 
-        Runs under the store lock: segment mutations are donated scatter
-        programs (segment.py) that invalidate the buffers they update, so
-        a search capturing ``seg.vecs`` while a concurrent upsert/delete
-        donates it would crash with "Array has been deleted". The lock
-        makes ref-capture + dispatch atomic against mutations; PJRT's
-        event ordering handles the device side. Mutation batches hold the
-        lock for milliseconds, so search latency is unaffected; the
-        generation check stays as the guard for gid renumbering.
+        Ref-capture + DISPATCH run under the store lock: segment mutations
+        are donated scatter programs (segment.py) that invalidate the
+        buffers they update, so a search capturing ``seg.vecs`` while a
+        concurrent upsert/delete donates it would crash with "Array has
+        been deleted". Once dispatched, the execution holds its own buffer
+        references, so the device SYNC (the dominant per-query wall time —
+        several ms of scan plus tunnel RTT) and the SQLite payload
+        materialization run OUTSIDE the lock: queries don't hold the store
+        against writers for their device time, and writers don't add their
+        under-lock time to query tails. The generation check in
+        :meth:`_materialize` guards the dispatch→materialize window
+        against compaction's gid reuse.
         """
         with self._lock:
-            return self._search_locked(
+            res = self._search_locked(
                 query_embedding, limit, folder_filter, include_folders,
                 exclude_folders, exclude_index_folders, sparse_query,
                 sparse_weight, date_start, date_end, date_field, fusion)
+        if isinstance(res, list):  # resolved under the lock (empty/edge)
+            return res
+        scores, gids, gen = res  # device arrays: sync outside the lock
+        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
+                                 expected_generation=gen)
 
     def _search_locked(
         self, query_embedding, limit, folder_filter, include_folders,
@@ -848,8 +958,7 @@ class TpuVectorStore:
         else:
             scores, gids = masked_topk(dense_scores, limit)
 
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
-                                 expected_generation=gen)
+        return scores, gids, gen
 
     def _search_sharded(self, q, spec, qt, qw, limit, sparse_weight,
                         has_sparse):
@@ -865,8 +974,8 @@ class TpuVectorStore:
             use_postings=self.postings_active,
             max_postings=self._sparse_max_postings)
         # Sharded mode never compacts (gids are stable), so no generation
-        # race is possible here.
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0])
+        # race is possible here (expected_generation stays None).
+        return scores, gids, None
 
     def _search_cold_ivf(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
@@ -959,9 +1068,7 @@ class TpuVectorStore:
             gids = jnp.where(pos >= 0,
                              jnp.take_along_axis(
                                  dga, jnp.maximum(pos, 0), axis=1), -1)
-        return self._materialize(np.asarray(scores)[0],
-                                 np.asarray(gids)[0],
-                                 expected_generation=gen)
+        return scores, gids, gen
 
     def _search_snapshot(self, q, spec, qt, qw, limit, sparse_weight,
                          has_sparse, fusion):
@@ -998,9 +1105,7 @@ class TpuVectorStore:
                 approx=dense_scores.shape[-1] > (1 << 16))
 
         if not has_sparse:
-            return self._materialize(np.asarray(d_vals)[0][:limit],
-                                     np.asarray(d_gids)[0][:limit],
-                                     expected_generation=gen)
+            return d_vals[:, :limit], d_gids[:, :limit], gen
 
         if self.postings_active:
             s_vals, s_gids = self._postings.candidates(
@@ -1024,8 +1129,7 @@ class TpuVectorStore:
             scores, gids = hybrid_fuse_candidates(
                 d_vals, d_gids, s_vals, s_gids, sparse_weight,
                 limit=limit, prefetch_multiplier=self.prefetch_multiplier)
-        return self._materialize(np.asarray(scores)[0], np.asarray(gids)[0],
-                                 expected_generation=gen)
+        return scores, gids, gen
 
     @property
     def generation(self) -> int:
@@ -1035,6 +1139,10 @@ class TpuVectorStore:
 
     def _materialize(self, scores: np.ndarray, gids: np.ndarray,
                      expected_generation: int | None = None) -> list[StoredChunk]:
+        payloads = self._payloads
+        if self._closed or payloads is None:
+            # close() raced this search's (lock-free) materialize phase.
+            return []
         if (expected_generation is not None
                 and expected_generation != self._generation):
             # A compaction REUSED gids while this search was in flight: its
@@ -1046,7 +1154,7 @@ class TpuVectorStore:
             return []
         keep = [(int(g), float(s)) for s, g in zip(scores, gids)
                 if g >= 0 and s > VALID_THRESHOLD]
-        payload = self._payloads.get_chunks([g for g, _ in keep])
+        payload = payloads.get_chunks([g for g, _ in keep])
         out = []
         for g, s in keep:
             chunk = payload.get(g)
@@ -1219,16 +1327,30 @@ class TpuVectorStore:
                     rows = np.nonzero(seg.valid_np)[0]
                     if not len(rows):
                         continue
-                    # Host mirrors, fancy-indexed → consistent copies.
-                    vecs = seg.vecs_np[rows].astype(np.float32)
-                    if seg.dtype == "int8":
-                        vecs *= seg.scales_np[0][rows][:, None]
-                    dense_l.append(vecs)
+                    # Host mirrors, fancy-indexed → consistent copies. Raw
+                    # storage dtype here (1-2 B/row-element); the f32
+                    # widen + int8 dequant happen in phase 2, outside the
+                    # lock — halving+ the under-lock memcpy.
+                    scales = (seg.scales_np[0][rows].copy()
+                              if seg.dtype == "int8" else None)
+                    dense_l.append((seg.vecs_np[rows], scales))
                     cols_l.append(seg.cols_np[:, rows].T)
                     terms_l.append(seg.terms_np[rows])
                     weights_l.append(seg.weights_np[:, rows].T)
                     old_gids.append(rows + si * cap)
                 n_sealed = len(self._segments)
+                # Device-repack capture: a sealed segment's vecs/scales/
+                # terms/weights device buffers are stable for the whole
+                # window — writes are sealed out, tombstones donate only
+                # cols, and without a device budget nothing offloads. The
+                # rebuild can then gather rows HBM→HBM instead of shipping
+                # the corpus back through the host tunnel (whose occupancy
+                # was the residual search-p95 tail under compaction).
+                device_src = None
+                if (not self._device_rows_budget
+                        and all(s.resident for s in self._segments)):
+                    device_src = [(s.vecs, s.scales, s.terms, s.weights)
+                                  for s in self._segments]
                 for seg in self._segments:
                     seg.seal()
                 self._compact_deleted = set()
@@ -1236,28 +1358,88 @@ class TpuVectorStore:
             # ---- Phase 2 (UNLOCKED): rebuild + temp spills --------------
             tmp_paths: list = []
             try:
-                dense = np.concatenate(dense_l) if dense_l else np.zeros(
-                    (0, self.dimension), np.float32)
                 cols_rows = np.concatenate(cols_l) if cols_l else None
                 terms_rows = np.concatenate(terms_l) if terms_l else None
                 weights_rows = (np.concatenate(weights_l) if weights_l
                                 else None)
                 old = np.concatenate(old_gids) if old_gids else np.zeros(
                     0, np.int64)
+                if device_src is not None:
+                    dense_raw = (np.concatenate([p[0] for p in dense_l])
+                                 if dense_l else None)
+                    scales_raw = (np.concatenate([p[1] for p in dense_l])
+                                  if dense_l and dense_l[0][1] is not None
+                                  else None)
+                    dense = None
+                else:
+                    def widen(pair):
+                        raw, scales = pair
+                        v = raw.astype(np.float32)
+                        if scales is not None:
+                            v *= scales[:, None]
+                        return v
+
+                    dense = (np.concatenate([widen(p) for p in dense_l])
+                             if dense_l else np.zeros(
+                                 (0, self.dimension), np.float32))
 
                 new_segments = []
                 mapping: dict[int, int] = {}
                 pos = 0
+                from voitta_rag_tpu.index.segment import gather_rows_into
+
                 for si in range(n_needed):
                     seg = Segment(cap, self.dimension, self.sparse_slots,
                                   self.segment_dtype)
-                    n = min(cap, len(dense) - pos)
-                    if n > 0:
+                    n = min(cap, len(old) - pos)
+                    if n > 0 and device_src is not None:
+                        # Device repack: mirrors fill from the phase-1
+                        # host snapshot (memcpy); vecs/scales/terms/
+                        # weights gather HBM→HBM from the sealed sources
+                        # (zero tunnel bytes, int8 codes verbatim); only
+                        # the tiny filter-cols block uploads (tombstones
+                        # donate source cols, so they weren't captured).
+                        sl = slice(pos, pos + n)
+                        seg.vecs_np[:n] = dense_raw[sl]
+                        if scales_raw is not None:
+                            seg.scales_np[0, :n] = scales_raw[sl]
+                        seg.weights_np[:, :n] = weights_rows[sl].T
+                        seg.cols_np[:, :n] = cols_rows[sl].T
+                        seg.terms_np[:n] = terms_rows[sl]
+                        seg.valid_np[:n] = cols_rows[sl, COL_VALID] > 0
+                        seg._next = n
+                        seg.cols = jnp.asarray(seg.cols_np)
+                        src_g = old[sl]
+                        src_si_arr = src_g // cap
+                        dst_all = np.arange(n, dtype=np.int32)
+                        for s_si in np.unique(src_si_arr):
+                            sel = np.nonzero(src_si_arr == s_si)[0]
+                            gather_rows_into(
+                                seg, dst_all[sel],
+                                *device_src[int(s_si)],
+                                src_rows=(src_g[sel] % cap).astype(
+                                    np.int32))
+                        jax.block_until_ready(seg.cols)
+                        for j in range(n):
+                            mapping[int(old[pos + j])] = si * cap + j
+                        pos += n
+                    elif n > 0:
                         rows = seg.allocate(n)
-                        seg.write_rows(rows, dense[pos:pos + n],
-                                       cols_rows[pos:pos + n],
-                                       terms_rows[pos:pos + n],
-                                       weights_rows[pos:pos + n])
+                        # Throttled upload: one scatter bucket at a time,
+                        # blocking between buckets, so concurrent searches
+                        # interleave with the rebuild's transfers instead
+                        # of queueing behind the whole corpus re-upload
+                        # (~100 MB+ enqueued back-to-back was the p99 tail
+                        # under mutation even with the lock free).
+                        max_b = UPDATE_BUCKETS[-1]
+                        for lo in range(0, n, max_b):
+                            hi = min(lo + max_b, n)
+                            seg.write_rows(rows[lo:hi],
+                                           dense[pos + lo:pos + hi],
+                                           cols_rows[pos + lo:pos + hi],
+                                           terms_rows[pos + lo:pos + hi],
+                                           weights_rows[pos + lo:pos + hi])
+                            jax.block_until_ready(seg.cols)
                         for j, r in enumerate(rows):
                             mapping[int(old[pos + j])] = si * cap + int(r)
                         pos += n

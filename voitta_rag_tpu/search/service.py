@@ -294,11 +294,14 @@ class SearchService:
             qt = np.full((1, 1), TERM_PAD, np.int32)
             qw = np.zeros((1, 1), np.float32)
 
-        # Store lock for the device part only: segment mutations are
+        # Store lock for ref-capture + DISPATCH only: segment mutations are
         # donated scatter programs, so capturing seg buffers (or snapshot
         # arrays) must be atomic against them ("Array has been deleted",
-        # see TpuVectorStore.search). Tokenization/sparse prep above runs
-        # lock-free so concurrent searches only serialize on the dispatch.
+        # see TpuVectorStore.search). Tokenization/sparse prep above and
+        # the device SYNC + payload materialization below run lock-free,
+        # so queries neither serialize on each other's device time nor
+        # queue behind writers' under-lock work.
+        deferred = None
         with store._lock:
             if store.sharded_active:
                 # Multi-chip path: encode, then per-shard scans + ICI merge.
@@ -306,12 +309,12 @@ class SearchService:
                     q = np.asarray(encode_tokens(
                         params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
                 with trace("search.sharded"):
-                    return store._search_sharded(
+                    deferred = store._search_sharded(
                         q, spec, qt, qw, limit,
                         jnp.asarray(sparse_weight, jnp.float32), has_sparse)
 
-            if cold_route or any(not seg.resident
-                                 for seg in store.segments):
+            elif cold_route or any(not seg.resident
+                                   for seg in store.segments):
                 # Cold tier present: every fused path below captures
                 # seg.vecs directly, which for an offloaded segment is a
                 # HOST array — the jit boundary would re-upload the whole
@@ -329,115 +332,129 @@ class SearchService:
                     q = np.asarray(encode_tokens(
                         params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
                 with trace("search.cold"):
-                    return store._search_locked(
+                    res = store._search_locked(
                         q[0], limit, None, include_folders, exclude_folders,
                         exclude_index_folders, sv if has_sparse else None,
                         sparse_weight, date_start, date_end, date_field,
                         fusion)
+                if isinstance(res, list):  # resolved (empty/edge) result
+                    return res
+                deferred = res
 
-            gen = store.generation  # detect gid reuse racing this search
-            # ivf_active may reflect a COLD IVF snapshot (ivf_bq.py); the
-            # fused path only knows the exact-tier IVF layout. Cold stores
-            # were routed to the store path above, so this only differs in
-            # the (transient) all-segments-rewarmed-while-clean state.
-            use_ivf = store.ivf_active and store._ivf is not None
-            use_postings = store.postings_active
-            if (use_ivf and not has_sparse) or (has_sparse and use_postings):
-                # Snapshot hot path: encode + probe-limited dense + inverted-
-                # postings sparse + fusion, ONE jitted dispatch.
-                ivf_ops = None
-                ivf_layout = "padded"
-                ivf_probe_cap = 0
-                if use_ivf:
-                    from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
+            else:
+                deferred = self._dispatch_hot(
+                    store, params, cfg, ids, mask, spec, qt, qw,
+                    sparse_weight, limit, has_sparse, fusion)
+        scores, gids, gen = deferred
+        with trace("search.materialize"):
+            return store._materialize(np.asarray(scores)[0],
+                                      np.asarray(gids)[0],
+                                      expected_generation=gen)
 
-                    ivf = store._ivf
-                    if isinstance(ivf, IVFFlatIndex):
-                        ivf_layout = "flat"
-                        ivf_probe_cap = ivf.probe_cap
-                        ivf_ops = (ivf.centroids, ivf.vecs, ivf.cols,
-                                   ivf.gids, ivf.scales, ivf.starts)
-                    else:
-                        ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3,
-                                   ivf.gid3, ivf.rest_vecs, ivf.rest_cols,
-                                   ivf.rest_gid, ivf.scales3,
-                                   ivf.rest_scales)
-                if use_postings:
-                    post = store._postings
-                    post_arrays = (post.terms, post.gids, post.weights,
-                                   store._postings_cols)
-                else:  # dense-only query: tiny placeholders, path unused
-                    z = jnp.zeros((1,), jnp.int32)
-                    post_arrays = (z, z, jnp.zeros((1,), jnp.float32),
-                                   jnp.zeros((8, 1), jnp.int32))
-                segs = store.segments
-                with trace("search.snapshot"):
-                    scores, gids = fused_snapshot_query(
-                        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                        ivf_ops,
-                        tuple(s.vecs for s in segs) if not use_ivf else (),
-                        tuple(s.cols for s in segs) if not use_ivf else (),
-                        tuple(s.scales for s in segs) if not use_ivf else (),
-                        *post_arrays,
-                        spec, jnp.asarray(qt), jnp.asarray(qw),
-                        jnp.asarray(sparse_weight, jnp.float32),
-                        limit=limit,
-                        prefetch_multiplier=self.prefetch_multiplier,
-                        has_sparse=has_sparse, fusion=fusion,
-                        nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
-                                if use_ivf else 0),
-                        assign_k=(store._ivf.assign_k
-                                  if use_ivf and ivf_layout == "padded"
-                                  else 1),
-                        max_postings=store._sparse_max_postings,
-                        use_ivf=use_ivf,
-                        ivf_select=store._ivf_select,
-                        ivf_layout=ivf_layout,
-                        ivf_probe_cap=ivf_probe_cap)
-                with trace("search.materialize"):
-                    return store._materialize(np.asarray(scores)[0],
-                                              np.asarray(gids)[0],
-                                              expected_generation=gen)
-            if use_ivf or (has_sparse and use_postings):
-                # Mixed snapshot states (e.g. IVF active, postings stale with a
-                # sparse query) fall back to the store's multi-dispatch path.
-                with trace("search.encode"):
-                    q = np.asarray(encode_tokens(
-                        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
-                with trace("search.snapshot"):
-                    return store._search_snapshot(
-                        q, spec, qt, qw, limit,
-                        jnp.asarray(sparse_weight, jnp.float32), has_sparse,
-                        fusion)
+    def _dispatch_hot(self, store, params, cfg, ids, mask, spec, qt, qw,
+                      sparse_weight, limit, has_sparse, fusion):
+        """Dispatch the hot (all-resident) serving paths under the caller's
+        store lock; returns (scores, gids, gen) device arrays to sync
+        outside it."""
+        from voitta_rag_tpu.utils.profiling import trace
 
+        gen = store.generation  # detect gid reuse racing this search
+        # ivf_active may reflect a COLD IVF snapshot (ivf_bq.py); the
+        # fused path only knows the exact-tier IVF layout. Cold stores
+        # were routed to the store path above, so this only differs in
+        # the (transient) all-segments-rewarmed-while-clean state.
+        use_ivf = store.ivf_active and store._ivf is not None
+        use_postings = store.postings_active
+        if (use_ivf and not has_sparse) or (has_sparse and use_postings):
+            # Snapshot hot path: encode + probe-limited dense + inverted-
+            # postings sparse + fusion, ONE jitted dispatch.
+            ivf_ops = None
+            ivf_layout = "padded"
+            ivf_probe_cap = 0
+            if use_ivf:
+                from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
+
+                ivf = store._ivf
+                if isinstance(ivf, IVFFlatIndex):
+                    ivf_layout = "flat"
+                    ivf_probe_cap = ivf.probe_cap
+                    ivf_ops = (ivf.centroids, ivf.vecs, ivf.cols,
+                               ivf.gids, ivf.scales, ivf.starts)
+                else:
+                    ivf_ops = (ivf.centroids, ivf.vecs3, ivf.cols3,
+                               ivf.gid3, ivf.rest_vecs, ivf.rest_cols,
+                               ivf.rest_gid, ivf.scales3,
+                               ivf.rest_scales)
+            if use_postings:
+                post = store._postings
+                post_arrays = (post.terms, post.gids, post.weights,
+                               store._postings_cols)
+            else:  # dense-only query: tiny placeholders, path unused
+                z = jnp.zeros((1,), jnp.int32)
+                post_arrays = (z, z, jnp.zeros((1,), jnp.float32),
+                               jnp.zeros((8, 1), jnp.int32))
             segs = store.segments
-            total_rows = sum(s.vecs.shape[0] for s in segs)
-            settings = get_settings()
-            select_group = settings.flat_select_group
-            select_pallas = jax.default_backend() == "tpu"
-            from voitta_rag_tpu.ops.scan_select import group_compatible
-            if total_rows < settings.flat_select_min_rows or not all(
-                    group_compatible(s.vecs.shape[0], select_group, select_pallas)
-                    for s in segs):
-                select_group = 0
-            with trace("search.device"):
-                scores, gids = fused_query(
+            with trace("search.snapshot"):
+                scores, gids = fused_snapshot_query(
                     params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                    tuple(s.vecs for s in segs),
-                    tuple(s.cols for s in segs),
-                    tuple(s.scales for s in segs),
-                    tuple(s.terms for s in segs),
-                    tuple(s.weights for s in segs),
+                    ivf_ops,
+                    tuple(s.vecs for s in segs) if not use_ivf else (),
+                    tuple(s.cols for s in segs) if not use_ivf else (),
+                    tuple(s.scales for s in segs) if not use_ivf else (),
+                    *post_arrays,
                     spec, jnp.asarray(qt), jnp.asarray(qw),
                     jnp.asarray(sparse_weight, jnp.float32),
-                    limit=limit, prefetch_multiplier=self.prefetch_multiplier,
+                    limit=limit,
+                    prefetch_multiplier=self.prefetch_multiplier,
                     has_sparse=has_sparse, fusion=fusion,
-                    select_group=select_group,
-                    select_pallas=select_pallas)
-            with trace("search.materialize"):
-                return store._materialize(np.asarray(scores)[0],
-                                          np.asarray(gids)[0],
-                                          expected_generation=gen)
+                    nprobe=(min(store._ivf_nprobe, store._ivf.n_cells)
+                            if use_ivf else 0),
+                    assign_k=(store._ivf.assign_k
+                              if use_ivf and ivf_layout == "padded"
+                              else 1),
+                    max_postings=store._sparse_max_postings,
+                    use_ivf=use_ivf,
+                    ivf_select=store._ivf_select,
+                    ivf_layout=ivf_layout,
+                    ivf_probe_cap=ivf_probe_cap)
+            return scores, gids, gen
+        if use_ivf or (has_sparse and use_postings):
+            # Mixed snapshot states (e.g. IVF active, postings stale with a
+            # sparse query) fall back to the store's multi-dispatch path.
+            with trace("search.encode"):
+                q = np.asarray(encode_tokens(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+            with trace("search.snapshot"):
+                return store._search_snapshot(
+                    q, spec, qt, qw, limit,
+                    jnp.asarray(sparse_weight, jnp.float32), has_sparse,
+                    fusion)
+
+        segs = store.segments
+        total_rows = sum(s.vecs.shape[0] for s in segs)
+        settings = get_settings()
+        select_group = settings.flat_select_group
+        select_pallas = jax.default_backend() == "tpu"
+        from voitta_rag_tpu.ops.scan_select import group_compatible
+        if total_rows < settings.flat_select_min_rows or not all(
+                group_compatible(s.vecs.shape[0], select_group, select_pallas)
+                for s in segs):
+            select_group = 0
+        with trace("search.device"):
+            scores, gids = fused_query(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                tuple(s.vecs for s in segs),
+                tuple(s.cols for s in segs),
+                tuple(s.scales for s in segs),
+                tuple(s.terms for s in segs),
+                tuple(s.weights for s in segs),
+                spec, jnp.asarray(qt), jnp.asarray(qw),
+                jnp.asarray(sparse_weight, jnp.float32),
+                limit=limit, prefetch_multiplier=self.prefetch_multiplier,
+                has_sparse=has_sparse, fusion=fusion,
+                select_group=select_group,
+                select_pallas=select_pallas)
+        return scores, gids, gen
 
 _search_service: SearchService | None = None
 _create_lock = threading.Lock()
