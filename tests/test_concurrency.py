@@ -287,3 +287,87 @@ def test_singleton_first_touch_race_returns_one_instance(temp_root):
     assert len(seen) == 8
     assert len({id(s) for s in seen}) == 1
     storemod.reset_vector_store()
+
+
+def test_stale_gid_payload_delete_skipped_after_compaction_commit(store):
+    """A delete whose phase-2 SQL lands AFTER a compaction committed its
+    gid remap must NOT issue the gid-numbered DELETE: the old gid values
+    were reassigned to surviving (renumbered) chunks, so the statement
+    would remove innocent rows (ADVICE r4, store.py _delete_gids)."""
+    n = 64
+    vecs = rand_vecs(n)
+    metas = [meta(file_path=f"docs/f{i}.md") for i in range(n)]
+    store.store_chunks([f"text {i}" for i in range(n)], vecs, metas)
+
+    # Simulated in-flight delete: phase 1 captured this generation and
+    # these gids (file f0), then stalled before phase 2.
+    gen0 = store.generation
+    stale_gids = store._payloads.gids_where("file_path", "docs/f0.md")
+    assert stale_gids
+
+    # A compaction commits meanwhile (make waste so it actually runs).
+    for i in range(0, n, 2):
+        store.delete_by_file(f"docs/f{i}.md")
+    info = store.compact(min_waste_fraction=0.01)
+    assert info.get("compacted"), info
+    assert store.generation != gen0
+
+    before = store.count()
+    # Phase 2 resumes with the stale numbering: must be a guarded no-op.
+    assert store._guarded_payload_delete(stale_gids, gen0) is False
+    assert store.count() == before
+    # Survivors still materialize their own payloads.
+    res = store.search(vecs[1], limit=1)
+    assert res and res[0].text == "text 1"
+
+    # Control: a matching generation runs the DELETE.
+    live = store._payloads.gids_where("file_path", "docs/f1.md")
+    assert store._guarded_payload_delete(live, store.generation) is True
+    assert store.count() == before - len(live)
+
+
+def test_window_deleted_appended_rows_are_orphan_swept(store):
+    """Rows upserted AND deleted inside compaction's seal window, whose
+    payload DELETE lost the race to the commit (generation check skips
+    it), must be orphan-swept by the commit — NOT identity-remapped into
+    the new numbering as ghost payloads (ADVICE r4, compact phase 3)."""
+    n = 64
+    vecs = rand_vecs(n)
+    metas = [meta(file_path=f"docs/f{i}.md") for i in range(n)]
+    store.store_chunks([f"text {i}" for i in range(n)], vecs, metas)
+    for i in range(0, n, 2):
+        store.delete_by_file(f"docs/f{i}.md")
+
+    bvecs = rand_vecs(4, seed=7)
+
+    def window():
+        # Lands in a fresh APPENDED segment (sealed ones refuse writes).
+        store.store_chunks(
+            [f"win {i}" for i in range(4)], bvecs,
+            [meta(file_path="hot/b.md", chunk_index=i, folder="hot",
+                  index_folder="hot", total=4) for i in range(4)])
+        # Delete it during the window, with phase 2 simulated as having
+        # lost the race to the commit (the generation-guard skip path).
+        real = store._guarded_payload_delete
+        store._guarded_payload_delete = lambda gids, gen: False
+        try:
+            store.delete_by_file("hot/b.md")
+        finally:
+            store._guarded_payload_delete = real
+        # Payload rows still present: nothing has removed them yet.
+        assert store._payloads.gids_where("file_path", "hot/b.md")
+
+    store._compact_window_hook = window
+    try:
+        info = store.compact(min_waste_fraction=0.01)
+    finally:
+        store._compact_window_hook = None
+    assert info.get("compacted"), info
+
+    # The commit's orphan sweep removed the window-deleted payload rows.
+    assert store._payloads.gids_where("file_path", "hot/b.md") == []
+    assert store.count() == n // 2
+    # No ghost results; survivors intact.
+    assert all(r.text != "win 0" for r in store.search(bvecs[0], limit=5))
+    res = store.search(vecs[1], limit=1)
+    assert res and res[0].text == "text 1"

@@ -73,6 +73,14 @@ class TpuVectorStore:
         # Serializes whole save() calls (capture + compress) without
         # holding the store lock during compression.
         self._save_lock = threading.Lock()
+        # Remap barrier: compaction's commit (generation bump + payload gid
+        # remap) and any UNLOCKED payload delete that uses gid numbering
+        # take this lock, so a delete can atomically check "has a remap
+        # committed since I tombstoned these gids?" before issuing SQL that
+        # would otherwise hit reassigned gid values (wrong-row data loss).
+        # Lock order: [_save_lock →] _lock → _remap_lock; nothing acquires
+        # _lock while holding _remap_lock.
+        self._remap_lock = threading.Lock()
         self._closed = False
         self._payloads: PayloadStore | None = None
         self._segments: list[Segment] | None = None
@@ -110,6 +118,10 @@ class TpuVectorStore:
         # Non-None while a seal-based compaction is in flight: gids deleted
         # during its unlocked rebuild window, re-applied at commit.
         self._compact_deleted: set[int] | None = None
+        # Test-only: callable invoked at the end of compact's UNLOCKED
+        # phase 2, letting tests drive mutations into the seal window
+        # deterministically (tests/test_concurrency.py).
+        self._compact_window_hook = None
         # Scatter-bucket programs already compiled (outside the lock).
         self._warmed_programs: set = set()
 
@@ -466,21 +478,36 @@ class TpuVectorStore:
         vals, counts = np.unique(ts[keep], return_counts=True)
         return {int(t): -int(c) for t, c in zip(vals, counts)}
 
-    def _delete_gids(self, gids: list[int]) -> int:
+    def _delete_gids(self, gids: list[int],
+                     resolver=None) -> int:
         """Delete rows by gid — takes the store lock ITSELF (3-phase).
 
         Phase 1 (locked): filter to currently-valid rows (concurrent
         duplicate deletes of the same file must not double-account df),
         tombstone them WITHOUT freeing, and copy their term mirrors.
+        When ``resolver`` is given (the delete_by_* predicate paths), the
+        gid set is re-resolved HERE, under the lock — a pre-resolved set
+        can go stale between lookup and tombstone (a concurrent delete of
+        the same file frees the rows, a re-index reuses them for NEW
+        chunks, and phase 1 would then tombstone freshly indexed data).
         Phase 2 (unlocked): the SQLite work — payload row deletes across 5
         secondary indexes plus the df upsert sweep, measured up to ~700 ms
         for a 4096-row file — runs against the internally-locked payload
-        store without stalling searches or writers.
+        store without stalling searches or writers. The gid-numbered
+        DELETE itself runs under ``_remap_lock`` with a generation check:
+        if a compaction committed its remap after phase 1, these payload
+        rows were already journal-popped from the remap and orphan-swept
+        by compact's commit, and issuing the DELETE against the stale gid
+        values would remove innocent (renumbered) rows.
         Phase 3 (locked): release the rows to the free list. Deferred so
         an upsert cannot reuse a row before its payload delete commits
         (the delete would then eat the NEW payload); skipped if a
         compaction renumbered gids meanwhile (the rows no longer exist).
         """
+        if resolver is not None:
+            # Estimate only — the authoritative resolution reruns under
+            # the lock in phase 1. This pass sizes the program warm-up.
+            gids = resolver()
         if not gids:
             return 0
         if self._sharded is None:
@@ -494,6 +521,10 @@ class TpuVectorStore:
                     self._warm_mutation_programs(b)
         with self._lock:
             self._ensure_open()
+            if resolver is not None:
+                gids = resolver()
+                if not gids:
+                    return 0
             if self._sharded is not None:
                 # Sharded mode keeps no host term mirror and no free-list
                 # reuse race (rows are reused in place): single-phase,
@@ -553,7 +584,7 @@ class TpuVectorStore:
         # Phase 2: SQL outside the store lock. The payload delete covers
         # ALL requested gids (including payload-only divergence rows);
         # df accounting covers only the rows this call tombstoned.
-        self._payloads.delete_gids(gids)
+        self._guarded_payload_delete(gids, gen)
         if term_parts:
             df_drop = self._df_drop_for(np.concatenate(term_parts))
             if df_drop:
@@ -566,29 +597,60 @@ class TpuVectorStore:
                     seg.release_rows(rows_arr)
         return len(gids)
 
+    def _guarded_payload_delete(self, gids: list[int], gen: int) -> bool:
+        """Gid-numbered payload DELETE, atomic with a generation check.
+
+        ``_remap_lock`` means a compaction cannot commit its gid remap
+        mid-statement. If one committed after the caller's phase 1
+        (``self._generation != gen``), the journaled pop + orphan sweep in
+        that commit already removed these payload rows — issuing the
+        DELETE here would target whatever rows now hold the reassigned
+        gid values (wrong-row data loss). Returns whether the DELETE ran.
+        """
+        with self._remap_lock:
+            if self._generation != gen:
+                logger.warning(
+                    "delete crossed a compaction commit; payload rows were "
+                    "orphan-swept by the compaction (%d gids)", len(gids))
+                return False
+            self._payloads.delete_gids(gids)
+            return True
+
+    # delete_by_* resolve their predicate INSIDE _delete_gids' phase-1
+    # lock (resolver callable): a pre-resolved gid list can be freed by a
+    # concurrent duplicate delete and reused by a re-index of the same
+    # path before phase 1 runs, which would tombstone the fresh chunks.
+
     def delete_by_file(self, file_path: str) -> int:
         """Delete all chunks of one file; returns count removed."""
         self._ensure_open()
         return self._delete_gids(
-            self._payloads.gids_where("file_path", file_path))
+            None, resolver=lambda: self._payloads.gids_where(
+                "file_path", file_path))
 
     def delete_by_folder(self, folder_path: str) -> int:
         """Delete chunks under a folder subtree (reference delete_by_folder)."""
         self._ensure_open()
         return self._delete_gids(
-            self._payloads.gids_where_prefix("folder_path", folder_path))
+            None, resolver=lambda: self._payloads.gids_where_prefix(
+                "folder_path", folder_path))
 
     def delete_by_index_folder(self, index_folder: str) -> int:
         self._ensure_open()
         return self._delete_gids(
-            self._payloads.gids_where("index_folder", index_folder))
+            None, resolver=lambda: self._payloads.gids_where(
+                "index_folder", index_folder))
 
     def delete_by_point_ids(self, point_ids: list[str]) -> int:
         self._ensure_open()
-        gids = []
-        for pid in point_ids:
-            gids.extend(self._payloads.gids_where("point_id", pid))
-        return self._delete_gids(gids)
+
+        def resolve() -> list[int]:
+            gids: list[int] = []
+            for pid in point_ids:
+                gids.extend(self._payloads.gids_where("point_id", pid))
+            return gids
+
+        return self._delete_gids(None, resolver=resolve)
 
     # -- search (reference vector_store.py:560-697) --------------------------
     def _resolve_filter_ids(
@@ -1155,6 +1217,17 @@ class TpuVectorStore:
         keep = [(int(g), float(s)) for s, g in zip(scores, gids)
                 if g >= 0 and s > VALID_THRESHOLD]
         payload = payloads.get_chunks([g for g, _ in keep])
+        if (expected_generation is not None
+                and expected_generation != self._generation):
+            # Re-check AFTER the fetch: a compaction can bump the
+            # generation and commit its remap between the check above and
+            # the SELECT, in which case old-numbering gids just resolved
+            # against the remapped table (other chunks' text/metadata).
+            # compact bumps the in-memory generation BEFORE the SQL remap
+            # commits, so any fetch that could have seen remapped rows is
+            # caught here.
+            logger.warning("search crossed a compaction; dropping results")
+            return []
         out = []
         for g, s in keep:
             chunk = payload.get(g)
@@ -1456,6 +1529,8 @@ class TpuVectorStore:
                     tmp = self.index_dir / f"compact_{i:04d}.tmp.npz"
                     np.savez_compressed(tmp, **seg.to_host())
                     tmp_paths.append(tmp)
+                if self._compact_window_hook is not None:
+                    self._compact_window_hook()
             except BaseException:
                 with self._lock:
                     for seg in (self._segments or [])[:n_sealed]:
@@ -1484,11 +1559,19 @@ class TpuVectorStore:
                 # Segments appended during the window keep their rows and
                 # slide down to follow the rebuilt ones; identity entries
                 # keep their payload rows out of the orphan sweep.
+                # Journal-deleted appended rows are EXCLUDED: their device
+                # tombstones landed directly (appended segments are never
+                # sealed), and mapping them would remap their payload rows
+                # instead of letting the orphan sweep remove them — after
+                # which the deleting thread's stale-gid DELETE (now
+                # skipped via the generation check) was the only remover.
                 appended = self._segments[n_sealed:]
                 for j, seg in enumerate(appended):
                     ob = (n_sealed + j) * cap
                     nb = (n_needed + j) * cap
                     for r in range(seg._next):
+                        if ob + r in deleted:
+                            continue
                         mapping[ob + r] = nb + r
                 n_total = n_needed + len(appended)
 
@@ -1505,20 +1588,29 @@ class TpuVectorStore:
                 # Drop orphan payload rows (lost/quarantined segments:
                 # their device rows are gone and the repair cycle
                 # re-indexes the files) so remap targets cannot collide,
-                # then remap + stamp in ONE transaction.
-                orphans = set(self._payloads.all_gids()) - set(mapping)
-                if orphans:
-                    self._payloads.delete_gids(sorted(orphans))
-                    logger.info("compact: dropped %d orphan payload rows "
-                                "(pending repair)", len(orphans))
-                # In-memory generation bumps BEFORE the SQL remap commits:
-                # a reader that somehow observes the remapped payloads must
-                # also observe the bumped generation (its gen check then
-                # fails and it returns empty instead of wrong rows).
-                self._generation = new_gen
-                self._payloads.remap_gids(
-                    {o: nw for o, nw in mapping.items() if o != nw},
-                    generation=new_gen)
+                # then remap + stamp in ONE transaction. _remap_lock makes
+                # the whole commit atomic w.r.t. in-flight delete phase-2
+                # SQL: a delete that tombstoned rows under the OLD
+                # numbering either finishes its payload DELETE before this
+                # commit (then its gids are simply absent from all_gids)
+                # or observes the bumped generation and skips it (the
+                # journal pop + this orphan sweep removed its rows).
+                with self._remap_lock:
+                    orphans = set(self._payloads.all_gids()) - set(mapping)
+                    if orphans:
+                        self._payloads.delete_gids(sorted(orphans))
+                        logger.info(
+                            "compact: dropped %d orphan payload rows "
+                            "(pending repair)", len(orphans))
+                    # In-memory generation bumps BEFORE the SQL remap
+                    # commits: a reader that somehow observes the remapped
+                    # payloads must also observe the bumped generation
+                    # (its gen check then fails and it returns empty
+                    # instead of wrong rows).
+                    self._generation = new_gen
+                    self._payloads.remap_gids(
+                        {o: nw for o, nw in mapping.items() if o != nw},
+                        generation=new_gen)
                 # Swap in memory + on disk, then clear the journal.
                 dropped = n_sealed - n_needed
                 self._segments = new_segments + list(appended)
