@@ -22,6 +22,11 @@ Without --corpus the corpus is regenerated in-process; it must then run
 where the generator matches the bench device (the TPU via the axon tunnel).
 With --corpus it runs backend-free from a pre-pulled host array (use
 scripts/dump_bench_corpus.py on the TPU first).
+
+--real-npz <dump.npz> (from scripts/dump_real_vecs.py) instead builds the
+768-d REAL-corpus baseline (VERDICT r4 task 3): rows are the dequantized
+int8 real-text embeddings — the exact vectors the TPU real_ivf_* numbers
+serve — and checkpoints are named hnsw_<k>r_768d_m16_efc200.real1.bin.
 """
 
 import argparse
@@ -63,6 +68,9 @@ def main() -> int:
     ap.add_argument("n_rows", nargs="?", type=int, default=100_000)
     ap.add_argument("--corpus", default=None,
                     help=".npy of the bench host corpus (f16 round-tripped)")
+    ap.add_argument("--real-npz", default=None,
+                    help="scripts/dump_real_vecs.py output: build the 768-d "
+                         "real-corpus baseline from dequantized int8 rows")
     ap.add_argument("--checkpoint-every", type=int, default=100_000)
     args = ap.parse_args()
     n_rows = args.n_rows
@@ -70,20 +78,28 @@ def main() -> int:
     from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
 
     assert available(), "libhnsw_baseline.so unavailable"
-    import bench
 
-    vecs_np = load_corpus(args)
-    assert n_rows <= len(vecs_np)
+    if args.real_npz:
+        z = np.load(args.real_npz)
+        vecs_np = (z["v8"].astype(np.float32)
+                   * z["scales"][:, None].astype(np.float32))
+        dim, suffix = vecs_np.shape[1], "real1"
+    else:
+        import bench
+
+        vecs_np = load_corpus(args)
+        dim, suffix = bench.D, "v2"
+    n_rows = min(n_rows, len(vecs_np))
 
     out_dir = Path(__file__).resolve().parent.parent / "bench_cache"
     out_dir.mkdir(exist_ok=True)
 
     def path_for(k: int) -> Path:
-        return out_dir / f"hnsw_{k}r_{bench.D}d_m16_efc200.v2.bin"
+        return out_dir / f"hnsw_{k}r_{dim}d_m16_efc200.{suffix}.bin"
 
     # Resume from the largest checkpoint below the target.
     h, start = None, 0
-    for cp in sorted(out_dir.glob(f"hnsw_*r_{bench.D}d_m16_efc200.v2.bin"),
+    for cp in sorted(out_dir.glob(f"hnsw_*r_{dim}d_m16_efc200.{suffix}.bin"),
                      key=lambda p: -int(p.name.split("_")[1][:-1])):
         k = int(cp.name.split("_")[1][:-1])
         if k >= n_rows:
@@ -95,7 +111,7 @@ def main() -> int:
             print(f"resuming from {cp.name} ({k} rows)", flush=True)
             break
     if h is None:
-        h = HnswBaseline(bench.D, n_rows, m=16, ef_construction=200)
+        h = HnswBaseline(dim, n_rows, m=16, ef_construction=200)
 
     print(f"building HNSW {start}->{n_rows} rows efc=200 (single thread)...",
           flush=True)
