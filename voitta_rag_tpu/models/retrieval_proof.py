@@ -296,6 +296,171 @@ def train_encoder_online(docs: list[list[str]], refs, cfg, *, steps: int,
     return params, losses
 
 
+def train_encoder_hardneg(docs: list[list[str]], refs, cfg, *, steps: int,
+                          batch: int, max_len: int = 96, lr: float = 3e-4,
+                          dp: int | None = None, tp: int = 1, seed: int = 0,
+                          log=None, time_left=None, eval_every: int = 0,
+                          eval_fn=None, init=None):
+    """Online-synthesis training with NEIGHBOR hard negatives.
+
+    The held-out failure mode of the plain in-batch trainer is exactly the
+    one the task was designed to expose: a query's words are sampled from
+    the target chunk's NEIGHBOR, so BM25 ranks the neighbor first — and a
+    dense model trained only against random in-batch negatives never learns
+    to prefer the target over that lexical decoy (r4: dense 0.231 < BM25
+    0.288). Here every batch is built as anchor/neighbor PAIRS: for each
+    sampled ref (d, i) the batch also contains a same-doc neighbor ref, so
+    the InfoNCE denominator always holds the decoy passage and the gradient
+    pushes q_i off p_{i±1} explicitly. Both halves are full training
+    examples (fresh queries each), so no throughput is wasted.
+
+    Byte-identical passages inside one batch are false negatives (two
+    correct labels); duplicates are re-rolled to random refs.
+
+    ``eval_every``/``eval_fn(params) -> float`` checkpoints the best params
+    by a caller-supplied validation metric (returned alongside the final).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voitta_rag_tpu.models.encoder import init_params
+    from voitta_rag_tpu.models.training import (
+        make_optimizer, make_sharded_train_step,
+    )
+    from voitta_rag_tpu.parallel.mesh import train_mesh
+
+    p_texts = [docs[d][i] for d, i in refs]
+    p_ids = crc_tokenize(p_texts, cfg.vocab_size, max_len)
+    p_crc = np.asarray([zlib.crc32(t.encode()) for t in p_texts], np.int64)
+    ref_pos = {r: j for j, r in enumerate(refs)}
+
+    def neighbor_of(j: int) -> int:
+        d, i = refs[j]
+        for cand in ((d, i - 1), (d, i + 1)):
+            k = ref_pos.get(cand)
+            if k is not None:
+                return k
+        return -1
+
+    nbr = np.asarray([neighbor_of(j) for j in range(len(refs))], np.int64)
+    p_texts = None
+
+    # Precompute the query components as TOKEN IDS (one findall pass per
+    # doc/ref up front): per-step synthesis is then pure array assembly.
+    # String-level parity with synth_query/crc_tokenize holds because
+    # WORD_RE words contain no whitespace, so tokenizing words one at a
+    # time equals tokenizing the joined query string.
+    def _tok(w: str) -> int:
+        return 2 + (zlib.crc32(w.encode()) % (cfg.vocab_size - 2))
+
+    title_ids = [[_tok(w) for w in _title_of(doc).split()] for doc in docs]
+    cand_ids: list[np.ndarray] = []
+    for d, i in refs:
+        doc = docs[d]
+        nb_text = doc[i - 1] if i > 0 else doc[i + 1]
+        ws = [w for w in WORD_RE.findall(nb_text.lower())
+              if len(w) > 3 and not w.isdigit()]
+        cand_ids.append(np.asarray([_tok(w) for w in ws], np.int32))
+
+    def make_query_ids(take: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(take), max_len), np.int32)
+        out[:, 0] = 1
+        for r, j in enumerate(take):
+            t = title_ids[refs[j][0]]
+            cand = cand_ids[j]
+            if len(cand):
+                pick = rng.choice(len(cand), min(6, len(cand)),
+                                  replace=False)
+                q = t + cand[np.sort(pick)].tolist()
+            else:
+                q = list(t)
+            q = q[:max_len - 1]
+            out[r, 1:1 + len(q)] = q
+        return out
+
+    mesh = train_mesh(dp=dp, tp=tp)
+    dp_n = mesh.shape["dp"]
+    batch -= batch % max(2, dp_n)
+    half = batch // 2
+    tx = make_optimizer(lr=lr, warmup_steps=min(500, steps // 10 + 1),
+                        total_steps=steps)
+    params, opt_state, step_fn = make_sharded_train_step(
+        mesh, cfg, tx, init_params(jax.random.PRNGKey(seed), cfg)
+        if init is None else init)
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    best = (-1.0, None)
+    for s in range(steps):
+        anchors = rng.choice(len(refs), half, replace=False)
+        mates = nbr[anchors]
+        miss = mates < 0
+        if miss.any():
+            mates[miss] = rng.choice(len(refs), int(miss.sum()))
+        take = np.concatenate([anchors, mates])
+        # Re-roll in-batch byte-identical passages (false negatives).
+        seen: dict[int, int] = {}
+        for t in range(len(take)):
+            c = int(p_crc[take[t]])
+            while c in seen and seen[c] != take[t]:
+                take[t] = int(rng.choice(len(refs)))
+                c = int(p_crc[take[t]])
+            seen[c] = take[t]
+        qb = jnp.asarray(make_query_ids(take))
+        pb = jnp.asarray(p_ids[take])
+        params, opt_state, loss = step_fn(
+            params, opt_state, qb, (qb != 0).astype(jnp.int32),
+            pb, (pb != 0).astype(jnp.int32))
+        if s % 50 == 0 or s == steps - 1:
+            losses.append(float(loss))
+            if log:
+                log(f"train step {s}: loss {losses[-1]:.4f}")
+            if time_left is not None and time_left() < 60 and s < steps - 1:
+                if log:
+                    log(f"training stopped early at step {s} (deadline)")
+                break
+        if eval_every and eval_fn and (s + 1) % eval_every == 0:
+            m = eval_fn(params)
+            if log:
+                log(f"  eval at step {s + 1}: {m:.4f}"
+                    f" (best {max(best[0], m):.4f})")
+            if m > best[0]:
+                best = (m, jax.tree.map(np.asarray, params))
+    return params, losses, best
+
+
+def save_checkpoint(path, params, **meta) -> None:
+    """Flatten a params pytree to an npz (f16 floats) + JSON metadata."""
+    import json as _json
+
+    import jax
+
+    flat, treedef = jax.tree.flatten(jax.tree.map(np.asarray, params))
+    arrs = {f"p{i}": (a.astype(np.float16)
+                      if a.dtype in (np.float32, np.float64) else a)
+            for i, a in enumerate(flat)}
+    np.savez_compressed(path, __meta__=_json.dumps(meta),
+                        __n__=len(flat), **arrs)
+
+
+def load_checkpoint(path, cfg):
+    """Returns (params_f32_pytree, meta dict); structure from init_params."""
+    import json as _json
+
+    import jax
+
+    from voitta_rag_tpu.models.encoder import init_params
+
+    z = np.load(path, allow_pickle=False)
+    meta = _json.loads(str(z["__meta__"]))
+    n = int(z["__n__"])
+    flat = [np.asarray(z[f"p{i}"]) for i in range(n)]
+    flat = [a.astype(np.float32) if a.dtype == np.float16 else a
+            for a in flat]
+    treedef = jax.tree.structure(init_params(jax.random.PRNGKey(0), cfg))
+    return jax.tree.unflatten(treedef, flat), meta
+
+
 def encode_corpus(params, cfg, ids: np.ndarray, *, block: int = 256):
     """Unit-normalized embeddings of pre-tokenized rows, blocked on device.
 
