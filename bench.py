@@ -337,14 +337,169 @@ def chained_device_ms(fn_one, xs, n_chain: int, *arrays) -> float:
     return best / n_chain * 1000.0
 
 
+# Live state for the kill-flush path: sections update extra in place, so a
+# SIGTERM handler can emit whatever has been measured so far.
+_STATE = {"extra": None, "tpu_qps": None, "on_tpu": False, "t_start": None,
+          "printed": False}
+
+
+def compute_vs_baseline(extra, tpu_qps):
+    """(vs, definition) against the CPU HNSW baseline.
+
+    Preferred pair (north-star geometry, VERDICT r4 task 3): the 768-d REAL
+    corpus — real_ivf_* (TPU IVF over the 1.04M x 768 real-text embeddings)
+    vs hnsw768_* (C++ HNSW over the SAME vectors, queries, and oracle;
+    graph cache built offline by scripts/build_hnsw_cache.py --real-npz).
+    Fallbacks: the 1M x 384 synthetic pair, then flat-hybrid / ef32.
+    Matching rule both ways: CPU point = its best recall not exceeding the
+    TPU's best (recall parity); TPU point = fastest config at >= that
+    recall.
+    """
+    def matched(tpu_pts, cpu_pts, tname, cname):
+        tpu_pts = [p for p in tpu_pts if p[1] is not None and p[2]]
+        cpu_pts = [p for p in cpu_pts if p[1] is not None and p[2]]
+        max_tpu = max((p[1] for p in tpu_pts), default=0)
+        cpu_best = None
+        for ef, r, qps in sorted(cpu_pts, key=lambda p: -p[1]):
+            if r <= max_tpu:
+                cpu_best = (ef, r, qps)
+                break
+        if not cpu_best:
+            return None
+        tpu_best = None
+        for np_, r, qps in tpu_pts:
+            if r >= cpu_best[1] and (tpu_best is None or qps > tpu_best[2]):
+                tpu_best = (np_, r, qps)
+        if not tpu_best:
+            return None
+        vs = round(tpu_best[2] / cpu_best[2], 1)
+        defn = (f"{tname}{tpu_best[0]} / {cname}{cpu_best[0]} (TPU recall "
+                f"{tpu_best[1]} >= CPU recall {cpu_best[1]})")
+        return vs, defn
+
+    got = matched(
+        [(np_, extra.get(f"real_ivf_recall10_np{np_}"),
+          extra.get(f"real_ivf_qps_np{np_}")) for np_ in (16, 32, 64)],
+        [(ef, extra.get(f"hnsw768_recall10_ef{ef}"),
+          extra.get(f"hnsw768_qps_ef{ef}")) for ef in (32, 64, 128, 256, 512)],
+        "real_ivf_qps_np", "hnsw768_qps_ef")
+    if got:
+        return got[0], got[1] + " [768-d real corpus, same rows/queries/oracle]"
+    got = matched(
+        [(np_, extra.get(f"ivf_recall10_np{np_}"),
+          extra.get(f"ivf_qps_np{np_}")) for np_ in (16, 32, 64, 128)],
+        [(ef, extra.get(f"hnsw_recall10_ef{ef}"),
+          extra.get(f"hnsw_qps_ef{ef}")) for ef in (32, 64, 128, 256, 512)],
+        "ivf_qps_np", "hnsw_qps_ef")
+    if got:
+        return got[0], got[1] + " [1M x 384 synthetic]"
+    hq = extra.get("hnsw_qps_ef32")
+    if hq and tpu_qps:
+        return round(tpu_qps / hq, 1), "flat hybrid qps / hnsw_qps_ef32"
+    return None, None
+
+
+def finalize_result(extra, tpu_qps, on_tpu, status="complete"):
+    """Write BENCH_FULL.json and return the compact headline line.
+
+    Callable at ANY point (including from the SIGTERM handler): computes
+    vs_baseline from whatever extra holds. The driver tail-captures only
+    the last ~2000 chars of stdout, so the full metric set goes to the
+    artifact file and the printed line stays compact.
+    """
+    from pathlib import Path
+
+    vs, defn = compute_vs_baseline(extra, tpu_qps)
+    if defn:
+        extra["vs_baseline_definition"] = defn
+    if status != "complete":
+        extra["bench_status"] = status
+    else:
+        extra.pop("bench_status", None)
+    result = {
+        "metric": "filtered_hybrid_search_qps_1M_384d"
+                  + ("" if on_tpu else "_cpu"),
+        "value": round(tpu_qps, 1) if tpu_qps else None,
+        "unit": "qps",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(result, indent=1, sort_keys=True,
+                                        default=str))
+    except Exception as e:
+        log(f"could not write {full_path}: {e}")
+
+    hl_keys = (
+        "ivf_qps_np16", "ivf_recall10_np16",
+        "real_ivf_qps_np16", "real_ivf_recall10_np16",
+        "real10m_ivf_qps_np8", "real10m_ivf_recall10_np8",
+        "real10m_recall10_chunk_np8", "real10m_ivf_recall10_scoreaware_np8",
+        "bq_coarse_qps", "bq_e2e_qps_tunnel_os4",
+        "p50_query_ms_device", "p50_query_ms_device_ivf",
+        "p50_query_ms_tunnel", "p99_under_mutation_ms", "p99_idle_ms",
+        "trained_recall10", "trained_hybrid_recall10",
+        "bm25_only_recall10",
+        "hnsw768_rows", "hnsw768_recall10_ef128", "hnsw768_qps_ef128",
+        "hnsw_recall10_ef128", "hnsw_qps_ef128",
+        "vs_baseline_definition", "backend", "bench_status",
+    )
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "qps",
+        "vs_baseline": vs,
+        "full": full_path.name,
+        "hl": {k: extra[k] for k in hl_keys if k in extra},
+    }
+    line = json.dumps(compact, separators=(",", ":"), default=str)
+    if len(line) > 1800:  # belt-and-braces: drop hl before risking the tail
+        compact.pop("hl")
+        line = json.dumps(compact, separators=(",", ":"), default=str)
+    return line
+
+
+def _flush_and_exit(signum, frame):  # pragma: no cover - kill path
+    """SIGTERM/SIGINT: flush the headline before dying (VERDICT r4 task 1).
+
+    The driver kills overruns with `timeout` (SIGTERM). r3 and r4 both
+    lost their parsed headline to exactly this; the handler guarantees the
+    last stdout line is the compact JSON whatever the kill timing.
+    """
+    import os
+
+    if not _STATE["printed"]:
+        try:
+            extra = _STATE["extra"] if _STATE["extra"] is not None else {}
+            if _STATE["t_start"]:
+                extra["killed_at_s"] = round(time.time() - _STATE["t_start"],
+                                             1)
+            line = finalize_result(extra, _STATE["tpu_qps"],
+                                   _STATE["on_tpu"],
+                                   status=f"killed_sig{signum}")
+            print(line, flush=True)
+            _STATE["printed"] = True
+        except Exception:
+            pass
+    os._exit(0)
+
+
 def main():
     # Self-bounding: if a section would start too close to a driver-side
     # timeout, skip it and still print the result line — a killed process
     # records NOTHING, which is strictly worse than a partial run.
+    # Deadline calibration (r4 post-mortem): the driver killed r4 at
+    # ~1900-2100 s elapsed while the internal clock (default 2700) believed
+    # ~900 s remained. 1550 s keeps >=20% margin under the observed kill.
     import os
+    import signal
 
     t_start = time.time()
-    deadline = float(os.environ.get("VOITTA_BENCH_DEADLINE_S", "2700"))
+    _STATE["t_start"] = t_start
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGINT, _flush_and_exit)
+    deadline = float(os.environ.get("VOITTA_BENCH_DEADLINE_S", "1550"))
 
     def time_left() -> float:
         return deadline - (time.time() - t_start)
@@ -363,10 +518,12 @@ def main():
             pass
 
     on_tpu = jax.default_backend() == "tpu"
+    _STATE["on_tpu"] = on_tpu
     extra = {"backend": jax.default_backend(),
              "host_vcpus": __import__("os").cpu_count(),
              "corpus_model": f"clustered(intra_cos={INTRA_COS}, "
                              f"clusters={TRUE_CLUSTERS})"}
+    _STATE["extra"] = extra
     log(f"backend={jax.default_backend()}; generating clustered corpus")
     t_all = time.time()
     (vecs_dev, cols, terms, weights,
@@ -393,6 +550,7 @@ def main():
     log("timing headline hybrid program (bf16 flat)")
     tpu_qps, dt = queued_qps(device_hybrid, qstack, qt_j, qw_j, vecs, cols,
                              terms, weights, spec)
+    _STATE["tpu_qps"] = tpu_qps
     rtt_ms = measure_rtt_ms()
     extra["tunnel_rtt_ms"] = round(rtt_ms, 2)
     log(f"headline: {tpu_qps:.0f} qps ({dt / N_ITERS * 1000:.2f} ms per "
@@ -721,10 +879,22 @@ def main():
     except Exception as e:
         extra["latency_error"] = str(e)[:250]
 
+    # ---- CPU HNSW baseline at 384-d (the reference's engine class: Qdrant
+    # = Rust HNSW; here from-scratch C++, single-thread, this host). Runs
+    # EARLY (host arrays + cached graph only, ~60s) so the vs_baseline
+    # evidence is on disk even if a later TPU section dies (r3/r4 both lost
+    # their headline to a driver kill in the back half of the run).
+    try:
+        bench_hnsw384(extra, vecs_np, qpool, n_oracle, time_left)
+    except Exception as e:
+        extra["hnsw_error"] = str(e)[:250]
+    checkpoint_extra(extra)
+    finalize_result(extra, tpu_qps, on_tpu, status="in_progress")
+
     # ---- real-text corpus (round-3: recall numbers on REAL data) ----
-    if on_tpu and time_left() < 800:
+    if on_tpu and time_left() < 600:
         extra["real_corpus_skipped"] = (
-            f"deadline: {time_left():.0f}s left, section needs ~800s")
+            f"deadline: {time_left():.0f}s left, section needs ~600s")
         log(extra["real_corpus_skipped"])
     elif on_tpu:
         try:
@@ -742,26 +912,46 @@ def main():
             extra["real_corpus_error"] = str(e)[:300]
             log(f"real corpus failed: {e}")
 
-    # ---- tail latency under mutation (the serving proof Qdrant is
-    # trusted for): p50/p95/p99 with a concurrent writer + compaction ----
-    if on_tpu and time_left() < 400:
-        extra["mutation_skipped"] = f"deadline ({time_left():.0f}s left)"
-        log(extra["mutation_skipped"])
+    # ---- matched CPU baseline at the north-star dimension: C++ HNSW over
+    # the SAME 1.04M x 768 real vectors, queries, and oracle as real_ivf_*
+    # (VERDICT r4 task 3); host-only, cached graph + committed vector dump.
+    if time_left() < 60:
+        extra["hnsw768_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["hnsw768_skipped"])
+    else:
+        try:
+            extra.update(bench_hnsw768(time_left))
+            checkpoint_extra(extra)
+            finalize_result(extra, tpu_qps, on_tpu, status="in_progress")
+        except Exception as e:
+            extra["hnsw768_error"] = str(e)[:300]
+            log(f"hnsw768 baseline failed: {e}")
+
+    # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
+    # distribution): 12 pooling views per harvested chunk, streamed
+    # straight into the flat variable-length IVF layout ----
+    if on_tpu and time_left() < 420:
+        extra["real10m_skipped"] = (
+            f"deadline: {time_left():.0f}s left, section needs ~420s warm "
+            "(cached assignment+oracle) / ~850s cold")
+        log(extra["real10m_skipped"])
     elif on_tpu:
         try:
             import gc
 
             gc.collect()
-            extra.update(bench_mutation_latency(time_left))
+            extra.update(bench_real10m(time_left, rng))
             checkpoint_extra(extra)
         except Exception as e:
-            extra["mutation_error"] = str(e)[:300]
-            log(f"mutation-latency section failed: {e}")
+            extra["real10m_error"] = str(e)[:300]
+            log(f"real-10M section failed: {e}")
 
-    # ---- learned retrieval end-to-end: train -> embed -> index -> search
-    # (models/retrieval_proof.py) — held-out recall of the TRAINED encoder
-    # vs BM25-only and random init, all through the production kernels ----
-    if on_tpu and time_left() < 700:
+    # ---- learned retrieval: held-out recall of the offline-trained
+    # checkpoint (scripts/train_retrieval_ckpt.py) through the production
+    # kernels vs BM25-only and random init; trains in-bench only as a
+    # fallback when no checkpoint is committed ----
+    trained_need = 240 if _trained_ckpt_path().exists() else 650
+    if on_tpu and time_left() < trained_need:
         extra["trained_skipped"] = f"deadline ({time_left():.0f}s left)"
         log(extra["trained_skipped"])
     elif on_tpu:
@@ -775,26 +965,24 @@ def main():
             extra["trained_error"] = str(e)[:300]
             log(f"trained-retrieval section failed: {e}")
 
-    # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
-    # distribution): 10 pooling views per harvested chunk, streamed
-    # straight into the cell-major IVF layout ----
-    if on_tpu and time_left() < 900:
-        extra["real10m_skipped"] = (
-            f"deadline: {time_left():.0f}s left, section needs ~900s")
-        log(extra["real10m_skipped"])
+    # ---- tail latency under mutation (the serving proof Qdrant is
+    # trusted for): p50/p95/p99 with a concurrent writer + compaction ----
+    if on_tpu and time_left() < 220:
+        extra["mutation_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["mutation_skipped"])
     elif on_tpu:
         try:
             import gc
 
             gc.collect()
-            extra.update(bench_real10m(time_left, rng))
+            extra.update(bench_mutation_latency(time_left))
             checkpoint_extra(extra)
         except Exception as e:
-            extra["real10m_error"] = str(e)[:300]
-            log(f"real-10M section failed: {e}")
+            extra["mutation_error"] = str(e)[:300]
+            log(f"mutation-latency section failed: {e}")
 
     # ---- cold-tier BQ shadow (VOITTA_COLD_BQ serving pipeline) ----
-    if on_tpu and time_left() < 420:
+    if on_tpu and time_left() < 330:
         extra["bq_skipped"] = f"deadline ({time_left():.0f}s left)"
         log(extra["bq_skipped"])
     elif on_tpu:
@@ -825,8 +1013,9 @@ def main():
             vecs_dev = vecs = v8 = scales = scale = w16 = cols = None
             terms = weights = qt_j = qw_j = qstack = q_oracle = None
             oracle_scores = oracle_ids = ivf = post = None
-            # vecs_np/qpool stay: the HNSW baseline (last section) reads them.
-            weights_np = terms_np = cols_np = None
+            # The HNSW baseline already ran (it moved ahead of the TPU-heavy
+            # sections), so the host mirrors can go too.
+            vecs_np = qpool = weights_np = terms_np = cols_np = None
             big = xs = ids_stack = istacks = qts = qws = eparams = None
             gc.collect()
             ten_m = bench_10m(extra, rng)
@@ -835,164 +1024,179 @@ def main():
         except Exception as e:
             extra["scale10M_error"] = str(e)[:300]
 
-    # ---- CPU HNSW baseline (the reference's engine class: Qdrant = Rust
-    # HNSW; here a from-scratch C++ HNSW, single-thread on this host).
-    # Runs LAST: it only needs host arrays, so when the deadline squeezes
-    # something it is this section's size, not the TPU-scale sections. ----
-    hnsw_qps = None
-    try:
-        from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+    line = finalize_result(extra, tpu_qps, on_tpu)
+    print(line)
+    _STATE["printed"] = True
 
-        if time_left() < 120:
-            extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
-            log(extra["hnsw_skipped"])
-        elif available():
-            # ef_construction=200 (hnswlib's default — a properly built
-            # graph). Graph-only caches (committed under bench_cache/, built
-            # offline — the corpus is deterministic, checksum-verified) let
-            # the baseline run at 100k rows for the cost of a load; without
-            # a cache the subsample is sized to the remaining deadline
-            # (50k efc=200 builds in ~930s single-thread on this host).
-            # The ef sweep runs to 512: search cost only, and the clustered
-            # corpus needs large ef for the baseline's best recall.
-            from pathlib import Path
 
-            cache_dir = Path(__file__).resolve().parent / "bench_cache"
-            h = None
-            n_sub = 0
-            # 1M first: matched corpus size vs the TPU sections (round-3
-            # weakness: the headline multiplier divided QPS measured on a
-            # 100k CPU corpus vs a 1M TPU corpus). Built offline in 9285s
-            # single-thread via scripts/build_hnsw_cache.py.
-            for n_try in (1_000_000, 100_000, 50_000, 25_000):
-                cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v2.bin"
-                if cp.exists():
-                    h = HnswBaseline.load_graph(cp, vecs_np[:n_try])
-                    if h is not None:
-                        n_sub = n_try
-                        extra["hnsw_cache"] = cp.name
-                        log(f"CPU HNSW baseline: loaded cached {n_try}-row "
-                            f"efc=200 graph")
-                        break
-            if h is None and time_left() < 240:
-                extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
-                log(extra["hnsw_skipped"])
-            if h is None and time_left() >= 240:
-                n_sub = 50_000 if time_left() > 1150 else 25_000
-                log(f"CPU HNSW baseline ({n_sub} rows, efc=200, "
-                    f"{time_left():.0f}s left)")
-                t0 = time.perf_counter()
-                h = HnswBaseline(D, n_sub, m=16, ef_construction=200)
-                h.add(vecs_np[:n_sub])
-                extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
-                try:
-                    cache_dir.mkdir(exist_ok=True)
-                    h.save_graph(
-                        cache_dir / f"hnsw_{n_sub}r_{D}d_m16_efc200.v2.bin")
-                except Exception:
-                    pass
-            if h is not None:
-                sub = vecs_np[:n_sub]
-                extra["hnsw_rows"] = n_sub
-                sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
-                                        axis=1)[:, :LIMIT]
-                for ef in (32, 64, 128, 256, 512):
-                    t0 = time.perf_counter()
-                    ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
-                    dt_h = (time.perf_counter() - t0) / n_oracle
-                    extra[f"hnsw_recall10_ef{ef}"] = round(
-                        recall_at10(ids_h, sub_oracle), 3)
-                    extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
-                    if ef == 32:
-                        hnsw_qps = 1 / dt_h
-                log(f"HNSW: recall {extra.get('hnsw_recall10_ef512')} at "
-                    f"{extra.get('hnsw_qps_ef512')} qps ef512 "
-                    f"(1 thread, {n_sub} rows, efc=200)")
-        else:
-            extra["hnsw_error"] = "native lib unavailable"
-    except Exception as e:
-        extra["hnsw_error"] = str(e)[:250]
-
-    # vs_baseline: QPS ratio at recall@10 at-or-above the CPU baseline's
-    # best honest operating point. CPU point = its highest measured recall
-    # (not exceeding the TPU's best, so recall parity holds); TPU point =
-    # the fastest nprobe whose recall >= that CPU recall.
-    vs = None
-    tpu_points = [(np_, extra.get(f"ivf_recall10_np{np_}"),
-                   extra.get(f"ivf_qps_np{np_}"))
-                  for np_ in (16, 32, 64, 128)]
-    tpu_points = [p for p in tpu_points if p[1] is not None and p[2]]
-    max_tpu_rec = max((p[1] for p in tpu_points), default=0)
-    cpu_best = None
-    for ef in (512, 256, 128, 64, 32):  # highest-recall CPU config first
-        r, qps = (extra.get(f"hnsw_recall10_ef{ef}"),
-                  extra.get(f"hnsw_qps_ef{ef}"))
-        if r is not None and qps and r <= max_tpu_rec:
-            cpu_best = (ef, r, qps)
-            break
-    tpu_best = None
-    if cpu_best:
-        for np_, r, qps in tpu_points:
-            if r >= cpu_best[1] and (tpu_best is None or qps > tpu_best[2]):
-                tpu_best = (np_, r, qps)
-    if tpu_best and cpu_best:
-        ef, cpu_rec, cpu_qps = cpu_best
-        np_, ivf_rec, ivf_qps = tpu_best
-        vs = round(ivf_qps / cpu_qps, 1)
-        extra["vs_baseline_definition"] = (
-            f"ivf_qps_np{np_} / hnsw_qps_ef{ef} (TPU recall "
-            f"{ivf_rec} >= CPU recall {cpu_rec})")
-    elif hnsw_qps:
-        vs = round(tpu_qps / hnsw_qps, 1)
-        extra["vs_baseline_definition"] = "flat hybrid qps / hnsw_qps_ef32"
-    result = {
-        "metric": "filtered_hybrid_search_qps_1M_384d" + ("" if on_tpu else "_cpu"),
-        "value": round(tpu_qps, 1),
-        "unit": "qps",
-        "vs_baseline": vs,
-        "extra": extra,
-    }
-    # Evidence chain: the driver tail-captures only the last ~2000 chars of
-    # stdout, so the FULL metric set goes to a committed artifact file and
-    # the final printed line stays a COMPACT headline (parseable even in a
-    # truncated tail). BENCH_r03.json was lost to exactly this (parsed:
-    # null) — never print the full `extra` dict as the last line.
+def _trained_ckpt_path():
     from pathlib import Path
 
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    try:
-        full_path.write_text(json.dumps(result, indent=1, sort_keys=True))
-        log(f"full metric set written to {full_path}")
-    except Exception as e:
-        log(f"could not write {full_path}: {e}")
+    return (Path(__file__).resolve().parent / "bench_cache"
+            / "trained_minilm.v1.npz")
 
-    hl_keys = (
-        "ivf_qps_np16", "ivf_recall10_np16",
-        "real_ivf_qps_np16", "real_ivf_recall10_np16",
-        "ivf10_qps_np8", "ivf10_recall10_np8",
-        "real10m_ivf_qps_np8", "real10m_ivf_recall10_np8",
-        "bq_coarse_qps", "bq_recall10_exactsel_os4",
-        "p50_query_ms_device", "p50_query_ms_device_ivf",
-        "p50_query_ms_tunnel", "p99_under_mutation_ms", "p99_idle_ms",
-        "trained_recall10", "trained_hybrid_recall10",
-        "bm25_only_recall10", "randinit_recall10",
-        "hnsw_rows", "hnsw_recall10_ef64", "hnsw_qps_ef64",
-        "hnsw_recall10_ef128", "hnsw_qps_ef128",
-        "vs_baseline_definition", "backend",
-    )
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": "qps",
-        "vs_baseline": vs,
-        "full": full_path.name,
-        "hl": {k: extra[k] for k in hl_keys if k in extra},
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # belt-and-braces: drop hl before risking the tail
-        compact.pop("hl")
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+
+def bench_hnsw384(extra, vecs_np, qpool, n_oracle, time_left):
+    """CPU HNSW baseline on the 1M x 384 synthetic corpus (in place)."""
+    from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+
+    if time_left() < 120:
+        extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["hnsw_skipped"])
+    elif available():
+        # ef_construction=200 (hnswlib's default — a properly built
+        # graph). Graph-only caches (committed under bench_cache/, built
+        # offline — the corpus is deterministic, checksum-verified) let
+        # the baseline run at 100k rows for the cost of a load; without
+        # a cache the subsample is sized to the remaining deadline
+        # (50k efc=200 builds in ~930s single-thread on this host).
+        # The ef sweep runs to 512: search cost only, and the clustered
+        # corpus needs large ef for the baseline's best recall.
+        from pathlib import Path
+
+        cache_dir = Path(__file__).resolve().parent / "bench_cache"
+        h = None
+        n_sub = 0
+        # 1M first: matched corpus size vs the TPU sections (round-3
+        # weakness: the headline multiplier divided QPS measured on a
+        # 100k CPU corpus vs a 1M TPU corpus). Built offline in 9285s
+        # single-thread via scripts/build_hnsw_cache.py.
+        for n_try in (1_000_000, 100_000, 50_000, 25_000):
+            cp = cache_dir / f"hnsw_{n_try}r_{D}d_m16_efc200.v2.bin"
+            if cp.exists():
+                h = HnswBaseline.load_graph(cp, vecs_np[:n_try])
+                if h is not None:
+                    n_sub = n_try
+                    extra["hnsw_cache"] = cp.name
+                    log(f"CPU HNSW baseline: loaded cached {n_try}-row "
+                        f"efc=200 graph")
+                    break
+        if h is None and time_left() < 240:
+            extra["hnsw_skipped"] = f"deadline ({time_left():.0f}s left)"
+            log(extra["hnsw_skipped"])
+        if h is None and time_left() >= 240:
+            n_sub = 50_000 if time_left() > 1150 else 25_000
+            log(f"CPU HNSW baseline ({n_sub} rows, efc=200, "
+                f"{time_left():.0f}s left)")
+            t0 = time.perf_counter()
+            h = HnswBaseline(D, n_sub, m=16, ef_construction=200)
+            h.add(vecs_np[:n_sub])
+            extra["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+            try:
+                cache_dir.mkdir(exist_ok=True)
+                h.save_graph(
+                    cache_dir / f"hnsw_{n_sub}r_{D}d_m16_efc200.v2.bin")
+            except Exception:
+                pass
+        if h is not None:
+            sub = vecs_np[:n_sub]
+            extra["hnsw_rows"] = n_sub
+            sub_oracle = np.argsort(-(qpool[:n_oracle] @ sub.T),
+                                    axis=1)[:, :LIMIT]
+            for ef in (32, 64, 128, 256, 512):
+                t0 = time.perf_counter()
+                ids_h, _ = h.search(qpool[:n_oracle], k=LIMIT, ef=ef)
+                dt_h = (time.perf_counter() - t0) / n_oracle
+                extra[f"hnsw_recall10_ef{ef}"] = round(
+                    recall_at10(ids_h, sub_oracle), 3)
+                extra[f"hnsw_qps_ef{ef}"] = round(1 / dt_h, 1)
+            log(f"HNSW: recall {extra.get('hnsw_recall10_ef512')} at "
+                f"{extra.get('hnsw_qps_ef512')} qps ef512 "
+                f"(1 thread, {n_sub} rows, efc=200)")
+    else:
+        extra["hnsw_error"] = "native lib unavailable"
+
+
+def bench_hnsw768(time_left):
+    """Matched CPU baseline at the north-star dimension (VERDICT r4 task 3).
+
+    The SAME 1.04M x 768 REAL-corpus vectors, the SAME 64 held-out query
+    vectors, and an exact-scan oracle over the same rows as the real_*
+    TPU section: the C++ HNSW graph (native/hnsw_baseline.cpp, M=16,
+    efc=200 — hnswlib's defaults, the configuration Qdrant inherits) is
+    built OFFLINE from the committed vector dump by
+    scripts/build_hnsw_cache.py --real-npz and only LOADED here.
+
+    Scale honesty: 1M rows took ~9,900 s of single-thread insert on this
+    1-vCPU host, and the measured per-row cost grows ~1.6x from 200k to
+    1M (logs/hnsw768_build.log); extrapolating, a 10M x 768 graph is
+    ~30-40 h of build on this box — RAM (125 GB) would fit it, build time
+    is what makes the committed baseline stop at 1M. Equal-memory note:
+    HNSW serves f32 rows + links (3072 + ~150 B/row); the TPU tier serves
+    int8 + scale (772 B/row) — the device side holds the SMALLER
+    representation of the same corpus.
+    """
+    from pathlib import Path
+
+    from voitta_rag_tpu.utils.hnsw_baseline import HnswBaseline, available
+
+    out = {}
+    if not available():
+        out["hnsw768_error"] = "native lib unavailable"
+        return out
+    cache_dir = Path(__file__).resolve().parent / "bench_cache"
+    dumps = sorted(cache_dir.glob("real_vecs_*x768_int8.v1.npz"))
+    if not dumps:
+        out["hnsw768_error"] = "no real-vector dump committed"
+        return out
+    z = np.load(dumps[-1])
+    v8, sc, q = z["v8"], z["scales"], np.ascontiguousarray(
+        z["q"], np.float32)
+    graphs = sorted(cache_dir.glob("hnsw_*r_768d_m16_efc200.real1.bin"),
+                    key=lambda p: -int(p.name.split("_")[1][:-1]))
+    h, n_sub = None, 0
+    for cp in graphs:
+        k = int(cp.name.split("_")[1][:-1])
+        if k > len(v8):
+            continue
+        t0 = time.perf_counter()
+        vecs_f = np.ascontiguousarray(
+            v8[:k].astype(np.float32) * sc[:k, None], np.float32)
+        h = HnswBaseline.load_graph(cp, vecs_f)
+        if h is not None:
+            n_sub = k
+            out["hnsw768_cache"] = cp.name
+            out["hnsw768_load_s"] = round(time.perf_counter() - t0, 1)
+            break
+        vecs_f = None
+    if h is None:
+        out["hnsw768_error"] = "no loadable 768-d graph cache"
+        return out
+    out["hnsw768_rows"] = n_sub
+    log(f"hnsw768: loaded {n_sub}-row graph ({out['hnsw768_cache']}) in "
+        f"{out['hnsw768_load_s']}s")
+
+    # Exact oracle over the SAME rows (host, blocked int8 dequant — the
+    # identical scoring the TPU real-section oracle uses).
+    n_q = len(q)
+    run_v = np.full((n_q, LIMIT), -np.inf, np.float32)
+    run_i = np.full((n_q, LIMIT), -1, np.int64)
+    BLK = 131072
+    for lo in range(0, n_sub, BLK):
+        blk = v8[lo:lo + BLK].astype(np.float32) * sc[lo:lo + BLK, None]
+        s = q @ blk.T
+        v = np.concatenate([run_v, s], axis=1)
+        i = np.concatenate(
+            [run_i, np.broadcast_to(np.arange(lo, lo + blk.shape[0]),
+                                    s.shape)], axis=1)
+        pos = np.argpartition(-v, LIMIT - 1, axis=1)[:, :LIMIT]
+        run_v = np.take_along_axis(v, pos, axis=1)
+        run_i = np.take_along_axis(i, pos, axis=1)
+    oracle768 = run_i
+
+    for ef in (32, 64, 128, 256, 512):
+        t0 = time.perf_counter()
+        ids_h, _ = h.search(q, k=LIMIT, ef=ef)
+        dt_h = (time.perf_counter() - t0) / n_q
+        out[f"hnsw768_recall10_ef{ef}"] = round(
+            recall_at10(ids_h, oracle768), 3)
+        out[f"hnsw768_qps_ef{ef}"] = round(1 / dt_h, 1)
+    log(f"hnsw768: recall {out.get('hnsw768_recall10_ef128')} at "
+        f"{out.get('hnsw768_qps_ef128')} qps ef128 / "
+        f"{out.get('hnsw768_recall10_ef512')} at "
+        f"{out.get('hnsw768_qps_ef512')} qps ef512 "
+        f"(1 thread, {n_sub} rows)")
+    return out
 
 
 def bench_bq_cold():
