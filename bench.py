@@ -2393,14 +2393,41 @@ def bench_trained_retrieval(time_left):
 
     from voitta_rag_tpu.models.encoder import PRESETS, init_params
     from voitta_rag_tpu.models.retrieval_proof import (
-        build_task, crc_tokenize, encode_corpus, harvest_docs, recall_at10
-        as proof_recall, train_encoder_online,
+        build_task, crc_tokenize, encode_corpus, harvest_docs,
+        load_checkpoint, recall_at10 as proof_recall, train_encoder_online,
     )
     from voitta_rag_tpu.search.sparse_text import SparseEmbeddingService
 
     out = {}
     t_sec = time.time()
-    target = 65536 if time_left() > 1100 else 32768
+    cfg = PRESETS["sentence-transformers/all-MiniLM-L6-v2"]
+
+    # Offline checkpoint (scripts/train_retrieval_ckpt.py): training moved
+    # OFF the bench critical path (VERDICT r4 task 4) — the long hardneg
+    # schedule runs offline, checkpoint-selected on the VALIDATION half;
+    # here we only re-derive the deterministic task and evaluate on the
+    # untouched TEST half.
+    params, LT, target = None, 72, None
+    ckpt = _trained_ckpt_path()
+    if ckpt.exists():
+        try:
+            params, meta = load_checkpoint(ckpt, cfg)
+            LT = int(meta.get("max_len", 96))
+            target = int(meta.get("harvest_target", 65536))
+            out["trained_ckpt"] = ckpt.name
+            for k in ("steps", "batch", "val_recall10", "trainer"):
+                if k in meta:
+                    out[f"trained_ckpt_{k}"] = meta[k]
+            log(f"trained-retrieval: offline checkpoint {ckpt.name} "
+                f"(trainer={meta.get('trainer')}, steps={meta.get('steps')},"
+                f" val recall {meta.get('val_recall10')})")
+        except Exception as e:
+            params = None
+            out["trained_ckpt_error"] = str(e)[:200]
+            log(f"checkpoint load failed ({e}); falling back to in-bench "
+                "training")
+    if target is None:
+        target = 65536 if time_left() > 1100 else 32768
     log(f"trained-retrieval: harvesting ~{target} chunks "
         f"({time_left():.0f}s left)")
     t0 = time.time()
@@ -2414,20 +2441,19 @@ def bench_trained_retrieval(time_left):
         f"{len(task.eval_queries)} held-out queries "
         f"({time.time() - t0:.0f}s)")
 
-    cfg = PRESETS["sentence-transformers/all-MiniLM-L6-v2"]
-    LT = 72
-    steps = 3500 if time_left() > 900 else (
-        2000 if time_left() > 700 else 800)
-    t0 = time.time()
-    params, losses = train_encoder_online(
-        docs, task.train_refs, cfg, steps=steps, batch=256, max_len=LT,
-        lr=3e-4, log=log, time_left=time_left)
-    out["trained_steps"] = steps
-    out["trained_train_s"] = round(time.time() - t0, 1)
-    out["trained_loss_first"] = round(losses[0], 3)
-    out["trained_loss_last"] = round(losses[-1], 3)
-    log(f"trained {steps} steps in {out['trained_train_s']}s "
-        f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})")
+    if params is None:
+        steps = 3500 if time_left() > 900 else (
+            2000 if time_left() > 700 else 800)
+        t0 = time.time()
+        params, losses = train_encoder_online(
+            docs, task.train_refs, cfg, steps=steps, batch=256, max_len=LT,
+            lr=3e-4, log=log, time_left=time_left)
+        out["trained_steps"] = steps
+        out["trained_train_s"] = round(time.time() - t0, 1)
+        out["trained_loss_first"] = round(losses[0], 3)
+        out["trained_loss_last"] = round(losses[-1], 3)
+        log(f"trained {steps} steps in {out['trained_train_s']}s "
+            f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})")
 
     # --- encode + index (production int8 serving arrays; rows padded to
     # the scan kernels' 128-lane alignment, pad rows filter-masked) ---
