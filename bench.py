@@ -377,14 +377,24 @@ def compute_vs_baseline(extra, tpu_qps):
                 f"{tpu_best[1]} >= CPU recall {cpu_best[1]})")
         return vs, defn
 
-    got = matched(
-        [(np_, extra.get(f"real_ivf_recall10_np{np_}"),
-          extra.get(f"real_ivf_qps_np{np_}")) for np_ in (16, 32, 64)],
-        [(ef, extra.get(f"hnsw768_recall10_ef{ef}"),
-          extra.get(f"hnsw768_qps_ef{ef}")) for ef in (32, 64, 128, 256, 512)],
-        "real_ivf_qps_np", "hnsw768_qps_ef")
-    if got:
-        return got[0], got[1] + " [768-d real corpus, same rows/queries/oracle]"
+    # 768-d real pair, duplicate-group recall first: the id and score
+    # metrics are tie-depressed on BOTH engines by the corpus's
+    # byte-identical duplicate chunks (62% of queries hold >=5 duplicate
+    # rows in the exact top-10), so the metric that matches what the
+    # content-addressing production store serves is "any copy of each
+    # distinct top-10 vector" (computed identically for both engines in
+    # bench_hnsw768); score-aware and raw-id pairs are the fallbacks.
+    for flavor in ("_dedup", "_scoreaware", ""):
+        got = matched(
+            [(np_, extra.get(f"real_ivf_recall10{flavor}_np{np_}"),
+              extra.get(f"real_ivf_qps_np{np_}")) for np_ in (16, 32, 64)],
+            [(ef, extra.get(f"hnsw768_recall10{flavor}_ef{ef}"),
+              extra.get(f"hnsw768_qps_ef{ef}"))
+             for ef in (32, 64, 128, 256, 512)],
+            f"real_ivf_qps(rec{flavor})_np", "hnsw768_qps_ef")
+        if got:
+            return got[0], (got[1] + " [768-d real corpus, same rows/"
+                                     "queries/oracle]")
     got = matched(
         [(np_, extra.get(f"ivf_recall10_np{np_}"),
           extra.get(f"ivf_qps_np{np_}")) for np_ in (16, 32, 64, 128)],
@@ -441,7 +451,9 @@ def finalize_result(extra, tpu_qps, on_tpu, status="complete"):
         "p50_query_ms_tunnel", "p99_under_mutation_ms", "p99_idle_ms",
         "trained_recall10", "trained_hybrid_recall10",
         "bm25_only_recall10",
-        "hnsw768_rows", "hnsw768_recall10_ef128", "hnsw768_qps_ef128",
+        "hnsw768_rows", "hnsw768_recall10_ef128",
+        "hnsw768_recall10_scoreaware_ef128", "hnsw768_qps_ef128",
+        "hnsw768_recall10_dedup_ef512", "real_ivf_recall10_dedup_np16",
         "hnsw_recall10_ef128", "hnsw_qps_ef128",
         "vs_baseline_definition", "backend", "bench_status",
     )
@@ -915,7 +927,7 @@ def main():
     # ---- matched CPU baseline at the north-star dimension: C++ HNSW over
     # the SAME 1.04M x 768 real vectors, queries, and oracle as real_ivf_*
     # (VERDICT r4 task 3); host-only, cached graph + committed vector dump.
-    if time_left() < 60:
+    if time_left() < 160:
         extra["hnsw768_skipped"] = f"deadline ({time_left():.0f}s left)"
         log(extra["hnsw768_skipped"])
     else:
@@ -1182,18 +1194,72 @@ def bench_hnsw768(time_left):
         pos = np.argpartition(-v, LIMIT - 1, axis=1)[:, :LIMIT]
         run_v = np.take_along_axis(v, pos, axis=1)
         run_i = np.take_along_axis(i, pos, axis=1)
-    oracle768 = run_i
+    oracle768, oracle768_v = run_i, run_v
 
+    # Both recall flavors, exactly as on the TPU side: the raw id metric is
+    # tie-depressed on this corpus (17.7% byte-identical chunks embed to
+    # IDENTICAL vectors, so which duplicate id any exact retriever returns
+    # is arbitrary), and the score-aware metric (ANN-benchmarks definition)
+    # is the one that measures ranking quality. vs_baseline matches
+    # score-aware to score-aware.
+    ids_by_ef = {}
     for ef in (32, 64, 128, 256, 512):
         t0 = time.perf_counter()
         ids_h, _ = h.search(q, k=LIMIT, ef=ef)
         dt_h = (time.perf_counter() - t0) / n_q
+        ids_by_ef[ef] = ids_h
         out[f"hnsw768_recall10_ef{ef}"] = round(
             recall_at10(ids_h, oracle768), 3)
+        sc_h = np.einsum("qd,qkd->qk", q,
+                         vecs_f[np.maximum(ids_h, 0)])
+        sc_h = np.where(ids_h >= 0, sc_h, -np.inf)
+        out[f"hnsw768_recall10_scoreaware_ef{ef}"] = round(
+            recall_at10_scoreaware(sc_h, oracle768_v), 3)
         out[f"hnsw768_qps_ef{ef}"] = round(1 / dt_h, 1)
-    log(f"hnsw768: recall {out.get('hnsw768_recall10_ef128')} at "
+
+    # Duplicate-group recall for BOTH engines on the SAME retrieved sets:
+    # 62% of these queries carry >= 5 byte-identical duplicate rows inside
+    # the exact top-10 (real RAG corpora are like this: vendored licenses,
+    # repeated headers), which caps id- and score-recall for any retriever
+    # at which PARTICULAR copies it happens to surface. Ground truth = the
+    # distinct vectors of the exact top-10 rows (avg 4.2/query here); a
+    # group is hit if ANY byte-identical copy is returned, so the exact
+    # scan scores 1.0 by construction and an ANN engine is measured on
+    # result-set identity up to the arbitrary duplicate-copy choice — the
+    # equivalence the content-addressing production store actually serves.
+    st = _REAL10M_STASH or {}
+    if st.get("real_rows") == n_sub and "oids64" in st:
+        oids64 = st["oids64"]
+        groups = []
+        for qi in range(n_q):
+            groups.append({v8[int(r)].tobytes()
+                           for r in oids64[qi][:LIMIT]})
+
+        def dedup_rec(ids_mat) -> float:
+            hit = tot = 0
+            for qi in range(n_q):
+                got = {v8[int(r)].tobytes() for r in ids_mat[qi] if r >= 0}
+                hit += len(groups[qi] & got)
+                tot += len(groups[qi])
+            return hit / max(tot, 1)
+
+        for ef, ids_h in ids_by_ef.items():
+            out[f"hnsw768_recall10_dedup_ef{ef}"] = round(dedup_rec(ids_h),
+                                                          3)
+        for np_ in (16, 32):
+            ids_t = st.get(f"real_ivf_ids_np{np_}")
+            if ids_t is not None:
+                out[f"real_ivf_recall10_dedup_np{np_}"] = round(
+                    dedup_rec(ids_t), 3)
+        log(f"dedup-group recall@10: TPU ivf np16 "
+            f"{out.get('real_ivf_recall10_dedup_np16')} vs HNSW ef128 "
+            f"{out.get('hnsw768_recall10_dedup_ef128')} / ef512 "
+            f"{out.get('hnsw768_recall10_dedup_ef512')}")
+    log(f"hnsw768: recall {out.get('hnsw768_recall10_ef128')} "
+        f"(score-aware {out.get('hnsw768_recall10_scoreaware_ef128')}) at "
         f"{out.get('hnsw768_qps_ef128')} qps ef128 / "
-        f"{out.get('hnsw768_recall10_ef512')} at "
+        f"{out.get('hnsw768_recall10_ef512')} "
+        f"(score-aware {out.get('hnsw768_recall10_scoreaware_ef512')}) at "
         f"{out.get('hnsw768_qps_ef512')} qps ef512 "
         f"(1 thread, {n_sub} rows)")
     return out
@@ -1561,13 +1627,23 @@ def bench_real_corpus(rng, time_left):
     termsR_np = weightsR_np = None
 
     # --- oracle + flat hybrid QPS ---
-    @jax.jit
-    def flat_topR(q, vecsR, scalesR, colsR):
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def flat_topR(q, vecsR, scalesR, colsR, k=LIMIT):
         sc = dense_scan_scores(q, vecsR, colsR, passR, scalesR)
-        return masked_topk(sc, LIMIT)
+        return masked_topk(sc, k)
 
     ovalsR, oidsR = flat_topR(qR, vecsR, scalesR, colsR)
     ovalsR, oidsR = np.asarray(ovalsR), np.asarray(oidsR)
+    # Deep oracle (top-64) for the duplicate-group recall the hnsw768
+    # section computes for BOTH engines: 62% of these queries have >= 5
+    # byte-identical duplicate rows inside the exact top-10, which caps
+    # id- and score-recall for any retriever that returns each distinct
+    # vector once. Nearly free here (same scan, wider select).
+    ovals64, oids64 = flat_topR(qR, vecsR, scalesR, colsR, k=64)
+    _REAL10M_STASH["oids64"] = np.asarray(oids64)
+    _REAL10M_STASH["ovals64"] = np.asarray(ovals64)
+    _REAL10M_STASH["real_rows"] = int(NR)
+    ovals64 = oids64 = None
 
     qstackR = jnp.concatenate([qR] * ((N_ITERS * B) // n_q))[: N_ITERS * B]
     qstackR = qstackR.reshape(N_ITERS, B, DR)
@@ -1599,6 +1675,7 @@ def bench_real_corpus(rng, time_left):
                                           limit=LIMIT)
 
         vivf, giv = ivf_topR(qR)
+        _REAL10M_STASH[f"real_ivf_ids_np{nprobe}"] = np.asarray(giv)
         rec = recall_at10(np.asarray(giv), oidsR)
         rec_t = recall_at10_scoreaware(np.asarray(vivf), ovalsR)
         qps_ivf, dt_ivf = queued_qps(ivf_topR, qstackR)
@@ -2078,26 +2155,54 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
     def dequant(v8, sc):
         return v8.astype(jnp.float32) * sc[:, None]
 
-    # --- centroids from a 32k-chunk (320k-view) sample ---
-    t0 = time.time()
-    pick = rng.choice(NR, min(NR, 32768 // BE * BE), replace=False)
-    parts = []
-    for lo in range(0, len(pick), BE):
-        v8s, scs = encode_views(eparams, jnp.asarray(ids_np[pick[lo:lo + BE]]),
-                                jax.random.fold_in(jax.random.PRNGKey(55), lo))
-        parts.append(dequant(v8s, scs))
-    sample = jnp.concatenate(parts)
-    parts = None
-    from voitta_rag_tpu.index.ivf import _block_rows_for
+    # Assignment/oracle cache: pass A (encode + assign + streaming oracle,
+    # ~275 s) is deterministic for a given corpus and config — the centroid
+    # sample uses a LOCAL rng and every encode key is fixed — so its outputs
+    # are cached on disk and a warm bench run goes straight to pass B.
+    from pathlib import Path as _Path
 
-    br = _block_rows_for(C10)
-    centroids = _kmeans_train(sample, None, C10, 20,
-                              max(1, sample.shape[0] // br), 0)
-    jax.block_until_ready(centroids)
-    sample = None
-    gc.collect()
-    out["real10m_kmeans_s"] = round(time.time() - t0, 1)
-    log(f"real-10M centroids trained ({out['real10m_kmeans_s']}s)")
+    ORACLE_K = LIMIT + 22  # deep enough for a 10-DISTINCT-chunk oracle
+    cache_dir = _Path(__file__).resolve().parent / "bench_cache"
+    acache = (cache_dir / f"real10m_assign_{NR}c_{VIEWS}v_{C10}_"
+                          f"be{BE}_k{ORACLE_K}.v1.npz")
+    a2 = None
+    if acache.exists():
+        try:
+            t0 = time.time()
+            za = np.load(acache)
+            centroids = jnp.asarray(za["centroids"])
+            a2, s2 = za["a2"], za["s2"]
+            ovals_full, oids_full = za["ovals_full"], za["oids_full"]
+            out["real10m_assign_cache"] = acache.name
+            log(f"real-10M pass A loaded from {acache.name} "
+                f"({time.time() - t0:.0f}s)")
+        except Exception as e:
+            a2 = None
+            log(f"real-10M assign cache unreadable ({e}); recomputing")
+
+    # --- centroids from a 32k-chunk (320k-view) sample ---
+    if a2 is None:
+        t0 = time.time()
+        rng10 = np.random.default_rng(20260819)  # local: cache determinism
+        pick = rng10.choice(NR, min(NR, 32768 // BE * BE), replace=False)
+        parts = []
+        for lo in range(0, len(pick), BE):
+            v8s, scs = encode_views(
+                eparams, jnp.asarray(ids_np[pick[lo:lo + BE]]),
+                jax.random.fold_in(jax.random.PRNGKey(55), lo))
+            parts.append(dequant(v8s, scs))
+        sample = jnp.concatenate(parts)
+        parts = None
+        from voitta_rag_tpu.index.ivf import _block_rows_for
+
+        br = _block_rows_for(C10)
+        centroids = _kmeans_train(sample, None, C10, 20,
+                                  max(1, sample.shape[0] // br), 0)
+        jax.block_until_ready(centroids)
+        sample = None
+        gc.collect()
+        out["real10m_kmeans_s"] = round(time.time() - t0, 1)
+        log(f"real-10M centroids trained ({out['real10m_kmeans_s']}s)")
 
     # --- pass A: encode -> top-2 assignment + streaming exact oracle ---
     # The padded cell layout measured 40% row overflow on this corpus
@@ -2117,8 +2222,6 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
 
     n_oracle = 64
 
-    ORACLE_K = LIMIT + 6  # 11th+ scores expose the tie structure
-
     @jax.jit
     def oracle_block(q, v8, sc, run_v, run_i, base):
         s = q @ dequant(v8, sc).T                       # [nq, rows]
@@ -2131,27 +2234,38 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
     qv8, qsc = encode_views(eparams, jnp.asarray(q_ids),
                             jax.random.PRNGKey(57))
     q10 = dequant(qv8, qsc)[::VIEWS][:n_oracle]  # production full pool
-    run_v = jnp.full((n_oracle, ORACLE_K), NEG_INF, jnp.float32)
-    run_i = jnp.full((n_oracle, ORACLE_K), -1, jnp.int32)
-    a2 = np.empty((N10, 2), np.int32)
-    s2 = np.empty((N10, 2), np.float32)
-    t0 = time.time()
-    for bi, lo in enumerate(range(0, NR, BE)):
-        v8b, scb = encode_views(
-            eparams, jnp.asarray(ids_np[lo:lo + BE]),
-            jax.random.fold_in(jax.random.PRNGKey(56), bi))
-        a, s = assign_block(v8b, scb, centroids)
-        run_v, run_i = oracle_block(q10, v8b, scb, run_v, run_i,
-                                    jnp.int32(lo * VIEWS))
-        r0 = lo * VIEWS
-        a2[r0:r0 + BE * VIEWS] = np.asarray(a)
-        s2[r0:r0 + BE * VIEWS] = np.asarray(s)
-        if bi % 256 == 0:
-            log(f"  real-10M assign {lo}/{NR} chunks "
-                f"({time.time() - t0:.0f}s)")
-    ovals_full = np.asarray(run_v)
+    if a2 is None:
+        run_v = jnp.full((n_oracle, ORACLE_K), NEG_INF, jnp.float32)
+        run_i = jnp.full((n_oracle, ORACLE_K), -1, jnp.int32)
+        a2 = np.empty((N10, 2), np.int32)
+        s2 = np.empty((N10, 2), np.float32)
+        t0 = time.time()
+        for bi, lo in enumerate(range(0, NR, BE)):
+            v8b, scb = encode_views(
+                eparams, jnp.asarray(ids_np[lo:lo + BE]),
+                jax.random.fold_in(jax.random.PRNGKey(56), bi))
+            a, s = assign_block(v8b, scb, centroids)
+            run_v, run_i = oracle_block(q10, v8b, scb, run_v, run_i,
+                                        jnp.int32(lo * VIEWS))
+            r0 = lo * VIEWS
+            a2[r0:r0 + BE * VIEWS] = np.asarray(a)
+            s2[r0:r0 + BE * VIEWS] = np.asarray(s)
+            if bi % 256 == 0:
+                log(f"  real-10M assign {lo}/{NR} chunks "
+                    f"({time.time() - t0:.0f}s)")
+        ovals_full = np.asarray(run_v)
+        oids_full = np.asarray(run_i)
+        out["real10m_assign_s"] = round(time.time() - t0, 1)
+        try:
+            cache_dir.mkdir(exist_ok=True)
+            np.savez(acache, centroids=np.asarray(centroids), a2=a2, s2=s2,
+                     ovals_full=ovals_full, oids_full=oids_full)
+            log(f"real-10M pass A cached to {acache.name} "
+                f"({acache.stat().st_size / 1e6:.0f} MB)")
+        except Exception as e:
+            log(f"could not cache pass A: {e}")
     ovals10 = ovals_full[:, :LIMIT]
-    oracle10 = np.asarray(run_i)[:, :LIMIT]
+    oracle10 = oids_full[:, :LIMIT]
     # Tie ceiling of the ID metric: views of near-duplicate chunks score
     # within eps of the oracle's 10th place, so WHICH of them an exact
     # retriever returns is arbitrary. The strict fraction is the share of
@@ -2161,7 +2275,6 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
     strict = float(np.mean(ovals_full[:, :LIMIT]
                            > ovals_full[:, LIMIT][:, None] + 1e-3))
     out["real10m_oracle_strict_frac"] = round(strict, 3)
-    out["real10m_assign_s"] = round(time.time() - t0, 1)
 
     # --- plan the variable-length lists (host lexsort) ---
     t0 = time.time()
@@ -2212,7 +2325,7 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
     jax.block_until_ready(vecs_f)
     out["real10m_build_s"] = round(time.time() - t0, 1)
     log(f"real-10M flat lists built in {out['real10m_build_s']}s")
-    eparams = primary_pos = replica_pos = None
+    eparams = None  # primary/replica positions are kept for the miss audit
     gc.collect()
 
     cols_f = jnp.zeros((NUM_COLS, m_pad), jnp.int32)
@@ -2239,6 +2352,71 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
         out[f"real10m_ivf_recall10_scoreaware_np{nprobe}"] = round(rec_t, 3)
         log(f"real-10M IVF-flat np={nprobe}: recall {rec:.3f} "
             f"(score-aware {rec_t:.3f}), {qps_ivf:.0f} qps")
+
+    # ---- recall-plateau decomposition (VERDICT r4 task 2): why does the
+    # id metric sit at ~0.88 regardless of nprobe? Audit every missed
+    # oracle row at np=8 into: score TIE with the retrieved 10th (a metric
+    # artifact — an exact retriever may legitimately return a different
+    # same-score view), probe miss (none of the row's cells probed),
+    # window truncation (a probed HOT cell's later window not reached
+    # within nprobe), or in-window miss (probed and reachable — a genuine
+    # engine defect if nonzero). Also report a dedup-aware CHUNK-level
+    # recall: alternate pooling views of one chunk count as one target
+    # (the production store returns chunks, not view rows).
+    NP_D = 8
+    vals_d, gids_d = ivf.search_candidates(q10, pass10, nprobe=NP_D,
+                                           limit=LIMIT, probe_cap=PROBE_CAP)
+    vals_d, gids_d = np.asarray(vals_d), np.asarray(gids_d)
+    probed = np.asarray(
+        jax.lax.top_k(q10 @ centroids_v.T, NP_D)[1])       # [nq, NP_D]
+    cm = np.asarray(cell_map)
+    starts_np = np.asarray(starts)
+
+    def vcell_of(pos: int) -> int:
+        return int(np.searchsorted(starts_np, pos, side="right") - 1)
+
+    ties = probe_miss = trunc = inwin = 0
+    chunk_hit = chunk_tot = 0
+    for qi in range(n_oracle):
+        got = gids_d[qi][gids_d[qi] >= 0]
+        got_set = set(got.tolist())
+        got_chunks = {int(g) // VIEWS for g in got}
+        tenth = vals_d[qi][LIMIT - 1]
+        # Dedup ground truth: first 10 DISTINCT chunks in the deep oracle.
+        want_chunks: list[int] = []
+        for g in oids_full[qi]:
+            c = int(g) // VIEWS
+            if c not in want_chunks:
+                want_chunks.append(c)
+            if len(want_chunks) == LIMIT:
+                break
+        chunk_hit += len(set(want_chunks) & got_chunks)
+        chunk_tot += len(want_chunks)
+        for v, g in zip(ovals10[qi], oracle10[qi]):
+            if int(g) in got_set:
+                continue
+            if v <= tenth + 1e-3:
+                ties += 1
+                continue
+            vcs = [vcell_of(int(pos[g]))
+                   for pos in (primary_pos, replica_pos) if pos[g] >= 0]
+            pq = set(probed[qi].tolist())
+            if any(vc in pq for vc in vcs):
+                inwin += 1
+            elif any(int(cm[vc]) in {int(cm[p]) for p in pq} for vc in vcs):
+                trunc += 1
+            else:
+                probe_miss += 1
+    out["real10m_recall10_chunk_np8"] = round(chunk_hit / max(chunk_tot, 1),
+                                              3)
+    out["real10m_miss_tie"] = ties
+    out["real10m_miss_probe"] = probe_miss
+    out["real10m_miss_window_trunc"] = trunc
+    out["real10m_miss_in_window"] = inwin
+    log(f"real-10M miss audit (np=8, {n_oracle * LIMIT} oracle rows): "
+        f"{ties} ties / {probe_miss} probe misses / {trunc} window "
+        f"truncations / {inwin} in-window; dedup CHUNK recall@10 "
+        f"{out['real10m_recall10_chunk_np8']}")
     return out
 
 
