@@ -2283,7 +2283,9 @@ def bench_real10m(time_left, rng, *, c10=16384, be=1024, views=12,
         replica_budget=REPLICA_BUDGET)
     a2 = s2 = None
     gc.collect()
-    m_pad = round_up(m, 128)
+    # PROBE_CAP extra pad rows: the Pallas probe DMAs full windows from
+    # any virtual start (see IVFFlatIndex.build).
+    m_pad = round_up(m, 128) + PROBE_CAP
     out["real10m_plan_s"] = round(time.time() - t0, 1)
     out["real10m_replicas"] = int(m - N10)   # margin replicas + tile pad
     out["real10m_virtual_cells"] = int(len(cell_map))

@@ -33,15 +33,18 @@ scatter — no k-means balancing pass, no per-cell loops.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from voitta_rag_tpu.ops.dense_scan import dense_scan_scores
-from voitta_rag_tpu.ops.filters import COL_VALID, NUM_COLS, FilterSpec
-from voitta_rag_tpu.ops.pallas_utils import NEG_INF, round_up
+from voitta_rag_tpu.ops.filters import COL_VALID, NUM_COLS, FilterSpec, eval_mask
+from voitta_rag_tpu.ops.pallas_utils import NEG_INF, interpret_mode, round_up
 from voitta_rag_tpu.ops.topk import dedup_candidates, masked_topk
 
 
@@ -210,7 +213,10 @@ class IVFFlatIndex:
             a2, s2, n_cells=n_cells, probe_cap=probe_cap, margin=margin,
             replica_budget=replica_budget)
         centroids = jnp.take(centroids, jnp.asarray(cell_map), axis=0)
-        m_pad = round_up(max(m, 128), 128)
+        # probe_cap extra pad rows past the last cell: the Pallas probe
+        # DMAs a full window from any virtual start, so the final window
+        # must have probe_cap addressable rows (invalid, score-masked).
+        m_pad = round_up(max(m, 128), 128) + probe_cap
 
         src = np.concatenate([np.arange(n, dtype=np.int64),
                               np.flatnonzero(replica_pos >= 0)])
@@ -232,30 +238,169 @@ class IVFFlatIndex:
                    gids=flat_gids, scales=flat_scales,
                    starts=jnp.asarray(starts), probe_cap=probe_cap)
 
+    def pallas_ok(self, probe_cap: int | None = None) -> bool:
+        """Whether the scalar-prefetch probe kernel applies: TPU backend,
+        aligned layout, and probe_cap pad rows past the last cell (any
+        build through plan_layout + the m_pad slack; set
+        VOITTA_IVF_FLAT_PALLAS=0 to opt out)."""
+        cap = probe_cap or self.probe_cap
+        rows_end = getattr(self, "_rows_end", None)
+        if rows_end is None:
+            rows_end = int(self.starts[-1])   # one sync per instance
+            self._rows_end = rows_end
+        return (
+            os.environ.get("VOITTA_IVF_FLAT_PALLAS", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and not interpret_mode()
+            and cap > 0 and cap % 128 == 0
+            and self.vecs.shape[0] % 128 == 0
+            and self.vecs.shape[0] >= rows_end + cap)
+
     def search_candidates(self, q, spec: FilterSpec, *, nprobe: int,
                           limit: int, probe_cap: int | None = None,
-                          prefetch_multiplier: int = 3):
+                          prefetch_multiplier: int = 3,
+                          use_pallas: bool | None = None):
         cap = probe_cap or self.probe_cap
         assert cap > 0, "probe_cap unset (index not built via build()?)"
+        if use_pallas is None:
+            use_pallas = self.pallas_ok(cap)
         return _ivf_flat_candidates(
             q, self.centroids, self.vecs, self.cols, self.gids,
             self.scales, self.starts, spec,
             nprobe=min(nprobe, self.n_cells), limit=limit,
-            probe_cap=cap, prefetch_multiplier=prefetch_multiplier)
+            probe_cap=cap, prefetch_multiplier=prefetch_multiplier,
+            use_pallas=bool(use_pallas))
+
+
+def _flat_probe_kernel(starts_ref, lens_ref, params_ref, inc_ref, exc_ref,
+                       excif_ref, q_ref, vecs_hbm, cols_hbm,
+                       scales_hbm, out_ref, vbuf, cbuf, sbuf, sems):
+    """One probed window per grid step, double-buffered HBM→VMEM DMA.
+
+    The window START is data-dependent (``starts_ref``, scalar-prefetched),
+    which is exactly what XLA cannot express: the jnp fallback in
+    ``_ivf_flat_candidates`` lowers to a row/tile gather that measured
+    0.06-0.13 of the bandwidth roofline on the 10M real corpus, while this
+    kernel issues ONE contiguous ``[probe_cap, D]`` copy per window (plus
+    the strided cols/scales sidecars) and overlaps the next window's DMA
+    with the current window's MXU scan — the dense_scan pipeline shape,
+    with the tile address coming from the probe instead of the grid.
+    """
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    cap = vbuf.shape[1]
+
+    def dmas(slot, step):
+        # plan_layout aligns every virtual-cell start to 128 rows; the hint
+        # lets Mosaic slice the tiled HBM memref at the dynamic offset.
+        s = pl.multiple_of(starts_ref[step], 128)
+        return (
+            pltpu.make_async_copy(vecs_hbm.at[pl.ds(s, cap), :],
+                                  vbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(cols_hbm.at[:, pl.ds(s, cap)],
+                                  cbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(scales_hbm.at[:, pl.ds(s, cap)],
+                                  sbuf.at[slot], sems.at[slot, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        # The (i+1) slot's previous occupant (step i-1) was consumed in the
+        # previous grid step; safe to overwrite while we scan window i.
+        for d in dmas((i + 1) % 2, i + 1):
+            d.start()
+
+    slot = i % 2
+    for d in dmas(slot, i):
+        d.wait()
+    v = vbuf[slot]
+    if v.dtype != jnp.float32:
+        v = v.astype(jnp.bfloat16)
+    q = q_ref[:]
+    if q.dtype != v.dtype:
+        q = q.astype(v.dtype)
+    scores = jax.lax.dot_general(
+        q, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = scores * sbuf[slot][0][None, :]      # int8 dequant (ones else)
+    mask = eval_mask(params_ref, inc_ref[:], exc_ref[:], excif_ref[:],
+                     cbuf[slot])
+    # Per-(query, cell) membership is applied by the CALLER (it fuses into
+    # the top-k's input read; a [B] column load from a [B, U] operand is
+    # not legalizable on the VPU).
+    win = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1) < lens_ref[i]
+    out_ref[:] = jnp.where(mask[None, :] & win, scores, NEG_INF)
+
+
+def _flat_probe_scores(q, starts_u, lens_u, vecs, cols, scales,
+                       spec: FilterSpec, *, probe_cap: int):
+    """Pallas probe: [B, U*probe_cap] masked scores over U windows."""
+    B, D = q.shape
+    U = int(starts_u.shape[0])
+    itemsize = 1 if vecs.dtype == jnp.int8 else vecs.dtype.itemsize
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(U,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, s, l: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(spec.inc_ids.shape, lambda i, s, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(spec.exc_ids.shape, lambda i, s, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(spec.exc_if_ids.shape, lambda i, s, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda i, s, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vecs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # cols
+            pl.BlockSpec(memory_space=pltpu.ANY),   # scales
+        ],
+        out_specs=pl.BlockSpec((B, probe_cap), lambda i, s, l: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, probe_cap, D), vecs.dtype),
+            pltpu.VMEM((2, NUM_COLS, probe_cap), jnp.int32),
+            pltpu.VMEM((2, 1, probe_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        _flat_probe_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, U * probe_cap), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * U * probe_cap * D,
+            bytes_accessed=U * probe_cap * (D * itemsize + NUM_COLS * 4 + 4)
+            + B * U * probe_cap * 4,
+            transcendentals=0,
+        ),
+    )(starts_u, lens_u, spec.params, spec.inc_ids, spec.exc_ids,
+      spec.exc_if_ids, q, vecs, cols, scales)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nprobe", "limit", "probe_cap", "prefetch_multiplier"))
+    static_argnames=("nprobe", "limit", "probe_cap", "prefetch_multiplier",
+                     "use_pallas"))
 def _ivf_flat_candidates(q, centroids, vecs, cols, gids, scales, starts,
                          spec: FilterSpec, *, nprobe: int, limit: int,
-                         probe_cap: int, prefetch_multiplier: int = 3):
+                         probe_cap: int, prefetch_multiplier: int = 3,
+                         use_pallas: bool = False):
     """Probe -> windowed gather -> masked dense scan -> select.
 
     The gather window is a STATIC ``probe_cap`` rows per unique probed
     cell (batch-deduped, as in index/ivf.py::_ivf_search_scores); slots
     beyond a cell's true length clamp to the last row and are masked off,
-    so the scan shapes never depend on cell sizes.
+    so the scan shapes never depend on cell sizes. With ``use_pallas``
+    the gather+scan is one scalar-prefetch kernel (``_flat_probe_kernel``)
+    that DMAs each window contiguously — requires the flat arrays to carry
+    ``probe_cap`` pad rows past the last cell (build() provides them).
     """
     B = q.shape[0]
     C = centroids.shape[0]
@@ -274,6 +419,28 @@ def _ivf_flat_candidates(q, centroids, vecs, cols, gids, scales, starts,
 
     s_lo = jnp.take(starts, ucells)                            # [U]
     s_len = jnp.take(starts, ucells + 1) - s_lo
+
+    if use_pallas:
+        member = jnp.any(ucells[None, :, None] == cells[:, None, :],
+                         axis=-1) & ~pad[None, :]          # [B, U]
+        lens_u = jnp.minimum(s_len, probe_cap).astype(jnp.int32)
+        scores = _flat_probe_scores(q, s_lo.astype(jnp.int32), lens_u,
+                                    vecs, cols, scales, spec,
+                                    probe_cap=probe_cap)
+        # Membership fuses into the top-k's read of the score matrix.
+        B_, U_ = member.shape
+        scores = jnp.where(member[:, :, None], scores.reshape(B_, U_, -1),
+                           NEG_INF).reshape(B_, -1)
+        k = min(limit * prefetch_multiplier + 8, scores.shape[-1])
+        vals, pos = masked_topk(scores, k,
+                                approx=scores.shape[-1] > (1 << 16))
+        safe = jnp.maximum(pos, 0)
+        rows = jnp.take(s_lo, safe // probe_cap) + safe % probe_cap
+        cand = jnp.where(pos >= 0, jnp.take(gids, rows),
+                         -1).astype(jnp.int32)
+        vals, cand = dedup_candidates(vals, cand)
+        return vals[:, :limit], cand[:, :limit]
+
     win = jnp.arange(probe_cap, dtype=jnp.int32)
     idx = s_lo[:, None] + win[None, :]                         # [U, cap]
     in_win = win[None, :] < jnp.minimum(s_len, probe_cap)[:, None]

@@ -126,7 +126,8 @@ def fused_query(
     jax.jit,
     static_argnames=("cfg", "limit", "prefetch_multiplier", "has_sparse",
                      "fusion", "nprobe", "assign_k", "max_postings",
-                     "use_ivf", "ivf_select", "ivf_layout", "ivf_probe_cap"),
+                     "use_ivf", "ivf_select", "ivf_layout", "ivf_probe_cap",
+                     "ivf_flat_pallas"),
 )
 def fused_snapshot_query(
     params,
@@ -159,6 +160,7 @@ def fused_snapshot_query(
     ivf_select: str = "exact",
     ivf_layout: str = "padded",
     ivf_probe_cap: int = 0,
+    ivf_flat_pallas: bool = False,
 ):
     """Encode + snapshot retrieval + fusion as ONE device program.
 
@@ -182,7 +184,8 @@ def fused_snapshot_query(
         # keeps the in-probe top-k at p+8 (see store._search_snapshot).
         d_vals, d_gids = _ivf_flat_candidates(
             q, *ivf_ops, spec, nprobe=nprobe, limit=p,
-            probe_cap=ivf_probe_cap, prefetch_multiplier=1)
+            probe_cap=ivf_probe_cap, prefetch_multiplier=1,
+            use_pallas=ivf_flat_pallas)
     elif use_ivf:
         d_vals, d_gids = _ivf_search_candidates(
             q, *ivf_ops, spec, nprobe=nprobe, limit=p, assign_k=assign_k,
@@ -371,6 +374,7 @@ class SearchService:
             ivf_ops = None
             ivf_layout = "padded"
             ivf_probe_cap = 0
+            ivf_flat_pallas = False
             if use_ivf:
                 from voitta_rag_tpu.index.ivf_flat import IVFFlatIndex
 
@@ -378,6 +382,7 @@ class SearchService:
                 if isinstance(ivf, IVFFlatIndex):
                     ivf_layout = "flat"
                     ivf_probe_cap = ivf.probe_cap
+                    ivf_flat_pallas = ivf.pallas_ok()
                     ivf_ops = (ivf.centroids, ivf.vecs, ivf.cols,
                                ivf.gids, ivf.scales, ivf.starts)
                 else:
@@ -416,7 +421,8 @@ class SearchService:
                     use_ivf=use_ivf,
                     ivf_select=store._ivf_select,
                     ivf_layout=ivf_layout,
-                    ivf_probe_cap=ivf_probe_cap)
+                    ivf_probe_cap=ivf_probe_cap,
+                    ivf_flat_pallas=ivf_flat_pallas)
             return scores, gids, gen
         if use_ivf or (has_sparse and use_postings):
             # Mixed snapshot states (e.g. IVF active, postings stale with a
