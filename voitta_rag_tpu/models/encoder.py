@@ -238,6 +238,7 @@ def encoder_forward(
     attention_mask: jax.Array,
     *,
     use_pallas_attn: bool | None = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Token-level hidden states [B, L, H].
 
@@ -247,6 +248,14 @@ def encoder_forward(
     at b=1 (0.88 ms) — the same "let XLA fuse" outcome as the flat scans.
     The Pallas kernel stays available (use_pallas_attn=True) as the
     parity-tested template for shapes where a fused kernel wins.
+
+    ``remat=True`` checkpoints each scan-body layer: under ``grad`` the
+    backward saves only the [layers, B, L, H] carry and recomputes the
+    per-layer attention/MLP temps. Without it, a large-batch contrastive
+    step keeps all layers' [layers, B, heads, L, L] probability tensors
+    live for the backward — measured 25.7 GB HBM at b=512 L=96 on MiniLM-L6
+    (>16 GB chip OOM); with per-layer remat the same step fits easily.
+    Inference paths never need it (no backward, scan temps are dead).
     """
     if use_pallas_attn is None:
         use_pallas_attn = False
@@ -290,7 +299,10 @@ def encoder_forward(
         return h, None
 
     # Layers are stacked on a leading axis: one compiled block, scanned.
-    h, _ = jax.lax.scan(block, h, params["layers"])
+    # prevent_cse=False is safe (and faster) under scan per the
+    # jax.checkpoint docs: scan's staging already isolates the body.
+    body = jax.checkpoint(block, prevent_cse=False) if remat else block
+    h, _ = jax.lax.scan(body, h, params["layers"])
     return h
 
 

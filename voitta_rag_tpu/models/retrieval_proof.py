@@ -384,9 +384,12 @@ def train_encoder_hardneg(docs: list[list[str]], refs, cfg, *, steps: int,
     half = batch // 2
     tx = make_optimizer(lr=lr, warmup_steps=min(500, steps // 10 + 1),
                         total_steps=steps)
+    # Per-layer remat: a b=512 hardneg step OOMs 25.7 GB without it (all-
+    # layer attention probs held for backward); with it the step fits a
+    # single 16 GB chip with room to spare.
     params, opt_state, step_fn = make_sharded_train_step(
         mesh, cfg, tx, init_params(jax.random.PRNGKey(seed), cfg)
-        if init is None else init)
+        if init is None else init, use_remat=True)
 
     rng = np.random.default_rng(seed)
     losses = []

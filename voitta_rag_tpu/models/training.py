@@ -94,22 +94,23 @@ def info_nce_loss(
     use_remat: bool = False,
     use_pallas_attn: bool | None = None,
 ) -> jax.Array:
-    """Symmetric InfoNCE over in-batch negatives."""
-    fwd = encoder_forward
-    if use_remat:
-        fwd = jax.checkpoint(
-            functools.partial(encoder_forward,
-                              use_pallas_attn=use_pallas_attn),
-            static_argnums=(1,))
-        q_emb = mean_pool_normalize(fwd(params, cfg, q_ids, q_mask), q_mask)
-        p_emb = mean_pool_normalize(fwd(params, cfg, p_ids, p_mask), p_mask)
-    else:
-        q_emb = mean_pool_normalize(
-            fwd(params, cfg, q_ids, q_mask, use_pallas_attn=use_pallas_attn),
-            q_mask)
-        p_emb = mean_pool_normalize(
-            fwd(params, cfg, p_ids, p_mask, use_pallas_attn=use_pallas_attn),
-            p_mask)
+    """Symmetric InfoNCE over in-batch negatives.
+
+    ``use_remat`` applies PER-LAYER rematerialization inside the encoder's
+    layer scan (encoder_forward remat=True) — the granularity that actually
+    caps the backward's live set. (A whole-forward jax.checkpoint, the
+    previous shape of this flag, recomputes the forward as one block and
+    peaks at the same all-layer activation footprint it was meant to avoid;
+    b=512 L=96 MiniLM-L6 OOMed 25.7 GB on a 16 GB chip either way.)
+    """
+    q_emb = mean_pool_normalize(
+        encoder_forward(params, cfg, q_ids, q_mask,
+                        use_pallas_attn=use_pallas_attn, remat=use_remat),
+        q_mask)
+    p_emb = mean_pool_normalize(
+        encoder_forward(params, cfg, p_ids, p_mask,
+                        use_pallas_attn=use_pallas_attn, remat=use_remat),
+        p_mask)
 
     # Global in-batch negatives: with q/p sharded on dp, XLA all-gathers the
     # passage embeddings over ICI for this contraction.
@@ -157,7 +158,8 @@ def train_step(
 def make_sharded_train_step(mesh: Mesh, cfg: EncoderConfig,
                             tx: optax.GradientTransformation,
                             params: Params,
-                            use_pallas_attn: bool | None = None):
+                            use_pallas_attn: bool | None = None,
+                            use_remat: bool = False):
     """Bind a train step with explicit dp/tp shardings over ``mesh``.
 
     Returns (sharded_params, opt_state, step_fn) where
@@ -171,6 +173,7 @@ def make_sharded_train_step(mesh: Mesh, cfg: EncoderConfig,
         args = [jax.device_put(x, batch_sharding)
                 for x in (q_ids, q_mask, p_ids, p_mask)]
         return train_step(params, opt_state, *args, cfg=cfg, tx=tx,
-                          use_pallas_attn=use_pallas_attn)
+                          use_pallas_attn=use_pallas_attn,
+                          use_remat=use_remat)
 
     return params, opt_state, step_fn
