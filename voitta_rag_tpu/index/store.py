@@ -21,6 +21,7 @@ import json
 import logging
 import os
 import threading
+import time
 import uuid
 from pathlib import Path
 
@@ -81,6 +82,15 @@ class TpuVectorStore:
         # Lock order: [_save_lock →] _lock → _remap_lock; nothing acquires
         # _lock while holding _remap_lock.
         self._remap_lock = threading.Lock()
+        # Post-lock payload inserts: store_chunks commits its SQLite payload
+        # rows AFTER releasing the store lock (the ~60-100 ms insert was the
+        # largest remaining under-lock writer phase and went straight into
+        # concurrent-search tails). The counter ticks up UNDER the store
+        # lock and down when the insert commits; compaction's remap commit,
+        # delete resolution, and close() drain it first so gid-numbered SQL
+        # never crosses an uncommitted insert.
+        self._pending_cv = threading.Condition()
+        self._pending_inserts = 0
         self._closed = False
         self._payloads: PayloadStore | None = None
         self._segments: list[Segment] | None = None
@@ -362,6 +372,26 @@ class TpuVectorStore:
             logger.debug("mutation-program warmup failed", exc_info=True)
 
     # -- upsert (reference vector_store.py:233-317) --------------------------
+    def _drain_pending_inserts(self, timeout: float = 30.0) -> None:
+        """Wait for in-flight post-lock payload inserts to commit.
+
+        Callers that issue gid-numbered SQL (compaction's remap commit,
+        delete resolution) or tear the store down (close) must not cross an
+        uncommitted store_chunks payload insert. When called while holding
+        ``self._lock`` the wait cannot grow: increments happen under that
+        lock, and the inserts being waited on need no store lock to finish.
+        """
+        with self._pending_cv:
+            deadline = time.monotonic() + timeout
+            while self._pending_inserts > 0:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    logger.warning(
+                        "pending payload inserts did not drain in %.0fs",
+                        timeout)
+                    return
+                self._pending_cv.wait(left)
+
     def store_chunks(
         self,
         texts: list[str],
@@ -454,12 +484,24 @@ class TpuVectorStore:
                                 (self._gid(seg, r), point_ids[k], texts[k],
                                  metadata_list[k]))
                         done += take
-            self._payloads.insert_chunks(payload_rows)
-            if df_bump:
-                self._payloads.bump_term_dfs(df_bump)
             self._ivf_dirty = True
             self._postings_dirty = True
             self._unsaved_mutations += n
+            with self._pending_cv:
+                self._pending_inserts += 1
+        # The SQLite payload insert (~60-100 ms for a 512-row batch on this
+        # host, the largest remaining under-lock writer phase) commits
+        # OUTSIDE the store lock. Readers that race it: _materialize skips
+        # missing gids and retries once after the drain; gid-numbered SQL
+        # (compact remap, delete resolution) drains the counter first.
+        try:
+            self._payloads.insert_chunks(payload_rows)
+            if df_bump:
+                self._payloads.bump_term_dfs(df_bump)
+        finally:
+            with self._pending_cv:
+                self._pending_inserts -= 1
+                self._pending_cv.notify_all()
         return point_ids
 
     # -- deletes (reference vector_store.py:319-434) -------------------------
@@ -521,6 +563,13 @@ class TpuVectorStore:
                     self._warm_mutation_programs(b)
         with self._lock:
             self._ensure_open()
+            # A store_chunks whose post-lock payload insert hasn't
+            # committed yet is invisible to the SQLite resolvers (its
+            # device rows would survive a delete of their file) and its
+            # gid-numbered rows could collide with phase 2's DELETE. Under
+            # the store lock no new insert can start, so this wait is
+            # bounded by the in-flight commits (tens of ms).
+            self._drain_pending_inserts()
             if resolver is not None:
                 gids = resolver()
                 if not gids:
@@ -1217,6 +1266,19 @@ class TpuVectorStore:
         keep = [(int(g), float(s)) for s, g in zip(scores, gids)
                 if g >= 0 and s > VALID_THRESHOLD]
         payload = payloads.get_chunks([g for g, _ in keep])
+        if any(g not in payload for g, _ in keep):
+            # A top-k gid may belong to a store_chunks whose device write
+            # is visible but whose post-lock payload insert hasn't
+            # committed yet (the insert may even commit and drop the
+            # pending counter between our fetch and this check). Wait for
+            # in-flight inserts — free when none are pending — and
+            # re-fetch just the missing rows; only the rare racing query
+            # pays, instead of every query paying the insert's lock-hold
+            # as before. Rows still missing after this are genuine
+            # deletions and stay skipped.
+            self._drain_pending_inserts(timeout=2.0)
+            payload.update(payloads.get_chunks(
+                [g for g, _ in keep if g not in payload]))
         if (expected_generation is not None
                 and expected_generation != self._generation):
             # Re-check AFTER the fetch: a compaction can bump the
@@ -1542,6 +1604,12 @@ class TpuVectorStore:
 
             # ---- Phase 3 (locked): delta replay + journaled commit ------
             with self._lock:
+                # Post-lock payload inserts carry OLD-numbering gids; the
+                # remap below must cover their rows, so they must be in
+                # SQLite before it runs. Under the store lock no new
+                # insert can start (increments happen under it), and the
+                # pending ones need no lock to finish.
+                self._drain_pending_inserts()
                 # Deletes that landed during the rebuild window: their
                 # tombstones hit the sealed segments (now discarded), so
                 # re-apply them to the rebuilt rows. pop: a dead row needs
@@ -1704,6 +1772,9 @@ class TpuVectorStore:
         # as save/compact).
         with self._save_lock, self._lock:
             self._closed = True
+            # Post-lock payload inserts write to the SQLite handle being
+            # closed below; new ones can't start once we hold the lock.
+            self._drain_pending_inserts()
             if self._payloads is not None:
                 self._payloads.close()
             self._payloads = None
