@@ -52,6 +52,9 @@ def main() -> int:
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--eval-every", type=int, default=1500)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--init", default=None,
+                    help="warm-start from an existing checkpoint (continue "
+                         "training at a lower lr instead of random init)")
     args = ap.parse_args()
     t0 = time.time()
 
@@ -86,10 +89,18 @@ def main() -> int:
         _, ids10 = jax.lax.top_k(sims, 10)
         return recall_at10(np.asarray(ids10), tgt[val], task.corpus)
 
+    init = None
+    if args.init:
+        from voitta_rag_tpu.models.retrieval_proof import load_checkpoint
+
+        init, init_meta = load_checkpoint(args.init, cfg)
+        log(f"warm-starting from {args.init} "
+            f"(val {init_meta.get('val_recall10')})")
+
     params, losses, best = train_encoder_hardneg(
         docs, task.train_refs, cfg, steps=args.steps, batch=args.batch,
         max_len=LT, lr=args.lr, log=log, time_left=time_left,
-        eval_every=args.eval_every, eval_fn=val_recall)
+        eval_every=args.eval_every, eval_fn=val_recall, init=init)
     final_val = val_recall(params)
     log(f"final val recall {final_val:.4f}; best eval {best[0]:.4f}")
     chosen = best[1] if best[0] > final_val else jax.tree.map(
@@ -104,7 +115,8 @@ def main() -> int:
                     harvest_target=HARVEST_TARGET, steps=args.steps,
                     batch=args.batch, lr=args.lr,
                     val_recall10=round(chosen_val, 4),
-                    trainer="hardneg_online_v1")
+                    trainer=("hardneg_online_v1+cont" if args.init
+                             else "hardneg_online_v1"))
     log(f"checkpoint saved: {out} ({out.stat().st_size / 1e6:.1f} MB, "
         f"val recall {chosen_val:.4f})")
     return 0
