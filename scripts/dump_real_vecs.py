@@ -6,13 +6,14 @@ real-corpus embedding is deterministic — e5-base architecture at
 init_params(PRNGKey(7)) in bf16 over the committed token-id cache
 (bench_cache/real_corpus_*x96.v1.npz), exactly bench.bench_real_corpus's
 encode path — so the vectors can be encoded ONCE on the TPU here, pulled
-to host (int8+scales, ~800 MB ≈ 35 s through the tunnel), and handed to
+to host (int8+scales, ~405 MB at 524k rows), and handed to
 scripts/build_hnsw_cache.py --real-npz for the multi-hour single-thread
-graph build. bench.py then re-encodes on device at run time (same keys →
-identical int8) and loads only the committed GRAPH.
+graph build. Both the dump and the graph are committed: bench_hnsw768
+loads them host-side, runs its own exact oracle over the dump rows, and
+needs no device (the ~100 s tunnel pull happens once, here).
 
 Usage: python scripts/dump_real_vecs.py [out.npz]
-       (default /tmp/real_vecs_768.npz — NOT committed; only the graph is)
+       (dump + graph are both committed: bench_hnsw768 loads the dump)
 """
 
 import sys
@@ -40,9 +41,18 @@ from voitta_rag_tpu.models.encoder import (  # noqa: E402
 def main() -> int:
     out = Path(sys.argv[1] if len(sys.argv) > 1
                else "/tmp/real_vecs_768.npz")
+    # Optional row-count selector: the graph, the dump, and the bench's
+    # real-corpus section must all describe the SAME corpus, and the bench
+    # under its 1550 s internal deadline always runs the 524,288-chunk
+    # cache — so the matched baseline is dumped at that size, not at the
+    # largest cache on disk.
+    want = int(sys.argv[2]) if len(sys.argv) > 2 else None
     cache_dir = Path(__file__).resolve().parent.parent / "bench_cache"
     cached = sorted(cache_dir.glob("real_corpus_*x96.v1.npz"),
                     key=lambda p: -int(p.name.split("_")[2].split("x")[0]))
+    if want is not None:
+        cached = [p for p in cached
+                  if int(p.name.split("_")[2].split("x")[0]) == want]
     assert cached, "no real_corpus cache; run bench_real_corpus first"
     z = np.load(cached[0])
     all_ids, q_ids = z["ids"], z["q_ids"]
