@@ -82,43 +82,55 @@ def main() -> int:
     val = np.nonzero(is_val)[0]
     log(f"validation half: {len(val)} queries (test half untouched)")
 
+    out = Path(args.out) if args.out else (
+        Path(__file__).resolve().parent.parent
+        / "bench_cache" / "trained_minilm.v1.npz")
+    out.parent.mkdir(exist_ok=True)
+    trainer_tag = "hardneg_online_v1+cont" if args.init else \
+        "hardneg_online_v1"
+    best_saved = [-1.0]
+
     def val_recall(params) -> float:
         emb = encode_corpus(params, cfg, ids)
         qv = encode_corpus(params, cfg, q_ids[val])
         sims = jnp.einsum("qd,nd->qn", qv, emb)
         _, ids10 = jax.lax.top_k(sims, 10)
-        return recall_at10(np.asarray(ids10), tgt[val], task.corpus)
+        r = recall_at10(np.asarray(ids10), tgt[val], task.corpus)
+        # Save-on-best: a mid-run tunnel stall (observed: the remote-TPU
+        # RPC futex-blocks forever) must not lose the whole run — every
+        # new validation best lands on disk immediately.
+        if r > best_saved[0]:
+            best_saved[0] = r
+            save_checkpoint(out, jax.tree.map(np.asarray, params),
+                            preset=PRESET, max_len=LT,
+                            harvest_target=HARVEST_TARGET, steps=args.steps,
+                            batch=args.batch, lr=args.lr,
+                            val_recall10=round(r, 4), trainer=trainer_tag)
+            log(f"  best checkpoint saved ({r:.4f})")
+        return r
 
     init = None
     if args.init:
         from voitta_rag_tpu.models.retrieval_proof import load_checkpoint
 
         init, init_meta = load_checkpoint(args.init, cfg)
+        # Only genuine improvements over the warm-start checkpoint may
+        # overwrite the output (the continuation may write straight onto
+        # the served checkpoint path).
+        if Path(args.init).resolve() == out.resolve():
+            best_saved[0] = float(init_meta.get("val_recall10") or 0.0)
         log(f"warm-starting from {args.init} "
-            f"(val {init_meta.get('val_recall10')})")
+            f"(val {init_meta.get('val_recall10')}, save threshold "
+            f"{best_saved[0]:.4f})")
 
     params, losses, best = train_encoder_hardneg(
         docs, task.train_refs, cfg, steps=args.steps, batch=args.batch,
         max_len=LT, lr=args.lr, log=log, time_left=time_left,
         eval_every=args.eval_every, eval_fn=val_recall, init=init)
-    final_val = val_recall(params)
+    final_val = val_recall(params)  # saves if it's a new best
     log(f"final val recall {final_val:.4f}; best eval {best[0]:.4f}")
-    chosen = best[1] if best[0] > final_val else jax.tree.map(
-        np.asarray, params)
-    chosen_val = max(best[0], final_val)
-
-    out = Path(args.out) if args.out else (
-        Path(__file__).resolve().parent.parent
-        / "bench_cache" / "trained_minilm.v1.npz")
-    out.parent.mkdir(exist_ok=True)
-    save_checkpoint(out, chosen, preset=PRESET, max_len=LT,
-                    harvest_target=HARVEST_TARGET, steps=args.steps,
-                    batch=args.batch, lr=args.lr,
-                    val_recall10=round(chosen_val, 4),
-                    trainer=("hardneg_online_v1+cont" if args.init
-                             else "hardneg_online_v1"))
-    log(f"checkpoint saved: {out} ({out.stat().st_size / 1e6:.1f} MB, "
-        f"val recall {chosen_val:.4f})")
+    log(f"checkpoint: {out} ({out.stat().st_size / 1e6:.1f} MB, "
+        f"val recall {best_saved[0]:.4f})")
     return 0
 
 
