@@ -25,6 +25,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# With EMBEDDING_MODEL_PATH unset, Settings auto-serves the repo-committed
+# retrieval checkpoint (config.py _default_ckpt_path): 384-d MiniLM geometry
+# and the bench-tuned sparse weight. Tests pin the explicit random-init
+# opt-out so store geometry (768-d) and fusion-weight assumptions stay
+# stable; the auto-serving path has its own tests
+# (tests/test_serving_checkpoint.py).
+os.environ["EMBEDDING_MODEL_PATH"] = ""
+
 import pytest  # noqa: E402
 
 

@@ -66,6 +66,51 @@ def _select_policy(name: str) -> str:
     return "exact"
 
 
+# Hidden sizes of the encoder presets (models/encoder.py PRESETS) that owned
+# checkpoints can name. Kept as a local table so Settings resolution stays
+# import-light (models/encoder pulls in jax).
+_PRESET_DIMS = {
+    "intfloat/e5-base-v2": 768,
+    "BAAI/bge-base-en-v1.5": 768,
+    "sentence-transformers/all-MiniLM-L6-v2": 384,
+    "sentence-transformers/all-distilroberta-v1": 768,
+    "sentence-transformers/all-mpnet-base-v2": 768,
+    "intfloat/multilingual-e5-base": 768,
+    "intfloat/multilingual-e5-large": 1024,
+    "sentence-transformers/multi-qa-distilbert-cos-v1": 768,
+    "sentence-transformers/msmarco-distilbert-cos-v5": 768,
+    "test-tiny": 64,
+}
+
+
+def _default_ckpt_path() -> str:
+    """The repo-committed offline-trained retrieval checkpoint, if present.
+
+    scripts/train_retrieval_ckpt.py writes it; the bench's trained-retrieval
+    section evaluates the same file, so what the app serves by default is
+    exactly what the benchmark measured.
+    """
+    p = (Path(__file__).resolve().parents[1] / "bench_cache"
+         / "trained_minilm.v1.npz")
+    return str(p) if p.exists() else ""
+
+
+def _owned_ckpt_meta(path: str) -> dict | None:
+    """Metadata of an owned .npz retrieval checkpoint, None for anything
+    else (directories, missing files, foreign npz)."""
+    if not path.endswith(".npz"):
+        return None
+    try:
+        import json
+
+        import numpy as np
+
+        z = np.load(path, allow_pickle=False)
+        return json.loads(str(z["__meta__"]))
+    except Exception:
+        return None
+
+
 class Settings:
     """Settings loaded from environment variables (reference config.py:12-107)."""
 
@@ -87,14 +132,41 @@ class Settings:
             os.getenv("VOITTA_INDEX_DIR", str(self.root_path / ".voitta_index"))
         ).resolve()
 
-        # Embedding settings (reference config.py:32-36)
-        self.embedding_model: str = os.getenv("EMBEDDING_MODEL", "intfloat/e5-base-v2")
-        self.embedding_dimension: int = int(os.getenv("EMBEDDING_DIMENSION", "768"))
+        # Embedding settings (reference config.py:32-36). EMBEDDING_MODEL_PATH
+        # contract: UNSET = auto-serve the repo's offline-trained retrieval
+        # checkpoint when one is committed (random init is the last resort,
+        # not the default); "" / "none" / "random" = explicit random-init
+        # opt-out; any other value = that checkpoint (an owned .npz or a
+        # sentence-transformers/HF directory).
+        _mp = os.getenv("EMBEDDING_MODEL_PATH")
+        if _mp is None:
+            _mp = _default_ckpt_path()
+        elif _mp.strip().lower() in ("none", "random"):
+            _mp = ""
+        self.embedding_model_path: str = _mp
+        _ckpt_meta = _owned_ckpt_meta(_mp) if _mp else None
+        if _ckpt_meta is not None:
+            # Serving an owned checkpoint: model name, vector dimension, and
+            # hybrid fusion weight follow the checkpoint unless explicitly
+            # overridden — a 384-d MiniLM checkpoint must not be indexed
+            # into a 768-d store, and a from-scratch encoder needs a higher
+            # sparse weight than frozen e5 (bench trained_hybrid_w).
+            _preset = _ckpt_meta.get(
+                "preset", "sentence-transformers/all-MiniLM-L6-v2")
+            self.embedding_model: str = os.getenv("EMBEDDING_MODEL", _preset)
+            self.embedding_dimension: int = int(
+                os.getenv("EMBEDDING_DIMENSION",
+                          str(_PRESET_DIMS.get(_preset, 384))))
+            _default_sw = str(_ckpt_meta.get("hybrid_w", 0.8))
+        else:
+            self.embedding_model = os.getenv(
+                "EMBEDDING_MODEL", "intfloat/e5-base-v2")
+            self.embedding_dimension = int(
+                os.getenv("EMBEDDING_DIMENSION", "768"))
+            _default_sw = "0.1"
+        self._sparse_weight_default = _default_sw
         # jax platform for the engine: "auto" | "tpu" | "cpu"
         self.engine_platform: str = os.getenv("VOITTA_ENGINE_PLATFORM", "auto")
-        # Local path to a sentence-transformers/HF checkpoint dir (optional; the
-        # encoder falls back to deterministic random init when absent).
-        self.embedding_model_path: str = os.getenv("EMBEDDING_MODEL_PATH", "")
         self.max_seq_len: int = int(os.getenv("VOITTA_MAX_SEQ_LEN", "192"))
         self.encode_batch_size: int = int(os.getenv("VOITTA_ENCODE_BATCH", "128"))
         # Index-build encode data parallelism: "auto" = all chips on TPU.
@@ -105,8 +177,12 @@ class Settings:
         self.chunk_overlap: int = int(os.getenv("CHUNK_OVERLAP", "50"))
         self.chunking_strategy: str = os.getenv("CHUNKING_STRATEGY", "recursive")
 
-        # Hybrid fusion (reference config.py:43-44)
-        self.sparse_weight: float = float(os.getenv("SPARSE_WEIGHT", "0.1"))
+        # Hybrid fusion (reference config.py:43-44). Default is 0.1 like the
+        # reference when serving pretrained-style weights, but follows the
+        # owned checkpoint's bench-tuned weight when that is what's served
+        # (see the embedding_model_path resolution above).
+        self.sparse_weight: float = float(
+            os.getenv("SPARSE_WEIGHT", self._sparse_weight_default))
 
         # Encoder serving dtype: "auto" = bfloat16 on TPU (halves MXU
         # time; layernorm stats stay f32), float32 elsewhere (CPU bf16 is

@@ -464,6 +464,41 @@ def load_checkpoint(path, cfg):
     return jax.tree.unflatten(treedef, flat), meta
 
 
+def checkpoint_meta(path) -> dict | None:
+    """JSON metadata of an owned .npz retrieval checkpoint, else None.
+
+    Cheap: npz entries load lazily, so only the small ``__meta__`` string is
+    decompressed — callers (config resolution, serving) can probe a
+    checkpoint without paying for the 40 MB parameter payload.
+    """
+    import json as _json
+
+    try:
+        z = np.load(path, allow_pickle=False)
+        return _json.loads(str(z["__meta__"]))
+    except Exception:
+        return None
+
+
+def load_checkpoint_auto(path):
+    """(cfg, params, meta) from an owned .npz checkpoint, preset-resolved.
+
+    ``load_checkpoint`` needs the encoder config up front to rebuild the
+    params tree structure; here the config comes from the checkpoint's own
+    ``preset`` metadata (scripts/train_retrieval_ckpt.py stamps it), so the
+    serving layer can load any owned checkpoint by path alone.
+    """
+    from voitta_rag_tpu.models.encoder import PRESETS
+
+    meta = checkpoint_meta(path)
+    if meta is None:
+        raise ValueError(f"not an owned retrieval checkpoint: {path}")
+    cfg = PRESETS[meta.get("preset",
+                           "sentence-transformers/all-MiniLM-L6-v2")]
+    params, meta = load_checkpoint(path, cfg)
+    return cfg, params, meta
+
+
 def encode_corpus(params, cfg, ids: np.ndarray, *, block: int = 256):
     """Unit-normalized embeddings of pre-tokenized rows, blocked on device.
 

@@ -43,6 +43,27 @@ def _bucket(n: int) -> int:
     return BATCH_BUCKETS[-1]
 
 
+class _CrcTokenizer:
+    """Tokenizer adapter for owned .npz retrieval checkpoints.
+
+    Those checkpoints are trained on the CRC word-hash vocabulary
+    (models/retrieval_proof.py crc_tokenize — no trained tokenizer needed in
+    an offline image); serving them through WordPiece would score garbage.
+    Exposes the same ``encode_batch(texts, max_len) -> (ids, mask)`` contract
+    as models/tokenizer.py.
+    """
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode_batch(self, texts: list[str], max_len: int):
+        from voitta_rag_tpu.models.retrieval_proof import crc_tokenize
+
+        ids = crc_tokenize(texts, self.vocab_size, max_len)
+        mask = (ids != 0).astype(np.int32)
+        return ids, mask
+
+
 class EmbeddingService:
     """Generates dense embeddings on TPU (reference embedding.py:14-97)."""
 
@@ -70,9 +91,25 @@ class EmbeddingService:
     def _load_model(self) -> None:
         cfg = config_for(self.model_name)
         params = None
+        crc_meta = None
         if self.model_path and Path(self.model_path).exists():
             try:
-                if (Path(self.model_path) / "encoder_config.json").exists():
+                mp = Path(self.model_path)
+                if mp.is_file() and mp.suffix == ".npz":
+                    # Owned offline-trained retrieval checkpoint
+                    # (scripts/train_retrieval_ckpt.py): served with the CRC
+                    # word-hash tokenizer it was trained with, clamped to
+                    # its trained sequence length (positions past it kept
+                    # their random init and would inject noise).
+                    from voitta_rag_tpu.models import retrieval_proof
+
+                    cfg, params, crc_meta = (
+                        retrieval_proof.load_checkpoint_auto(mp))
+                    self.model_name = crc_meta.get("preset", self.model_name)
+                    trained_len = int(crc_meta.get("max_len", 96))
+                    if self.max_seq_len > trained_len:
+                        self.max_seq_len = trained_len
+                elif (mp / "encoder_config.json").exists():
                     # native (fine-tuned) checkpoint
                     cfg, params = weights_mod.load_checkpoint(self.model_path)
                 else:  # HF / sentence-transformers checkpoint
@@ -129,8 +166,11 @@ class EmbeddingService:
             self._batch_sharding = None
             self._encode_dp = 1
             device_params = jax.device_put(params)
-        self._tokenizer = load_tokenizer(self.model_path or None,
-                                         cfg.vocab_size)
+        if crc_meta is not None:
+            self._tokenizer = _CrcTokenizer(cfg.vocab_size)
+        else:
+            self._tokenizer = load_tokenizer(self.model_path or None,
+                                             cfg.vocab_size)
         # set LAST: the lock-free fast path in _ensure_model keys on it
         self._params = device_params
 
