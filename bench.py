@@ -939,6 +939,29 @@ def main():
             extra["hnsw768_error"] = str(e)[:300]
             log(f"hnsw768 baseline failed: {e}")
 
+    # ---- learned retrieval: held-out recall of the offline-trained
+    # checkpoint (scripts/train_retrieval_ckpt.py) through the production
+    # kernels vs BM25-only and random init; trains in-bench only as a
+    # fallback when no checkpoint is committed. Runs BEFORE real10m: it is
+    # the only bench evidence for VERDICT r4 task 4 (real10m already has a
+    # committed complete-run artifact), and a back-half kill must not cost
+    # it again ----
+    trained_need = 240 if _trained_ckpt_path().exists() else 650
+    if on_tpu and time_left() < trained_need:
+        extra["trained_skipped"] = f"deadline ({time_left():.0f}s left)"
+        log(extra["trained_skipped"])
+    elif on_tpu:
+        try:
+            import gc
+
+            gc.collect()
+            extra.update(bench_trained_retrieval(time_left))
+            checkpoint_extra(extra)
+            finalize_result(extra, tpu_qps, on_tpu, status="in_progress")
+        except Exception as e:
+            extra["trained_error"] = str(e)[:300]
+            log(f"trained-retrieval section failed: {e}")
+
     # ---- REAL text at 10M x 768 (BASELINE config 4 geometry, real
     # distribution): 12 pooling views per harvested chunk, streamed
     # straight into the flat variable-length IVF layout ----
@@ -957,25 +980,6 @@ def main():
         except Exception as e:
             extra["real10m_error"] = str(e)[:300]
             log(f"real-10M section failed: {e}")
-
-    # ---- learned retrieval: held-out recall of the offline-trained
-    # checkpoint (scripts/train_retrieval_ckpt.py) through the production
-    # kernels vs BM25-only and random init; trains in-bench only as a
-    # fallback when no checkpoint is committed ----
-    trained_need = 240 if _trained_ckpt_path().exists() else 650
-    if on_tpu and time_left() < trained_need:
-        extra["trained_skipped"] = f"deadline ({time_left():.0f}s left)"
-        log(extra["trained_skipped"])
-    elif on_tpu:
-        try:
-            import gc
-
-            gc.collect()
-            extra.update(bench_trained_retrieval(time_left))
-            checkpoint_extra(extra)
-        except Exception as e:
-            extra["trained_error"] = str(e)[:300]
-            log(f"trained-retrieval section failed: {e}")
 
     # ---- tail latency under mutation (the serving proof Qdrant is
     # trusted for): p50/p95/p99 with a concurrent writer + compaction ----
