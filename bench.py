@@ -46,8 +46,12 @@ import time
 import numpy as np
 
 
+_T0 = time.time()
+
+
 def log(msg: str) -> None:
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 from voitta_rag_tpu.utils.jax_setup import setup_jax
 
