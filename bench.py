@@ -2691,8 +2691,10 @@ def bench_trained_retrieval(time_left):
 
     # --- encode + index (production int8 serving arrays; rows padded to
     # the scan kernels' 128-lane alignment, pad rows filter-masked) ---
+    t0 = time.time()
     ids = crc_tokenize(task.corpus, cfg.vocab_size, LT)
     q_ids = crc_tokenize(task.eval_queries, cfg.vocab_size, LT)
+    log(f"tokenized in {time.time() - t0:.0f}s")
     n_pad = round_up(n_corp, 128)
 
     def int8_index(p):
@@ -2705,11 +2707,17 @@ def bench_trained_retrieval(time_left):
         sc = jnp.concatenate([sc, jnp.ones((n_pad - n_corp,), jnp.float32)])
         return v8, sc[None, :]
 
+    t0 = time.time()
     v8_t, sc_t = int8_index(params)
     q_t = encode_corpus(params, cfg, q_ids)
+    jax.block_until_ready(q_t)
+    log(f"trained encode+index in {time.time() - t0:.0f}s")
+    t0 = time.time()
     p0 = init_params(jax.random.PRNGKey(0), cfg)
     v8_r, sc_r = int8_index(p0)
     q_r = encode_corpus(p0, cfg, q_ids)
+    jax.block_until_ready(q_r)
+    log(f"randinit encode+index in {time.time() - t0:.0f}s")
     p0 = None
     gc.collect()
 
